@@ -1,0 +1,423 @@
+"""Pure-numpy sparse-coding kernels (the engine's math core AND its oracle).
+
+These reproduce the algorithms the reference library (ektormak/Lyssandra,
+``lyssa/sparse_coding.py`` / ``lyssa/dict_learning.py`` — checkout empty at
+survey time, see SURVEY.md §0) implements, from their defining papers:
+
+- OMP: Pati, Rezaiifar, Krishnaprasad, Asilomar 1993.
+- Batch-OMP: Rubinstein, Zibulevsky, Elad, Technion CS TR 2008, Alg. 3
+  (precomputed Gram + progressive inverse update, no explicit residual).
+- FISTA/LASSO: Beck & Teboulle, SIAM J. Imaging Sci. 2009.
+- LLC: Wang et al., CVPR 2010, eq. 2-4 analytical solution.
+- K-SVD: Aharon, Elad, Bruckstein, IEEE TSP 2006; approximate (single
+  power-iteration) variant per Rubinstein 2008 Alg. 2.
+- Online dictionary learning: Mairal, Bach, Ponce, Sapiro, ICML 2009
+  Alg. 1-2 (sample-additive sufficient statistics A = sum(z z^T),
+  B = sum(x z^T) — the form we distribute).
+
+Conventions (pinned for determinism; distributed == local must hold allclose):
+
+- Column-major samples: ``X`` is ``(n_features, n_samples)``, ``D`` is
+  ``(n_features, n_atoms)`` with unit-L2 columns, codes ``Z`` are
+  ``(n_atoms, n_samples)``.
+- float64 everywhere inside kernels.
+- argmax tie-break: lowest index wins (numpy argmax default).
+- SVD/power-iteration sign: first element of the atom with
+  ``|value| > 1e-12`` is made positive.
+- Per-sample independence: every encoder treats each column of X
+  independently given a fixed D, so results are invariant to how samples
+  are batched/partitioned — the property the Spark distribution relies on.
+
+No scipy (absent in the sandbox): ``numpy.linalg`` only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "omp",
+    "batch_omp",
+    "fista_lasso",
+    "llc",
+    "ksvd_update",
+    "odl_accumulate",
+    "odl_update_dict",
+    "init_dict",
+    "normalize_cols",
+    "replace_dead_atoms",
+    "recon_error",
+    "sparsity",
+    "fix_sign",
+]
+
+_EPS = 1e-13
+
+
+def normalize_cols(D: np.ndarray) -> np.ndarray:
+    """Return D with each column scaled to unit L2 norm (zero cols left zero)."""
+    D = np.asarray(D, dtype=np.float64)
+    nrm = np.linalg.norm(D, axis=0)
+    nrm = np.where(nrm < _EPS, 1.0, nrm)
+    return D / nrm
+
+
+def fix_sign(v: np.ndarray) -> np.ndarray:
+    """Pin sign ambiguity: first entry with |v_i| > 1e-12 is made positive."""
+    idx = np.nonzero(np.abs(v) > 1e-12)[0]
+    if idx.size and v[idx[0]] < 0:
+        return -v
+    return v
+
+
+def init_dict(X: np.ndarray, n_atoms: int, seed: int = 42) -> np.ndarray:
+    """Seeded dictionary init: n_atoms distinct sample columns, L2-normalized.
+
+    If fewer samples than atoms, remaining atoms are seeded Gaussian.
+    Deterministic under ``numpy.random.default_rng(seed)``.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    d, n = X.shape
+    rng = np.random.default_rng(seed)
+    k = min(n_atoms, n)
+    cols = rng.choice(n, size=k, replace=False)
+    D = np.empty((d, n_atoms), dtype=np.float64)
+    D[:, :k] = X[:, cols]
+    if n_atoms > k:
+        D[:, k:] = rng.standard_normal((d, n_atoms - k))
+    D = normalize_cols(D)
+    # degenerate (zero) columns -> random re-draw
+    dead = np.linalg.norm(D, axis=0) < _EPS
+    if dead.any():
+        D[:, dead] = normalize_cols(rng.standard_normal((d, int(dead.sum()))))
+    return D
+
+
+def recon_error(D: np.ndarray, X: np.ndarray, Z: np.ndarray) -> np.ndarray:
+    """Per-sample L2 reconstruction error ||x - D z||_2, shape (n_samples,)."""
+    R = np.asarray(X, np.float64) - np.asarray(D, np.float64) @ np.asarray(Z, np.float64)
+    return np.linalg.norm(R, axis=0)
+
+
+def sparsity(Z: np.ndarray, tol: float = 0.0) -> np.ndarray:
+    """Per-sample L0 pseudo-norm (count of |z| > tol), shape (n_samples,)."""
+    return (np.abs(np.asarray(Z)) > tol).sum(axis=0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# A1: OMP (explicit-residual reference implementation; per-column loop).
+# Used as the independent cross-check for batch_omp. Not the hot path.
+# ---------------------------------------------------------------------------
+
+def omp(D: np.ndarray, X: np.ndarray, k: int, tol: float = 0.0) -> np.ndarray:
+    """Orthogonal Matching Pursuit, textbook explicit-residual form.
+
+    Greedy: pick atom most correlated with residual, least-squares refit on
+    the support, repeat until k atoms or ||r|| <= tol.
+    """
+    D = np.asarray(D, dtype=np.float64)
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    if X.shape[0] != D.shape[0]:
+        raise ValueError(f"dim mismatch: D {D.shape}, X {X.shape}")
+    d, m = D.shape
+    n = X.shape[1]
+    Z = np.zeros((m, n), dtype=np.float64)
+    for s in range(n):
+        x = X[:, s]
+        r = x.copy()
+        support: list[int] = []
+        z_I = np.empty(0)
+        for _ in range(k):
+            if np.linalg.norm(r) <= tol:
+                break
+            c = np.abs(D.T @ r)
+            if support:
+                c[support] = -1.0
+            j = int(np.argmax(c))  # lowest index wins on ties
+            support.append(j)
+            Dsub = D[:, support]
+            z_I, *_ = np.linalg.lstsq(Dsub, x, rcond=None)
+            r = x - Dsub @ z_I
+        if support:
+            Z[support, s] = z_I
+    return Z
+
+
+# ---------------------------------------------------------------------------
+# A2: Batch-OMP (Rubinstein 2008 Alg. 3), vectorized across samples.
+# Progressive inverse-Gram update (block-inverse rank-1 form) instead of
+# progressive Cholesky — algebraically identical, batchable in pure numpy.
+# ---------------------------------------------------------------------------
+
+def batch_omp(
+    D: np.ndarray,
+    X: np.ndarray,
+    k: int,
+    tol: float = 0.0,
+    G: np.ndarray | None = None,
+) -> np.ndarray:
+    """Batch-OMP: same output as :func:`omp`, amortizing G = D^T D across samples.
+
+    Vectorized over all n samples simultaneously; per-sample supports are
+    tracked with a (k, n) index array and per-sample inverse Gram blocks with
+    an (n, k, k) tensor updated by the block-matrix-inverse recursion.
+    Per-sample independence => batch-boundary invariant by construction.
+    """
+    D = np.asarray(D, dtype=np.float64)
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    d, m = D.shape
+    n = X.shape[1]
+    if n == 0:
+        return np.zeros((m, 0), dtype=np.float64)
+    k = min(k, m)
+    if G is None:
+        G = D.T @ D
+    else:
+        G = np.asarray(G, dtype=np.float64)
+
+    alpha0 = D.T @ X                       # (m, n)
+    alpha = alpha0.copy()
+    eps = np.einsum("ij,ij->j", X, X)      # residual energy ||r||^2, starts at ||x||^2
+    tol2 = tol * tol
+
+    support = np.zeros((k, n), dtype=np.int64)
+    Binv = np.zeros((n, k, k), dtype=np.float64)   # inverse of G[I, I]
+    zI = np.zeros((n, k), dtype=np.float64)
+    nsel = np.zeros(n, dtype=np.int64)
+    selected = np.zeros((m, n), dtype=bool)
+    active = eps > max(tol2, _EPS)
+    cols = np.arange(n)
+
+    for t in range(k):
+        if not active.any():
+            break
+        act = np.nonzero(active)[0]
+        a = np.abs(alpha[:, act])
+        a[selected[:, act]] = -1.0
+        j = np.argmax(a, axis=0)           # (n_act,), lowest index on ties
+        support[t, act] = j
+        selected[j, act] = True
+        nsel[act] = t + 1
+
+        if t == 0:
+            gjj = G[j, j]
+            Binv[act, 0, 0] = 1.0 / np.maximum(gjj, _EPS)
+            zI[act, 0] = alpha0[j, act] * Binv[act, 0, 0]
+        else:
+            idx = support[:t, act]                       # (t, n_act)
+            b = G[idx, j].T                              # (n_act, t): G[I, j]
+            B = Binv[act][:, :t, :t]                     # (n_act, t, t) copy
+            Bb = np.einsum("nij,nj->ni", B, b)           # (n_act, t)
+            schur = G[j, j] - np.einsum("ni,ni->n", b, Bb)
+            beta = 1.0 / np.maximum(schur, _EPS)
+            Bnew = Binv[act]                             # (n_act, k, k) copy
+            Bnew[:, :t, :t] = B + beta[:, None, None] * np.einsum("ni,nj->nij", Bb, Bb)
+            Bnew[:, :t, t] = -beta[:, None] * Bb
+            Bnew[:, t, :t] = -beta[:, None] * Bb
+            Bnew[:, t, t] = beta
+            Binv[act] = Bnew
+            aI = np.take_along_axis(alpha0[:, act], support[: t + 1, act], axis=0)
+            # aI: (t+1, n_act)
+            zI[act, : t + 1] = np.einsum(
+                "nij,jn->ni", Bnew[:, : t + 1, : t + 1], aI
+            )
+
+        # alpha = alpha0 - G[:, I] z_I   (only for active samples)
+        GI = G[:, support[: t + 1, act]]                 # (m, t+1, n_act)
+        alpha[:, act] = alpha0[:, act] - np.einsum("mtn,nt->mn", GI, zI[act, : t + 1])
+        # residual energy: eps = ||x||^2 - z_I . alpha0_I
+        aI_full = np.take_along_axis(alpha0[:, act], support[: t + 1, act], axis=0)
+        eps[act] = np.maximum(
+            np.einsum("ij,ij->j", X[:, act], X[:, act])
+            - np.einsum("nt,tn->n", zI[act, : t + 1], aI_full),
+            0.0,
+        )
+        if tol > 0.0:
+            active = eps > tol2
+        # tol == 0: run the full k iterations (planted-recovery semantics),
+        # but freeze samples whose residual is numerically zero.
+        else:
+            active = eps > _EPS
+
+    Z = np.zeros((m, n), dtype=np.float64)
+    for t in range(int(nsel.max()) if n else 0):
+        mask = nsel > t
+        Z[support[t, mask], cols[mask]] = zI[mask, t]
+    return Z
+
+
+# ---------------------------------------------------------------------------
+# A3: LASSO via FISTA (Beck & Teboulle 2009), fully matrix-parallel.
+# ---------------------------------------------------------------------------
+
+def _soft(v: np.ndarray, thr: float) -> np.ndarray:
+    return np.sign(v) * np.maximum(np.abs(v) - thr, 0.0)
+
+
+def fista_lasso(
+    D: np.ndarray,
+    X: np.ndarray,
+    lam: float,
+    n_iter: int = 500,
+    tol: float = 1e-10,
+) -> np.ndarray:
+    """argmin_Z 0.5||X - D Z||_F^2 + lam * ||Z||_1 via FISTA.
+
+    Step size 1/L with L = lambda_max(D^T D); Nesterov momentum; converges
+    O(1/k^2). One matrix iteration covers all samples — the ideal
+    vectorization for Arrow batches.
+    """
+    D = np.asarray(D, dtype=np.float64)
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    m = D.shape[1]
+    n = X.shape[1]
+    if n == 0:
+        return np.zeros((m, 0), dtype=np.float64)
+    G = D.T @ D
+    DtX = D.T @ X
+    L = float(np.linalg.eigvalsh(G)[-1])
+    L = max(L, _EPS)
+    Z = np.zeros((m, n), dtype=np.float64)
+    Y = Z.copy()
+    t = 1.0
+    for _ in range(n_iter):
+        Znew = _soft(Y - (G @ Y - DtX) / L, lam / L)
+        tnew = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
+        Y = Znew + ((t - 1.0) / tnew) * (Znew - Z)
+        delta = float(np.max(np.abs(Znew - Z))) if Z.size else 0.0
+        Z = Znew
+        t = tnew
+        if delta <= tol:
+            break
+    return Z
+
+
+# ---------------------------------------------------------------------------
+# A4: LLC (Wang et al. 2010, eq. 2-4 analytical solution), batched.
+# ---------------------------------------------------------------------------
+
+def llc(D: np.ndarray, X: np.ndarray, knn: int = 5, beta: float = 1e-4) -> np.ndarray:
+    """Locality-constrained Linear Coding.
+
+    For each sample: take its `knn` nearest atoms (Euclidean), solve the
+    constrained least squares  min ||x - B w||^2 s.t. 1^T w = 1  in closed
+    form: C = (B - x 1^T)^T (B - x 1^T); solve (C + beta*tr(C)*I) w = 1;
+    w /= sum(w). Scatter w into the sparse code.
+
+    knn selection determinism: stable argsort => lowest atom index wins ties.
+    """
+    D = np.asarray(D, dtype=np.float64)
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    d, m = D.shape
+    n = X.shape[1]
+    if n == 0:
+        return np.zeros((m, 0), dtype=np.float64)
+    knn = min(knn, m)
+    # squared distances atoms x samples: ||d_j||^2 - 2 d_j.x + ||x||^2 (drop ||x||^2)
+    d2 = np.sum(D * D, axis=0)[:, None] - 2.0 * (D.T @ X)    # (m, n)
+    order = np.argsort(d2, axis=0, kind="stable")[:knn]       # (knn, n)
+    B = D[:, order]                                           # (d, knn, n)
+    shift = B - X[:, None, :]                                 # (d, knn, n)
+    C = np.einsum("dkn,dln->nkl", shift, shift)               # (n, knn, knn)
+    tr = np.trace(C, axis1=1, axis2=2)                        # (n,)
+    reg = beta * np.maximum(tr, _EPS)
+    C = C + reg[:, None, None] * np.eye(knn)[None, :, :]
+    ones = np.ones((n, knn), dtype=np.float64)
+    w = np.linalg.solve(C, ones)                              # (n, knn)
+    w = w / np.sum(w, axis=1, keepdims=True)
+    Z = np.zeros((m, n), dtype=np.float64)
+    cols = np.arange(n)
+    for t in range(knn):
+        Z[order[t], cols] = w[:, t]
+    return Z
+
+
+# ---------------------------------------------------------------------------
+# A5: K-SVD dictionary update sweep (approximate variant, Rubinstein 2008
+# Alg. 2 — single power iteration instead of full SVD; deterministic).
+# ---------------------------------------------------------------------------
+
+def ksvd_update(
+    D: np.ndarray, X: np.ndarray, Z: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """One approximate-K-SVD sweep over all atoms.
+
+    For atom j with using-set I: E = X_I - D Z_I + d_j z_{j,I};
+    d_new = normalize(E z_j) (sign-pinned); z_{j,I} = E^T d_new.
+    Guarantees the Frobenius reconstruction error is non-increasing.
+    """
+    D = np.array(D, dtype=np.float64, copy=True)
+    X = np.asarray(X, dtype=np.float64)
+    Z = np.array(Z, dtype=np.float64, copy=True)
+    m = D.shape[1]
+    for j in range(m):
+        I = np.nonzero(Z[j])[0]
+        if I.size == 0:
+            continue
+        zj = Z[j, I]
+        E = X[:, I] - D @ Z[:, I] + np.outer(D[:, j], zj)
+        dnew = E @ zj
+        nrm = np.linalg.norm(dnew)
+        if nrm < _EPS:
+            continue
+        dnew = fix_sign(dnew / nrm)
+        D[:, j] = dnew
+        Z[j, I] = E.T @ dnew
+    return D, Z
+
+
+def replace_dead_atoms(
+    D: np.ndarray, X: np.ndarray, Z: np.ndarray, seed: int = 42
+) -> np.ndarray:
+    """Replace unused atoms with the currently worst-reconstructed samples."""
+    D = np.array(D, dtype=np.float64, copy=True)
+    X = np.asarray(X, dtype=np.float64)
+    usage = (np.abs(Z) > 0).sum(axis=1)
+    dead = np.nonzero(usage == 0)[0]
+    if dead.size == 0:
+        return D
+    err = recon_error(D, X, Z)
+    worst = np.argsort(-err, kind="stable")[: dead.size]
+    rng = np.random.default_rng(seed)
+    for di, si in zip(dead, worst):
+        v = X[:, si]
+        if np.linalg.norm(v) < _EPS:
+            v = rng.standard_normal(D.shape[0])
+        D[:, di] = fix_sign(v / np.linalg.norm(v))
+    return D
+
+
+# ---------------------------------------------------------------------------
+# A6: Online dictionary learning (Mairal 2009) — sample-additive sufficient
+# statistics. `odl_accumulate` is the per-partition map (associative +
+# commutative => distributable as a grouped aggregate / treeAggregate);
+# `odl_update_dict` is the driver-side block-coordinate atom update.
+# ---------------------------------------------------------------------------
+
+def odl_accumulate(
+    X: np.ndarray, Z: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return partial sufficient statistics (A, B) = (Z Z^T, X Z^T)."""
+    X = np.asarray(X, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    return Z @ Z.T, X @ Z.T
+
+
+def odl_update_dict(
+    D: np.ndarray, A: np.ndarray, B: np.ndarray, n_iter: int = 1
+) -> np.ndarray:
+    """Mairal 2009 Alg. 2: block-coordinate descent on atoms given (A, B).
+
+    Projects each atom onto the unit L2 ball; atoms with A_jj ~ 0 (unused)
+    are left untouched (dead-atom handling is separate).
+    """
+    D = np.array(D, dtype=np.float64, copy=True)
+    m = D.shape[1]
+    for _ in range(n_iter):
+        for j in range(m):
+            ajj = A[j, j]
+            if ajj < _EPS:
+                continue
+            u = (B[:, j] - D @ A[:, j]) / ajj + D[:, j]
+            D[:, j] = u / max(np.linalg.norm(u), 1.0)
+    return D

@@ -1,0 +1,211 @@
+"""Numpy-kernel unit tests — the reference-parity layer (SURVEY.md §5.2-1).
+
+Mirrors what the reference's own lasso/omp/llc unit tests assert:
+reconstruction error and code sparsity, plus paper-defined invariants
+(exact recovery, KKT conditions, closed-form equivalence, monotone K-SVD).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from lyssandra_spark.functions import kernels as K
+
+RNG = np.random.default_rng(42)
+DIM, ATOMS = 64, 128
+
+
+def planted(n=50, k=5, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    D = K.normalize_cols(rng.standard_normal((DIM, ATOMS)))
+    Z = np.zeros((ATOMS, n))
+    for s in range(n):
+        sup = rng.choice(ATOMS, size=k, replace=False)
+        Z[sup, s] = rng.standard_normal(k) + np.sign(rng.standard_normal(k))
+    X = D @ Z
+    if noise:
+        X = X + noise * rng.standard_normal(X.shape)
+    return D, X, Z
+
+
+class TestOMP:
+    def test_exact_recovery(self):
+        D, X, Ztrue = planted(n=40, k=5, seed=1)
+        Z = K.omp(D, X, k=5)
+        assert np.allclose(Z, Ztrue, rtol=1e-6, atol=1e-8)
+        assert (K.sparsity(Z) <= 5).all()
+        assert (K.recon_error(D, X, Z) < 1e-8).all()
+
+    def test_batch_omp_equals_omp(self):
+        D, X, _ = planted(n=60, k=5, noise=1e-3, seed=2)
+        Z1 = K.omp(D, X, k=5)
+        Z2 = K.batch_omp(D, X, k=5)
+        assert np.allclose(Z1, Z2, rtol=1e-6, atol=1e-8)
+
+    def test_batch_omp_equals_omp_with_tol(self):
+        D, X, _ = planted(n=30, k=8, noise=1e-2, seed=3)
+        tol = 0.05
+        Z1 = K.omp(D, X, k=8, tol=tol)
+        Z2 = K.batch_omp(D, X, k=8, tol=tol)
+        assert np.allclose(Z1, Z2, rtol=1e-5, atol=1e-7)
+
+    def test_residual_orthogonal_to_support(self):
+        D, X, _ = planted(n=20, k=5, noise=1e-2, seed=4)
+        Z = K.batch_omp(D, X, k=5)
+        R = X - D @ Z
+        for s in range(X.shape[1]):
+            sup = np.nonzero(Z[:, s])[0]
+            assert np.allclose(D[:, sup].T @ R[:, s], 0.0, atol=1e-8)
+
+    def test_batch_boundary_invariance(self):
+        """Encoding is invariant to how samples are split into batches."""
+        D, X, _ = planted(n=37, k=5, noise=1e-3, seed=5)
+        whole = K.batch_omp(D, X, k=5)
+        parts = np.concatenate(
+            [K.batch_omp(D, X[:, i : i + 7], k=5) for i in range(0, 37, 7)], axis=1
+        )
+        # not bit-identical: BLAS GEMM blocks differently per batch shape
+        # (low-bit float drift); the parity gate is allclose rtol=1e-6.
+        assert np.allclose(whole, parts, rtol=1e-9, atol=1e-11)
+        # supports must be IDENTICAL (atom selection robust to the drift)
+        assert np.array_equal(whole != 0, parts != 0)
+
+    def test_precomputed_gram_identical(self):
+        D, X, _ = planted(n=15, k=5, seed=6)
+        G = D.T @ D
+        assert np.array_equal(K.batch_omp(D, X, 5), K.batch_omp(D, X, 5, G=G))
+
+    def test_zero_signal(self):
+        D, _, _ = planted(n=1, seed=7)
+        Z = K.batch_omp(D, np.zeros((DIM, 3)), k=5)
+        assert Z.shape == (ATOMS, 3) and (Z == 0).all()
+
+    def test_empty_batch(self):
+        D, _, _ = planted(n=1, seed=8)
+        assert K.batch_omp(D, np.zeros((DIM, 0)), k=5).shape == (ATOMS, 0)
+
+
+class TestFISTA:
+    @pytest.mark.parametrize("lam", [0.01, 0.1])
+    def test_kkt_conditions(self, lam):
+        rng = np.random.default_rng(10)
+        D = K.normalize_cols(rng.standard_normal((16, 32)))
+        X = rng.standard_normal((16, 8))
+        Z = K.fista_lasso(D, X, lam=lam, n_iter=5000, tol=1e-14)
+        g = D.T @ (X - D @ Z)  # negative gradient of smooth part
+        tol = 1e-5
+        # off-support: |D^T r| <= lam; on-support: D^T r == lam * sign(z)
+        for s in range(X.shape[1]):
+            on = np.abs(Z[:, s]) > 1e-10
+            assert (np.abs(g[~on, s]) <= lam + tol).all()
+            assert np.allclose(g[on, s], lam * np.sign(Z[on, s]), atol=tol)
+
+    def test_objective_decreases_overall(self):
+        rng = np.random.default_rng(11)
+        D = K.normalize_cols(rng.standard_normal((16, 32)))
+        X = rng.standard_normal((16, 5))
+
+        def obj(Z):
+            return 0.5 * np.sum((X - D @ Z) ** 2) + 0.1 * np.abs(Z).sum()
+
+        objs = [obj(K.fista_lasso(D, X, 0.1, n_iter=n, tol=0)) for n in (1, 10, 100, 1000)]
+        assert all(b <= a + 1e-9 for a, b in itertools.pairwise(objs))
+
+    def test_sparsity_increases_with_lambda(self):
+        D, X, _ = planted(n=20, k=5, noise=0.01, seed=12)
+        nnz_small = K.sparsity(K.fista_lasso(D, X, 0.01, 2000), tol=1e-8).mean()
+        nnz_big = K.sparsity(K.fista_lasso(D, X, 0.5, 2000), tol=1e-8).mean()
+        assert nnz_big < nnz_small
+
+
+class TestLLC:
+    def test_closed_form_vs_brute_force(self):
+        rng = np.random.default_rng(20)
+        d, m, knn, beta = 8, 16, 3, 1e-4
+        D = K.normalize_cols(rng.standard_normal((d, m)))
+        X = rng.standard_normal((d, 6))
+        Z = K.llc(D, X, knn=knn, beta=beta)
+        for s in range(X.shape[1]):
+            x = X[:, s]
+            d2 = np.sum((D - x[:, None]) ** 2, axis=0)
+            nn = np.argsort(d2, kind="stable")[:knn]
+            B = D[:, nn]
+            shift = B - x[:, None]
+            C = shift.T @ shift
+            C = C + beta * max(np.trace(C), 1e-13) * np.eye(knn)
+            w = np.linalg.solve(C, np.ones(knn))
+            w /= w.sum()
+            ref = np.zeros(m)
+            ref[nn] = w
+            assert np.allclose(Z[:, s], ref, rtol=1e-8, atol=1e-10)
+
+    def test_sum_to_one_and_sparsity(self):
+        D, X, _ = planted(n=30, seed=21)
+        Z = K.llc(D, X, knn=5)
+        assert np.allclose(Z.sum(axis=0), 1.0, atol=1e-8)
+        assert (K.sparsity(Z) <= 5).all()
+
+
+class TestDictLearning:
+    def test_ksvd_error_nonincreasing(self):
+        D0, X, _ = planted(n=200, k=5, noise=0.05, seed=30)
+        D = K.init_dict(X, ATOMS, seed=30)
+        errs = []
+        for _ in range(5):
+            Z = K.batch_omp(D, X, k=5)
+            errs.append(float(np.linalg.norm(X - D @ Z)))
+            D, Z = K.ksvd_update(D, X, Z)
+            errs.append(float(np.linalg.norm(X - D @ Z)))
+            D = K.replace_dead_atoms(D, X, Z, seed=30)
+        # each ksvd sweep must not increase error given fixed codes
+        for i in range(0, len(errs) - 1, 2):
+            assert errs[i + 1] <= errs[i] + 1e-9
+        assert errs[-1] < errs[0]
+
+    def test_ksvd_atoms_stay_normalized(self):
+        _, X, _ = planted(n=100, k=5, noise=0.05, seed=31)
+        D = K.init_dict(X, ATOMS, seed=31)
+        Z = K.batch_omp(D, X, k=5)
+        D2, _ = K.ksvd_update(D, X, Z)
+        nrm = np.linalg.norm(D2, axis=0)
+        assert np.allclose(nrm[nrm > 1e-9], 1.0, atol=1e-10)
+
+    def test_ksvd_deterministic(self):
+        _, X, _ = planted(n=80, k=5, noise=0.05, seed=32)
+        D = K.init_dict(X, ATOMS, seed=32)
+        Z = K.batch_omp(D, X, k=5)
+        D1, Z1 = K.ksvd_update(D, X, Z)
+        D2, Z2 = K.ksvd_update(D, X, Z)
+        assert np.array_equal(D1, D2) and np.array_equal(Z1, Z2)
+
+    def test_odl_stats_additive(self):
+        """Partial sufficient statistics sum to the global ones (the
+        property that makes the distributed aggregation correct)."""
+        D, X, _ = planted(n=64, k=5, noise=0.02, seed=33)
+        Z = K.batch_omp(D, X, k=5)
+        A_all, B_all = K.odl_accumulate(X, Z)
+        A_sum = np.zeros_like(A_all)
+        B_sum = np.zeros_like(B_all)
+        for i in range(0, 64, 9):
+            a, b = K.odl_accumulate(X[:, i : i + 9], Z[:, i : i + 9])
+            A_sum += a
+            B_sum += b
+        assert np.allclose(A_all, A_sum, rtol=1e-12, atol=1e-9)
+        assert np.allclose(B_all, B_sum, rtol=1e-12, atol=1e-9)
+
+    def test_odl_update_improves_fit(self):
+        _, X, _ = planted(n=150, k=5, noise=0.05, seed=34)
+        D = K.init_dict(X, ATOMS, seed=99)  # mismatched init
+        Z = K.batch_omp(D, X, k=5)
+        A, B = K.odl_accumulate(X, Z)
+        D2 = K.odl_update_dict(D, A, B, n_iter=3)
+        # with codes fixed, dictionary update must reduce ||X - D Z||_F
+        assert np.linalg.norm(X - D2 @ Z) <= np.linalg.norm(X - D @ Z) + 1e-9
+
+    def test_init_dict_deterministic_and_normalized(self):
+        _, X, _ = planted(n=50, seed=35)
+        D1 = K.init_dict(X, ATOMS, seed=5)
+        D2 = K.init_dict(X, ATOMS, seed=5)
+        assert np.array_equal(D1, D2)
+        assert np.allclose(np.linalg.norm(D1, axis=0), 1.0, atol=1e-10)
