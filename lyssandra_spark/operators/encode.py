@@ -1,0 +1,162 @@
+"""Point-in-time sparse-coding encode operator (the engine's flagship op).
+
+Semantics (north rule): for each transcript turn, embed ``text`` and sparse
+code it against the dictionary version valid **as of** ``ts`` (strict
+``valid_from <= ts`` — zero temporal leakage by construction).
+
+Spark-first design:
+
+- the dictionary history (all versions + precomputed Grams) is tiny
+  (n_atoms x dim ~ 64 KB/version) => ``SparkContext.broadcast`` once; each
+  task resolves versions with a vectorized ``np.searchsorted`` over the
+  batch's timestamps — no join, no shuffle, the scan stays pipelined.
+- the Python crossing is a single ``mapInArrow``: one Arrow RecordBatch in,
+  one out; the whole batch is encoded as one vectorized numpy call
+  (Batch-OMP amortizes G across every sample of every batch of every task).
+- per-sample independence of the kernels (kernels.py) makes the result
+  invariant to partitioning / batch boundaries — distributed == local
+  allclose is structural, not accidental.
+- output codes are CSR-per-row (``code_idx:array<int>, code_val:array<double>``):
+  k nonzeros instead of n_atoms floats — at 10^12 turns this is the
+  difference between 40 TB and 1 PB of feature storage.
+
+The same `_encode_block` body is the numpy oracle used by the parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from lyssandra_spark.functions import kernels as K
+from lyssandra_spark.functions.embed import embed_texts
+from lyssandra_spark.sources.synth import DictVersion
+
+__all__ = ["sparse_code", "encode_block"]
+
+
+def encode_block(
+    texts: list,
+    ts_us: np.ndarray,
+    versions: list[DictVersion],
+    algo: str = "bomp",
+    k: int = 5,
+    lam: float = 0.1,
+    knn: int = 5,
+    embed_dim: int = 64,
+    precomputed_X: np.ndarray | None = None,
+) -> dict[str, np.ndarray]:
+    """Encode one batch of turns. Pure numpy — usable with or without Spark.
+
+    Returns dict with: dict_version (int32, -1 if no valid version),
+    code_idx/code_val (flattened CSR + offsets), recon_err, nnz.
+    """
+    n = len(ts_us)
+    X = precomputed_X if precomputed_X is not None else embed_texts(texts, dim=embed_dim).T
+    valid_from = np.asarray([v.valid_from_us for v in versions], dtype=np.int64)
+    vidx = np.searchsorted(valid_from, np.asarray(ts_us, dtype=np.int64), side="right") - 1
+
+    ver_out = np.full(n, -1, dtype=np.int32)
+    err = np.zeros(n, dtype=np.float64)
+    nnz = np.zeros(n, dtype=np.int32)
+    idx_parts: list[np.ndarray] = [np.empty(0, np.int32)] * n
+    val_parts: list[np.ndarray] = [np.empty(0, np.float64)] * n
+
+    for vi in np.unique(vidx):
+        rows = np.nonzero(vidx == vi)[0]
+        if vi < 0:
+            continue  # ts before first valid_from: no dictionary yet -> null code
+        v = versions[vi]
+        Xb = X[:, rows]
+        if algo == "bomp":
+            Z = K.batch_omp(v.D, Xb, k=k, G=v.G)
+        elif algo == "omp":
+            Z = K.omp(v.D, Xb, k=k)
+        elif algo == "fista":
+            Z = K.fista_lasso(v.D, Xb, lam=lam)
+        elif algo == "llc":
+            Z = K.llc(v.D, Xb, knn=knn)
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+        e = K.recon_error(v.D, Xb, Z)
+        ver_out[rows] = v.version
+        err[rows] = e
+        for local, r in enumerate(rows):
+            nz = np.nonzero(np.abs(Z[:, local]) > 1e-12)[0]
+            idx_parts[r] = nz.astype(np.int32)
+            val_parts[r] = Z[nz, local]
+            nnz[r] = len(nz)
+
+    lengths = np.asarray([len(p) for p in idx_parts], dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return {
+        "dict_version": ver_out,
+        "offsets": offsets,
+        "code_idx": np.concatenate(idx_parts) if n else np.empty(0, np.int32),
+        "code_val": np.concatenate(val_parts) if n else np.empty(0, np.float64),
+        "recon_err": err,
+        "nnz": nnz,
+    }
+
+
+_OUT_FIELDS = [
+    T.StructField("dict_version", T.IntegerType(), False),
+    T.StructField("code_idx", T.ArrayType(T.IntegerType()), False),
+    T.StructField("code_val", T.ArrayType(T.DoubleType()), False),
+    T.StructField("recon_err", T.DoubleType(), False),
+    T.StructField("nnz", T.IntegerType(), False),
+]
+
+
+def sparse_code(
+    df: DataFrame,
+    versions: list[DictVersion],
+    algo: str = "bomp",
+    k: int = 5,
+    lam: float = 0.1,
+    knn: int = 5,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    embed_dim: int = 64,
+) -> DataFrame:
+    """Append point-in-time sparse-code feature columns to a transcript DataFrame.
+
+    Input: any DataFrame with ``text_col`` (string) and ``ts_col`` (timestamp).
+    Output: input columns + (dict_version, code_idx, code_val, recon_err, nnz).
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(versions)
+    in_schema = df.schema
+    out_schema = T.StructType(list(in_schema.fields) + _OUT_FIELDS)
+    text_pos = in_schema.fieldNames().index(text_col)
+    ts_pos = in_schema.fieldNames().index(ts_col)
+
+    def encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        vers = bc.value
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column(text_pos).to_pylist()
+            ts_us = batch.column(ts_pos).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            r = encode_block(
+                texts, ts_us, vers, algo=algo, k=k, lam=lam, knn=knn, embed_dim=embed_dim
+            )
+            off = pa.array(r["offsets"], type=pa.int32())
+            arrays = list(batch.columns) + [
+                pa.array(r["dict_version"], type=pa.int32()),
+                pa.ListArray.from_arrays(off, pa.array(r["code_idx"], type=pa.int32())),
+                pa.ListArray.from_arrays(off, pa.array(r["code_val"], type=pa.float64())),
+                pa.array(r["recon_err"], type=pa.float64()),
+                pa.array(r["nnz"], type=pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInArrow(encode_batches, out_schema)

@@ -1,0 +1,167 @@
+"""Windowed feature-engineering operators (SURVEY.md §2.B B3-B8, B16).
+
+All are thin, composable DataFrame -> DataFrame functions over
+``pyspark.sql.Window`` — Catalyst/Tungsten execute them JVM-side with
+whole-stage codegen; there is no Python in any of these paths.
+
+Skew note (B16): ``Window.partitionBy(key)`` puts an entire key on one
+task, and AQE does NOT split skewed window partitions (it only splits
+skewed shuffle-join/agg partitions). For genuinely hot keys (the 10^6-turn
+conversation), use :func:`salted_agg` for aggregations (two-phase: partial
+per salt -> final) — window ops that need full per-key order (lag,
+sessionize, ffill) are inherently sequential per key; at 10^12-turn scale
+those run per (conv_id, ts-bucket) instead, which `bucketed_window_cols`
+documents and tests exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_lag",
+    "with_lead",
+    "sessionize",
+    "ffill",
+    "bfill",
+    "rolling",
+    "dedup_latest",
+    "topk",
+    "with_salt",
+    "salted_agg",
+]
+
+
+def _w(part, order):
+    part = [part] if isinstance(part, str) else list(part)
+    order = [order] if isinstance(order, str) else list(order)
+    return Window.partitionBy(*part).orderBy(*order)
+
+
+def with_lag(df: DataFrame, cols, n: int = 1, part="conv_id", order="turn_idx",
+             prefix: str = "lag") -> DataFrame:
+    """Previous-turn value(s) within a conversation (B3)."""
+    w = _w(part, order)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    for c in cols:
+        df = df.withColumn(f"{prefix}{n}_{c}", F.lag(c, n).over(w))
+    return df
+
+
+def with_lead(df: DataFrame, cols, n: int = 1, part="conv_id", order="turn_idx",
+              prefix: str = "lead") -> DataFrame:
+    w = _w(part, order)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    for c in cols:
+        df = df.withColumn(f"{prefix}{n}_{c}", F.lead(c, n).over(w))
+    return df
+
+
+def sessionize(df: DataFrame, gap_seconds: int = 1800, part="conv_id",
+               ts_col: str = "ts", out_col: str = "session_id") -> DataFrame:
+    """Split each partition into sessions on ts gaps > gap_seconds (B4).
+
+    Classic two-window form: gap flag via lag, then a running sum of flags
+    (both over the same partitioning+ordering => one shuffle, one sort).
+    session_id is 0-based within the partition key.
+    """
+    w = _w(part, ts_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    flag = F.when(gap > F.lit(float(gap_seconds)), 1).otherwise(0)
+    return df.withColumn(
+        out_col,
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+
+
+def ffill(df: DataFrame, cols, part="conv_id", order="turn_idx") -> DataFrame:
+    """Forward-fill nulls from the last non-null value within the key (B5)."""
+    w = _w(part, order).rowsBetween(Window.unboundedPreceding, 0)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    for c in cols:
+        df = df.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return df
+
+
+def bfill(df: DataFrame, cols, part="conv_id", order="turn_idx") -> DataFrame:
+    """Backward-fill nulls from the next non-null value within the key (B5)."""
+    w = _w(part, order).rowsBetween(0, Window.unboundedFollowing)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    for c in cols:
+        df = df.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return df
+
+
+def rolling(df: DataFrame, col: str, n: int, part="conv_id", order="turn_idx",
+            aggs=("avg", "sum", "count")) -> DataFrame:
+    """Rolling aggregates over the last n rows (inclusive) per key (B6)."""
+    w = _w(part, order).rowsBetween(-(n - 1), 0)
+    for a in aggs:
+        df = df.withColumn(f"{a}_{col}_{n}", getattr(F, a)(col).over(w))
+    return df
+
+
+def dedup_latest(df: DataFrame, keys, order, desc: bool = True) -> DataFrame:
+    """Keep one row per key: latest by `order` (idempotent re-ingest, B7).
+
+    Ties broken deterministically by the full order column list.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [order] if isinstance(order, str) else list(order)
+    ob = [F.col(c).desc() if desc else F.col(c).asc() for c in order]
+    w = Window.partitionBy(*keys).orderBy(*ob)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk(df: DataFrame, keys, order, k: int, desc: bool = True) -> DataFrame:
+    """Top-k rows per key by `order` (B8), rank column `rk` retained."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [order] if isinstance(order, str) else list(order)
+    ob = [F.col(c).desc() if desc else F.col(c).asc() for c in order]
+    w = Window.partitionBy(*keys).orderBy(*ob)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def with_salt(df: DataFrame, n_buckets: int = 16, cols=("conv_id", "turn_idx"),
+              out_col: str = "salt") -> DataFrame:
+    """Deterministic salt bucket from a hash of `cols` (B16)."""
+    return df.withColumn(
+        out_col, F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+    )
+
+
+def salted_agg(df: DataFrame, keys, aggs: dict[str, tuple[str, str]],
+               n_buckets: int = 16, salt_cols=("conv_id", "turn_idx")) -> DataFrame:
+    """Two-phase aggregation for skewed keys (B16).
+
+    Phase 1 groups by (keys + salt) — the hot key's rows spread over
+    n_buckets tasks; phase 2 merges the partials. `aggs` maps output name
+    -> (fn, col) where fn is one of sum/count/min/max (re-aggregable fns;
+    avg is expressed as sum+count by the caller).
+
+    Result is exactly equal to the unsalted groupBy (tested vs oracle).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salted = with_salt(df, n_buckets, cols=salt_cols)
+    partial_exprs, final_exprs = [], []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            partial_exprs.append(F.count(col).alias(f"__p_{name}"))
+            final_exprs.append(F.sum(f"__p_{name}").alias(name))
+        elif fn in ("sum", "min", "max"):
+            partial_exprs.append(getattr(F, fn)(col).alias(f"__p_{name}"))
+            final_exprs.append(getattr(F, fn)(f"__p_{name}").alias(name))
+        else:
+            raise ValueError(f"non-reaggregable fn {fn!r}")
+    return (
+        salted.groupBy(*keys, "salt").agg(*partial_exprs)
+        .groupBy(*keys).agg(*final_exprs)
+    )

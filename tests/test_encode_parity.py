@@ -1,0 +1,144 @@
+"""Distributed == local parity and zero-leakage tests (SURVEY.md §5.2-2/3).
+
+The Spark mapInArrow path must produce feature vectors allclose
+(rtol=1e-6, atol=1e-8) to the single-node numpy oracle at every
+(conv_id, turn_idx, ts), match dict_version exactly, and never use a
+dictionary version newer than ts.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.functions import kernels as K
+from lyssandra_spark.functions.embed import embed_texts
+from lyssandra_spark.operators.encode import encode_block, sparse_code
+from lyssandra_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def versions(sf_dir):
+    return synth.build_dict_versions(sf_dir, n_atoms=128)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark, sf_dir):
+    return synth.transcripts(spark, sf_dir).cache()
+
+
+def _spark_codes(spark, tdf, versions, algo, **kw):
+    coded = sparse_code(tdf, versions, algo=algo, **kw)
+    return coded.select(
+        "conv_id", "turn_idx", "ts", "text", "dict_version",
+        "code_idx", "code_val", "recon_err", "nnz",
+    ).toPandas()
+
+
+def _oracle(pdf, versions, algo, **kw):
+    ts_us = pdf["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    return encode_block(pdf["text"].tolist(), ts_us, versions, algo=algo, **kw)
+
+
+@pytest.mark.parametrize("algo,kw", [
+    ("bomp", {"k": 5}),
+    ("fista", {"lam": 0.1}),
+    ("llc", {"knn": 5}),
+])
+def test_spark_matches_numpy_oracle(spark, tdf, versions, algo, kw):
+    got = _spark_codes(spark, tdf.limit(800).repartition(7), versions, algo, **kw)
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ora = _oracle(got, versions, algo, **kw)
+
+    assert (got["dict_version"].to_numpy() == ora["dict_version"]).all()
+    assert (got["nnz"].to_numpy() == ora["nnz"]).all()
+    assert np.allclose(got["recon_err"].to_numpy(), ora["recon_err"],
+                       rtol=1e-6, atol=1e-8)
+    off = ora["offsets"]
+    for i in range(len(got)):
+        oi = ora["code_idx"][off[i]: off[i + 1]]
+        ov = ora["code_val"][off[i]: off[i + 1]]
+        assert np.array_equal(np.asarray(got["code_idx"][i]), oi), f"row {i}"
+        assert np.allclose(np.asarray(got["code_val"][i]), ov,
+                           rtol=1e-6, atol=1e-8), f"row {i}"
+
+
+def test_parity_across_parallelism(spark, tdf, versions):
+    """Same result under different partition counts (batch-boundary invariance)."""
+    a = _spark_codes(spark, tdf.limit(500).coalesce(1), versions, "bomp", k=5)
+    b = _spark_codes(spark, tdf.limit(500).repartition(13), versions, "bomp", k=5)
+    a = a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert (a["dict_version"] == b["dict_version"]).all()
+    for i in range(len(a)):
+        assert np.array_equal(np.asarray(a["code_idx"][i]), np.asarray(b["code_idx"][i]))
+        assert np.allclose(np.asarray(a["code_val"][i]), np.asarray(b["code_val"][i]),
+                           rtol=1e-9, atol=1e-11)
+
+
+def test_sparsity_and_reconstruction(spark, tdf, versions):
+    got = _spark_codes(spark, tdf.limit(300), versions, "bomp", k=5)
+    assert (got["nnz"] <= 5).all()
+    # codes reconstruct the embeddings: err computed in-kernel must equal
+    # an independent recomputation here
+    X = embed_texts(got["text"].tolist()).T
+    vmap = {v.version: v.D for v in versions}
+    for i in range(len(got)):
+        D = vmap[got["dict_version"][i]]
+        z = np.zeros(D.shape[1])
+        z[np.asarray(got["code_idx"][i], dtype=int)] = np.asarray(got["code_val"][i])
+        err = np.linalg.norm(X[:, i] - D @ z)
+        assert abs(err - got["recon_err"][i]) < 1e-8
+
+
+def test_zero_leakage_version_assignment(spark, versions):
+    """Adversarial fixture: version boundary mid-conversation; every turn
+    must be coded under the version valid as-of its ts, never a newer one."""
+    b2 = dt.datetime.fromisoformat(synth.VERSION_BOUNDARIES[1])
+    rows = []
+    for i in range(40):
+        rows.append((
+            "adv-1", i, "user", f"turn number {i} spark window join",
+            None, b2 + dt.timedelta(minutes=i - 20),
+        ))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df = spark.createDataFrame(pdf)
+    got = _spark_codes(spark, df, versions, "bomp", k=5)
+    got = got.sort_values("turn_idx").reset_index(drop=True)
+    ts_us = got["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    for i in range(len(got)):
+        expected_version = 1 if ts_us[i] < versions[1].valid_from_us else 2
+        assert got["dict_version"][i] == expected_version
+    # turns before the boundary must equal encoding under v1 EXACTLY
+    pre = got[got["dict_version"] == 1]
+    X = embed_texts(pre["text"].tolist()).T
+    Z1 = K.batch_omp(versions[0].D, X, k=5, G=versions[0].G)
+    for j, (_, r) in enumerate(pre.iterrows()):
+        nz = np.nonzero(np.abs(Z1[:, j]) > 1e-12)[0]
+        assert np.array_equal(np.asarray(r["code_idx"], dtype=int), nz)
+        assert np.allclose(np.asarray(r["code_val"]), Z1[nz, j], rtol=1e-9)
+    # and must NOT all equal encoding under v2 (the test has teeth)
+    Z2 = K.batch_omp(versions[1].D, X, k=5, G=versions[1].G)
+    assert not np.allclose(Z1, Z2)
+
+
+def test_ts_before_any_version_gets_null_code(spark, versions):
+    pdf = pd.DataFrame(
+        [("old-1", 0, "user", "ancient text", None,
+          dt.datetime(2020, 1, 1))],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    got = _spark_codes(spark, spark.createDataFrame(pdf), versions, "bomp", k=5)
+    assert got["dict_version"][0] == -1 and got["nnz"][0] == 0
+
+
+def test_text_passthrough_equality(spark, tdf, versions):
+    """Per-row invariant: the engine never reorders/clobbers payload columns
+    under stable (conv_id, turn_idx) ordering (BASELINE.json input_hint)."""
+    src = tdf.limit(400)
+    coded = sparse_code(src, versions, algo="bomp", k=5)
+    a = src.select("conv_id", "turn_idx", "text").sort("conv_id", "turn_idx").toPandas()
+    b = coded.select("conv_id", "turn_idx", "text").sort("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(a, b)
