@@ -107,8 +107,13 @@ def asof_join(
 def _asof_broadcast(facts, dim, keys, ts_col, valid_col, direction,
                     tolerance, suffix, how) -> DataFrame:
     dimr, _ = _with_suffix(dim, keys, suffix)
+    # rename dim keys so join resolution is unambiguous even when the same
+    # dim participates twice in one plan (the 'nearest' composition)
+    for kcol in keys:
+        dimr = dimr.withColumnRenamed(kcol, f"__dimkey_{kcol}")
     v = valid_col + suffix
-    w = Window.partitionBy(*keys).orderBy(v) if keys else Window.orderBy(v)
+    dkeys = [f"__dimkey_{kcol}" for kcol in keys]
+    w = Window.partitionBy(*dkeys).orderBy(v) if keys else Window.orderBy(v)
     if direction == "backward":
         ival = dimr.withColumn("__valid_to", F.lead(v).over(w))
         cond = (F.col(ts_col) >= F.col(v)) & (
@@ -124,14 +129,11 @@ def _asof_broadcast(facts, dim, keys, ts_col, valid_col, direction,
         if tolerance is not None:
             cond = cond & (F.col(v) <= F.col(ts_col) + tolerance)
     for kcol in keys:
-        cond = cond & (facts[kcol] == ival[kcol])
+        cond = cond & (F.col(kcol) == F.col(f"__dimkey_{kcol}"))
     joined = facts.join(F.broadcast(ival), cond, how)
     drop = ["__valid_to" if direction == "backward" else "__valid_prev"]
-    # drop dim-side duplicate key columns
-    out = joined.drop(*drop)
-    for kcol in keys:
-        out = out.drop(ival[kcol])
-    return out
+    drop += [f"__dimkey_{kcol}" for kcol in keys]
+    return joined.drop(*drop)
 
 
 def _asof_union(facts, dim, keys, ts_col, valid_col, direction,
