@@ -78,8 +78,9 @@ def asof_join(
         f_ = asof_join(b, dim, keys, ts_col, valid_col, "forward",
                        tolerance, strategy, suffix="__f", how="left")
         val_cols = [c for c in dim.columns if c not in keys]
-        db = F.abs(F.col(ts_col).cast("double") - F.col(valid_col + "__b").cast("double"))
-        df_ = F.abs(F.col(valid_col + "__f").cast("double") - F.col(ts_col).cast("double"))
+        sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+        db = F.abs(sec(ts_col) - sec(valid_col + "__b"))
+        df_ = F.abs(sec(valid_col + "__f") - sec(ts_col))
         use_b = F.col(valid_col + "__f").isNull() | (
             F.col(valid_col + "__b").isNotNull() & (db <= df_)
         )

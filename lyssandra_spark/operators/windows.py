@@ -67,7 +67,9 @@ def sessionize(df: DataFrame, gap_seconds: int = 1800, part="conv_id",
     session_id is 0-based within the partition key.
     """
     w = _w(part, ts_col)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    # cast via TIMESTAMP: parquet NTZ timestamps can't cast directly to double
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
     flag = F.when(gap > F.lit(float(gap_seconds)), 1).otherwise(0)
     return df.withColumn(
         out_col,

@@ -1,0 +1,51 @@
+"""Flagship end-to-end pipeline (SURVEY.md §2.D).
+
+ingest -> dedup (B7) -> sessionize (B4) -> point-in-time sparse-code
+(A10 embed + B1 as-of + A2 Batch-OMP, all inside one mapInArrow crossing)
+-> lag-1 code feature (B3) -> per-session aggregate (B9).
+
+One pipeline that touches every load-bearing operator class; `entry()` in
+__spark_entry__.py runs it at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.encode import sparse_code
+from lyssandra_spark.operators.windows import dedup_latest, sessionize, with_lag
+from lyssandra_spark.sources import synth
+
+__all__ = ["flagship", "coded_transcripts"]
+
+
+def coded_transcripts(
+    spark: SparkSession, sf_dir: str, algo: str = "bomp", **kw
+) -> DataFrame:
+    """Synthetic transcripts -> dedup -> sessionize -> point-in-time codes."""
+    t = synth.transcripts(spark, sf_dir, with_dups=True)
+    t = dedup_latest(t, ["conv_id", "turn_idx"], ["ts", "role"])
+    t = sessionize(t, gap_seconds=1800, part="conv_id", ts_col="ts")
+    versions = synth.build_dict_versions(sf_dir, n_atoms=128)
+    return sparse_code(t, versions, algo=algo, **kw)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session sparse-code feature aggregates with a lag-1 drift feature."""
+    coded = coded_transcripts(spark, sf_dir, algo="bomp", k=5)
+    coded = with_lag(coded, "recon_err", part="conv_id", order="turn_idx")
+    return (
+        coded.groupBy("conv_id", "session_id", "dict_version")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.avg("nnz").alias("avg_nnz"),
+            F.avg("recon_err").alias("avg_recon_err"),
+            F.avg(F.abs(F.col("recon_err") - F.col("lag1_recon_err"))).alias(
+                "avg_err_drift"
+            ),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("conv_id", "session_id", "dict_version")
+    )

@@ -1,0 +1,800 @@
+"""Query registry: every operator from SURVEY.md §2 as a (spark_fn, oracle_sql) pair.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame; the
+matching SQL string is ANSI SQL for DuckDB over the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). Column names/aliases match exactly on both sides;
+double-typed aggregates are rounded identically so the driver's
+order-insensitive value hash is stable across engines.
+
+Kernel-backed queries (sparse coding — not SQL-expressible) have no oracle
+entry; the driver records a rows-only check and pytest carries the numpy
+parity gate instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators import windows as W
+from lyssandra_spark.operators.asof import asof_join
+
+SPARK_QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# B9/B19: grouped aggregation + scalar functions (TPC-H Q1 flavor)
+# ---------------------------------------------------------------------------
+
+@q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                              AS sum_qty,
+           round(sum(l_extendedprice), 2)                         AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           round(avg(l_quantity), 4)                              AS avg_qty,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8: top-k per group
+# ---------------------------------------------------------------------------
+
+@q(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders) t
+    WHERE rk <= 3
+    """,
+)
+def topk_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7: dedup / latest-per-key
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return W.dedup_latest(e, "user_id", ["ts", "event_id"], desc=True)
+
+
+# ---------------------------------------------------------------------------
+# B3: lag/lead
+# ---------------------------------------------------------------------------
+
+@q(
+    "lag_lead_event_value",
+    """
+    SELECT event_id,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lead1_value
+    FROM events
+    """,
+)
+def lag_lead_event_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = W.with_lag(e, "value", part="user_id", order=["ts", "event_id"])
+    out = W.with_lead(out, "value", part="user_id", order=["ts", "event_id"])
+    return out.select("event_id", "lag1_value", "lead1_value")
+
+
+# ---------------------------------------------------------------------------
+# B4: sessionize on ts gaps
+# ---------------------------------------------------------------------------
+
+@q(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS flag
+      FROM events),
+    s AS (
+      SELECT user_id,
+             sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    flag = F.when(gap > 1800.0, 1).otherwise(0)
+    s = e.withColumn(
+        "session_id",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5: forward-fill (nulls injected deterministically: error events)
+# ---------------------------------------------------------------------------
+
+@q(
+    "ffill_event_value",
+    """
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM events
+    """,
+)
+def ffill_event_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_ffill",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    return W.ffill(e, "value_ffill", part="user_id", order=["ts", "event_id"]).select(
+        "event_id", "value_ffill"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6: rolling window aggregates
+# ---------------------------------------------------------------------------
+
+@q(
+    "rolling_avg_value",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+             AS roll_avg5,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_n5
+    FROM events
+    """,
+)
+def rolling_avg_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    )
+    return e.select(
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("roll_avg5"),
+        F.count("*").over(w).alias("roll_n5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1/B2: as-of joins (events as facts, per-customer order history as dim)
+# ---------------------------------------------------------------------------
+
+_ASOF_DIM_SQL = """
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) t WHERE rn = 1"""
+
+
+def _asof_dim(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return W.dedup_latest(o, ["o_custkey", "o_orderdate"], "o_orderkey", desc=True)
+
+
+@q(
+    "asof_backward_latest_order",
+    f"""
+    WITH dim AS ({_ASOF_DIM_SQL})
+    SELECT e.event_id, d.o_orderkey, d.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN dim d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+def asof_backward_latest_order(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "o_custkey")
+    dim = _asof_dim(spark, sf_dir)
+    out = asof_join(
+        e, dim, on="o_custkey", ts_col="ts", valid_col="o_orderdate",
+        direction="backward", strategy="broadcast",
+    )
+    return out.select("event_id", "o_orderkey", "o_totalprice")
+
+
+@q(
+    "asof_forward_first_event",
+    """
+    WITH dim AS (
+      SELECT user_id, ts AS ets, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+        FROM events) t WHERE rn = 1)
+    SELECT o.o_orderkey, d.event_id AS next_event_id
+    FROM orders o
+    ASOF LEFT JOIN dim d
+      ON o.o_custkey = d.user_id AND o.o_orderdate <= d.ets
+    """,
+)
+def asof_forward_first_event(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "user_id")
+    dim = _t(spark, sf_dir, "events").select("user_id", F.col("ts").alias("ets"), "event_id")
+    dim = W.dedup_latest(dim, ["user_id", "ets"], "event_id", desc=False)
+    out = asof_join(
+        o, dim, on="user_id", ts_col="o_orderdate", valid_col="ets",
+        direction="forward", strategy="broadcast",
+    )
+    return out.select("o_orderkey", F.col("event_id").alias("next_event_id"))
+
+
+@q(
+    "asof_union_strategy_equivalence",
+    f"""
+    WITH dim AS ({_ASOF_DIM_SQL})
+    SELECT e.event_id, d.o_orderkey, d.o_totalprice
+    FROM events e
+    ASOF LEFT JOIN dim d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+def asof_union_strategy_equivalence(spark, sf_dir):
+    """Same as-of semantics via the shuffle-based union strategy (B1 strat b)."""
+    e = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "o_custkey")
+    dim = _asof_dim(spark, sf_dir)
+    out = asof_join(
+        e, dim, on="o_custkey", ts_col="ts", valid_col="o_orderdate",
+        direction="backward", strategy="union",
+    )
+    return out.select("event_id", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# B12: equi joins, semi/anti
+# ---------------------------------------------------------------------------
+
+@q(
+    "join_customer_nation_region",
+    """
+    SELECT r.r_name, count(*) AS n_customers, round(avg(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_customer_nation_region(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@q(
+    "anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "semi_customers_with_1995_orders",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                    AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def semi_customers_with_1995_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# B13: range / interval join
+# ---------------------------------------------------------------------------
+
+@q(
+    "range_join_ship_window",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_lineitems
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def range_join_ship_window(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(o, cond).groupBy("o_orderpriority").agg(F.count("*").alias("n_lineitems"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14: set operations
+# ---------------------------------------------------------------------------
+
+@q(
+    "setops_partkeys",
+    """
+    SELECT partkey FROM (
+      SELECT l_partkey AS partkey FROM lineitem
+      EXCEPT
+      SELECT p_partkey AS partkey FROM part WHERE p_size > 25) t
+    """,
+)
+def setops_partkeys(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") > 25)
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+    return li.distinct().exceptAll(p.distinct())
+
+
+# ---------------------------------------------------------------------------
+# B10: rollup / cube
+# ---------------------------------------------------------------------------
+
+@q(
+    "rollup_lineitem_flags",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_flags(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@q(
+    "cube_order_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B19: scalar functions (string / date / JSON-ish extraction)
+# ---------------------------------------------------------------------------
+
+@q(
+    "scalar_props_extract",
+    r"""
+    SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_val,
+           date_trunc('day', ts) AS day,
+           upper(event_type) AS etype,
+           length(props) AS props_len
+    FROM events
+    """,
+)
+def scalar_props_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_val"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.upper("event_type").alias("etype"),
+        F.length("props").alias("props_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8: dense rank window
+# ---------------------------------------------------------------------------
+
+@q(
+    "rank_suppliers_by_balance",
+    """
+    SELECT s_suppkey, s_nationkey,
+           dense_rank() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+    FROM supplier
+    """,
+)
+def rank_suppliers_by_balance(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return s.select("s_suppkey", "s_nationkey", F.dense_rank().over(w).alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# B16: salted two-phase aggregation (== plain groupBy, by construction)
+# ---------------------------------------------------------------------------
+
+@q(
+    "salted_agg_lineitem",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_agg_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = W.salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": ("count", "l_orderkey"),
+            "sum_qty_raw": ("sum", "l_quantity"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_buckets=16,
+        salt_cols=("l_orderkey", "l_linenumber"),
+    )
+    return out.select(
+        "l_returnflag", "n",
+        F.round(F.col("sum_qty_raw"), 2).alias("sum_qty"), "max_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: exact dedup (hash-groupBy) over documents
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact_documents",
+    """
+    WITH ingested AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)
+    SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+    FROM ingested
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    ingested = d.unionByName(dup)
+    return (
+        ingested.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts / quality / language heuristic over documents
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@q(
+    "text_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                 / greatest(n_chars, 1), 4) AS punct_ratio,
+           round(len(list_filter(toks,
+                 x -> x IN ('the','a','of','and','to','in','is')))
+                 / greatest(len(toks), 1), 4) AS stop_ratio,
+           round(least(1.0, len(toks) / 100.0), 4) AS length_score
+    FROM t
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    stop = F.filter(
+        toks,
+        lambda x: x.isin("the", "a", "of", "and", "to", "in", "is"),
+    )
+    punct_removed = F.regexp_replace(F.col("text"), "[.,;:!?]", "")
+    return d.select(
+        "doc_id",
+        F.round(
+            (F.length("text") - F.length(punct_removed))
+            / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("punct_ratio"),
+        F.round(F.size(stop) / F.greatest(F.size(toks), F.lit(1)), 4).alias("stop_ratio"),
+        F.round(F.least(F.lit(1.0), F.size(toks) / F.lit(100.0)), 4).alias("length_score"),
+    )
+
+
+@q(
+    "text_lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(toks, x -> x IN ('the','and','of','a','to'))) >= 1
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM t
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    en = F.filter(toks, lambda x: x.isin("the", "and", "of", "a", "to"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(F.size(en) >= 1, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity between consecutive documents
+# ---------------------------------------------------------------------------
+
+@q(
+    "ngram_jaccard_neighbors",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1), 4)
+             AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_neighbors(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks",
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""),
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "CASE WHEN size(toks) < 3 THEN array()"
+                " ELSE transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END"
+            )
+        ).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("a.shingles", "b.shingles"))
+            / F.greatest(
+                F.size(F.array_union("a.shingles", "b.shingles")), F.lit(1)
+            ),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k over embeddings
+# ---------------------------------------------------------------------------
+
+@q(
+    "knn_cosine_topk",
+    """
+    WITH qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
+                FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qemb, CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM qv q JOIN embeddings e ON e.vec_id <> q.qid)
+    SELECT qid, vec_id, round(sim, 6) AS cos_sim, rk FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rk
+      FROM sims) t
+    WHERE rk <= 5
+    """,
+)
+def knn_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qemb", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sims = (
+        e.join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", (dot / (nrm("qemb") * nrm("embedding"))).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("qid", "vec_id", F.round("sim", 6).alias("cos_sim"), "rk")
+    )
+
+
+@q(
+    "embedding_norm_stats",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"), F.round(F.avg(nrm), 6).alias("avg_norm")
+    )
