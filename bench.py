@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also supports --scaling).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ..., ...}
+
+--scaling mode: re-exec this script at two parallelism levels (N=8, 4N=32
+cores) on the SAME input and write BENCH/BASELINE.md with both throughputs
+and the N->4N scaling efficiency (the sandbox's stand-in for the two
+cluster-size criterion — no real cluster here, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# workload multiplier: replicate transcripts MULT times (distinct conv_ids) so
+# kernel compute dominates fixed overheads — used by --scaling to make the
+# N vs 4N comparison measure compute scaling, not session setup
+MULT = int(os.environ.get("SPARK_GRAFT_BENCH_MULT", "1"))
+ENCODE_ONLY = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "") == "encode"
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame without collecting it to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from lyssandra_spark.operators.encode import sparse_code
+    from lyssandra_spark.operators.windows import dedup_latest, ffill, rolling, sessionize
+    from lyssandra_spark.plans import queries as Q
+    from lyssandra_spark.sources import synth
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # materialize transcripts once (generation excluded from encode timing)
+    t = synth.transcripts(spark, sf_dir)
+    if MULT > 1:
+        rep = spark.range(MULT).select(F.col("id").alias("__rep"))
+        t = t.crossJoin(F.broadcast(rep)).withColumn(
+            "conv_id", F.concat_ws("-", "conv_id", "__rep")
+        ).drop("__rep")
+    t = t.repartition(CPUS * 2).cache()
+    n_turns = t.count()
+    versions = synth.build_dict_versions(sf_dir, n_atoms=128)
+    tmin = t.select("conv_id", "turn_idx", "ts", "text")
+
+    timed("encode_batch_omp", lambda: _force(
+        sparse_code(tmin, versions, algo="bomp", k=5, drop_text=True)))
+    if ENCODE_ONLY:
+        encode_sec = timings["encode_batch_omp"]
+        t.unpersist()
+        return {
+            "metric": "sparse-coded turns/sec (Batch-OMP, point-in-time, zero leakage)",
+            "value": encode_sec, "unit": "sec", "queries": dict(timings),
+            "sf": sf_dir, "n_turns": n_turns, "cores": CPUS, "mult": MULT,
+            "turns_per_sec": round(n_turns / encode_sec, 1),
+        }
+    timed("encode_fista", lambda: _force(
+        sparse_code(tmin, versions, algo="fista", lam=0.1, fista_iter=100,
+                    fista_tol=1e-7, drop_text=True)))
+    timed("encode_llc", lambda: _force(
+        sparse_code(tmin, versions, algo="llc", knn=5, drop_text=True)))
+
+    timed("window_suite", lambda: _force(
+        rolling(
+            ffill(
+                sessionize(
+                    dedup_latest(t, ["conv_id", "turn_idx"], ["ts"]),
+                    1800, part="conv_id", ts_col="ts"),
+                "role", part="conv_id", order="turn_idx"),
+            "turn_idx", 5, part="conv_id", order="turn_idx")
+        .select("conv_id", "turn_idx", "session_id", "role", "avg_turn_idx_5")))
+
+    timed("asof_backward", lambda: _force(
+        Q.SPARK_QUERIES["asof_backward_latest_order"](spark, sf_dir)))
+    timed("agg_pricing", lambda: _force(
+        Q.SPARK_QUERIES["agg_pricing_summary"](spark, sf_dir)))
+    timed("knn_cosine", lambda: _force(
+        Q.SPARK_QUERIES["knn_cosine_topk"](spark, sf_dir)))
+
+    t.unpersist()
+    encode_sec = timings["encode_batch_omp"]
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "sparse-coded turns/sec (Batch-OMP, point-in-time, zero leakage)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_turns": n_turns,
+        "cores": CPUS,
+        "turns_per_sec": round(n_turns / encode_sec, 1) if encode_sec else None,
+    }
+
+
+def main():
+    from lyssandra_spark.session import get_spark
+
+    spark = get_spark(app="lyssandra-bench", cores=CPUS)
+    try:
+        result = run_bench(spark, SF_DIR)
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+    return result
+
+
+def scaling():
+    """Run the identical workload at N=8 and 4N=32 cores; write BENCH/BASELINE.md."""
+    results = {}
+    mult = os.environ.get("SPARK_GRAFT_BENCH_MULT", "24")
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_SF_DIR=SF_DIR,
+                   SPARK_GRAFT_BENCH_MULT=mult, SPARK_GRAFT_BENCH_ONLY="encode")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]['turns_per_sec']} turns/sec "
+              f"(encode {results[cores]['queries']['encode_batch_omp']}s)")
+    tp8 = results[8]["turns_per_sec"]
+    tp32 = results[32]["turns_per_sec"]
+    eff = (tp32 / tp8) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured two-parallelism scaling evidence
+
+No real cluster exists in this sandbox; the two-cluster-size criterion
+(N vs 4N executors, BASELINE.json) is evidenced by running the IDENTICAL
+workload (same input: {SF_DIR}) at two parallelism levels on one machine.
+
+| config | sparse-coded turns/sec (Batch-OMP) | encode wall sec | n_turns |
+| --- | --- | --- | --- |
+| local[8]  (N)  | {tp8} | {results[8]['queries']['encode_batch_omp']} | {results[8]['n_turns']} |
+| local[32] (4N) | {tp32} | {results[32]['queries']['encode_batch_omp']} | {results[32]['n_turns']} |
+
+**Scaling efficiency N->4N = (throughput_4N / throughput_N) / 4 = {eff:.3f}**
+(gate: >= 0.8)
+
+Full per-query timings (seconds):
+
+| query | local[8] | local[32] |
+| --- | --- | --- |
+""")
+        for qname in results[8]["queries"]:
+            f.write(f"| {qname} | {results[8]['queries'][qname]} | "
+                    f"{results[32]['queries'][qname]} |\n")
+        f.write(f"\nGenerated by `python bench.py --scaling`.\n")
+    print(f"scaling efficiency N->4N: {eff:.3f} -> BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

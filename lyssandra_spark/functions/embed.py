@@ -2,72 +2,134 @@
 
 The reference's front-end turns images into descriptors
 (``lyssa/feature_extract/`` — SIFT/patches); ours turns transcript turn
-text into fixed-dim float vectors. No external models: feature hashing of
-word unigrams + bigrams with a stable hash (crc32), signed, L2-normalized.
-dim defaults to 64 to match the ``embeddings`` testdata fixture.
+text into fixed-dim float vectors. No external models: signed feature
+hashing of character 4-grams (rolling FNV-style hash over the lowercased
+UTF-8 bytes), L2-normalized. dim defaults to 64 to match the
+``embeddings`` testdata fixture.
 
-Two entry points with IDENTICAL math:
+Fully vectorized: the whole Arrow batch is embedded as a handful of numpy
+passes over the raw concatenated string buffer — zero per-row (and zero
+per-token) Python. The hash is position-exact and salt-free, so the
+embedding is identical across workers, batch boundaries, and re-runs.
 
-- :func:`embed_texts` — numpy batch (the oracle; also the UDF body).
-- :func:`embed_udf` — scalar pandas_udf returning ``array<float>``
-  (vectorized Arrow path; no per-row Python crossing the JVM boundary).
+Entry points with IDENTICAL math:
+
+- :func:`embed_buffer` — core: (utf8 bytes, offsets) -> (n, dim) float64.
+- :func:`embed_texts`  — python-strings convenience (oracle path / tests).
+- :func:`embed_udf`    — scalar-iterator pandas_udf returning array<double>.
 """
 
 from __future__ import annotations
 
-import re
-import zlib
-
 import numpy as np
 import pandas as pd
 
-__all__ = ["embed_texts", "embed_udf", "EMBED_DIM"]
+__all__ = ["embed_buffer", "embed_texts", "embed_udf", "EMBED_DIM", "NGRAM"]
 
 EMBED_DIM = 64
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+NGRAM = 4
+_FNV = np.uint32(16777619)
 
 
-def _token_hashes(text: str) -> list[int]:
-    """Stable 32-bit hashes of unigram + bigram tokens of a lowercased text."""
-    toks = _TOKEN_RE.findall(text.lower()) if text else []
-    hs = [zlib.crc32(t.encode("utf-8")) for t in toks]
-    hs += [
-        zlib.crc32((toks[i] + " " + toks[i + 1]).encode("utf-8"))
-        for i in range(len(toks) - 1)
-    ]
-    return hs
+def rolling_hashes(data: np.ndarray, ngram: int = NGRAM) -> np.ndarray:
+    """FNV-style rolling hash of every `ngram`-byte window (uint32).
 
-
-def embed_texts(texts, dim: int = EMBED_DIM) -> np.ndarray:
-    """Embed an iterable of strings -> (n, dim) float64, rows L2-normalized.
-
-    Feature hashing: index = h % dim, sign = +1 if bit 31 of h else -1.
-    Empty/None text -> zero vector. Deterministic (crc32, no salt).
+    Shared with the document-fingerprinting operator: same hash, different
+    aggregation.
     """
-    texts = list(texts)
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    for i, t in enumerate(texts):
-        if t is None or (isinstance(t, float) and np.isnan(t)):
-            continue
-        hs = _token_hashes(str(t))
-        if not hs:
-            continue
-        h = np.asarray(hs, dtype=np.int64)
-        idx = (h % dim).astype(np.int64)
-        sign = np.where((h >> 31) & 1, 1.0, -1.0)
-        np.add.at(out[i], idx, sign)
-        nrm = np.linalg.norm(out[i])
-        if nrm > 1e-13:
-            out[i] /= nrm
+    nwin = len(data) - ngram + 1
+    if nwin <= 0:
+        return np.empty(0, dtype=np.uint32)
+    b = data.astype(np.uint32)
+    h = np.full(nwin, 2166136261, dtype=np.uint32)
+    for j in range(ngram):
+        h = (h * _FNV) ^ b[j : j + nwin]
+    return h
+
+
+def _lowercase_ascii(data: np.ndarray) -> np.ndarray:
+    out = data.copy()
+    mask = (out >= 65) & (out <= 90)
+    out[mask] += 32
     return out
 
 
-def embed_udf(dim: int = EMBED_DIM):
-    """Return a scalar-iterator pandas_udf: string -> array<double>(dim).
+def embed_buffer(
+    data: np.ndarray, offsets: np.ndarray, dim: int = EMBED_DIM, ngram: int = NGRAM
+) -> np.ndarray:
+    """Embed n strings stored as one concatenated utf-8 buffer.
 
-    Iterator form so per-worker setup (none needed here, but the dictionary
-    cache in encode.py uses the same pattern) is paid once per task.
+    Args:
+        data: uint8 array, the concatenated string bytes.
+        offsets: int array of length n+1; string i is data[offsets[i]:offsets[i+1]].
+
+    Feature hashing: for every character `ngram` window fully inside one
+    string, bucket = h % dim, sign = +1 if bit31(h) else -1; rows are
+    L2-normalized (empty/too-short strings stay zero vectors).
     """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    out = np.zeros((n, dim), dtype=np.float64)
+    if n == 0 or len(data) < ngram:
+        return out
+    b = _lowercase_ascii(np.asarray(data, dtype=np.uint8))
+    h = rolling_hashes(b, ngram)
+    nwin = len(h)
+    # per-byte string id is a step function of position -> windows that
+    # cross a string boundary are exactly those whose first and last byte
+    # disagree; no searchsorted, no gathers
+    byte_tid = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    tid = byte_tid[:nwin]
+    valid = tid == byte_tid[ngram - 1 : ngram - 1 + nwin]
+    idx = (h % np.uint32(dim)).astype(np.int64)
+    sign = 1.0 - 2.0 * ((h >> np.uint32(31)) & np.uint32(1)).astype(np.float64)
+    acc = np.bincount(tid * dim + idx, weights=sign * valid, minlength=n * dim)
+    out = acc.reshape(n, dim)
+    nrm = np.linalg.norm(out, axis=1)
+    nz = nrm > 1e-13
+    out[nz] /= nrm[nz, None]
+    return out
+
+
+def embed_texts(texts, dim: int = EMBED_DIM, ngram: int = NGRAM) -> np.ndarray:
+    """Embed an iterable of python strings -> (n, dim) float64 (oracle path)."""
+    parts = []
+    lens = []
+    for t in texts:
+        if t is None or (isinstance(t, float) and np.isnan(t)):
+            e = b""
+        else:
+            e = str(t).encode("utf-8")
+        parts.append(e)
+        lens.append(len(e))
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    data = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    return embed_buffer(data, offsets, dim=dim, ngram=ngram)
+
+
+def arrow_string_buffer(arr) -> tuple[np.ndarray, np.ndarray] | None:
+    """Zero-copy (data, offsets) view of a pyarrow string array, or None.
+
+    Nulls are treated as empty strings (their offset range is empty or
+    ignored via the offsets themselves).
+    """
+    import pyarrow as pa
+
+    if not pa.types.is_string(arr.type):
+        return None
+    if arr.null_count:
+        return None  # caller falls back to the python-strings path
+    bufs = arr.buffers()
+    if bufs[1] is None or bufs[2] is None:
+        return None
+    off = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, off.astype(np.int64)
+
+
+def embed_udf(dim: int = EMBED_DIM):
+    """Return a scalar-iterator pandas_udf: string -> array<double>(dim)."""
     from typing import Iterator
 
     from pyspark.sql import functions as F

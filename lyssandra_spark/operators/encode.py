@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from lyssandra_spark.functions import kernels as K
-from lyssandra_spark.functions.embed import embed_texts
+from lyssandra_spark.functions.embed import arrow_string_buffer, embed_buffer, embed_texts
 from lyssandra_spark.sources.synth import DictVersion
 
 __all__ = ["sparse_code", "encode_block"]
@@ -49,6 +49,8 @@ def encode_block(
     knn: int = 5,
     embed_dim: int = 64,
     precomputed_X: np.ndarray | None = None,
+    fista_iter: int = 500,
+    fista_tol: float = 1e-10,
 ) -> dict[str, np.ndarray]:
     """Encode one batch of turns. Pure numpy — usable with or without Spark.
 
@@ -62,9 +64,8 @@ def encode_block(
 
     ver_out = np.full(n, -1, dtype=np.int32)
     err = np.zeros(n, dtype=np.float64)
-    nnz = np.zeros(n, dtype=np.int32)
-    idx_parts: list[np.ndarray] = [np.empty(0, np.int32)] * n
-    val_parts: list[np.ndarray] = [np.empty(0, np.float64)] * n
+    n_atoms = versions[0].D.shape[1] if versions else 0
+    Zfull = np.zeros((n, n_atoms), dtype=np.float64)  # sample-major for CSR pass
 
     for vi in np.unique(vidx):
         rows = np.nonzero(vidx == vi)[0]
@@ -77,28 +78,26 @@ def encode_block(
         elif algo == "omp":
             Z = K.omp(v.D, Xb, k=k)
         elif algo == "fista":
-            Z = K.fista_lasso(v.D, Xb, lam=lam)
+            Z = K.fista_lasso(v.D, Xb, lam=lam, n_iter=fista_iter, tol=fista_tol)
         elif algo == "llc":
             Z = K.llc(v.D, Xb, knn=knn)
         else:
             raise ValueError(f"unknown algo {algo!r}")
-        e = K.recon_error(v.D, Xb, Z)
         ver_out[rows] = v.version
-        err[rows] = e
-        for local, r in enumerate(rows):
-            nz = np.nonzero(np.abs(Z[:, local]) > 1e-12)[0]
-            idx_parts[r] = nz.astype(np.int32)
-            val_parts[r] = Z[nz, local]
-            nnz[r] = len(nz)
+        err[rows] = K.recon_error(v.D, Xb, Z)
+        Zfull[rows, :] = Z.T
 
-    lengths = np.asarray([len(p) for p in idx_parts], dtype=np.int32)
+    # vectorized CSR extraction: np.nonzero on the sample-major matrix yields
+    # (sample, atom) pairs sorted by sample then ascending atom index
+    nz_s, nz_a = np.nonzero(np.abs(Zfull) > 1e-12)
+    nnz = np.bincount(nz_s, minlength=n).astype(np.int32)
     offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(lengths, out=offsets[1:])
+    np.cumsum(nnz, out=offsets[1:])
     return {
         "dict_version": ver_out,
         "offsets": offsets,
-        "code_idx": np.concatenate(idx_parts) if n else np.empty(0, np.int32),
-        "code_val": np.concatenate(val_parts) if n else np.empty(0, np.float64),
+        "code_idx": nz_a.astype(np.int32),
+        "code_val": Zfull[nz_s, nz_a],
         "recon_err": err,
         "nnz": nnz,
     }
@@ -123,18 +122,31 @@ def sparse_code(
     text_col: str = "text",
     ts_col: str = "ts",
     embed_dim: int = 64,
+    fista_iter: int = 500,
+    fista_tol: float = 1e-10,
+    drop_text: bool = False,
 ) -> DataFrame:
     """Append point-in-time sparse-code feature columns to a transcript DataFrame.
 
     Input: any DataFrame with ``text_col`` (string) and ``ts_col`` (timestamp).
     Output: input columns + (dict_version, code_idx, code_val, recon_err, nnz).
+
+    ``drop_text=True`` omits the text column from the OUTPUT batches: the
+    text is consumed as input but never serialized back Python->JVM. At
+    10^12 turns the payload round-trip dominates the Arrow crossing cost
+    (~500 B text vs ~80 B codes per turn) — callers that don't need the
+    text downstream should always set this.
     """
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(versions)
     in_schema = df.schema
-    out_schema = T.StructType(list(in_schema.fields) + _OUT_FIELDS)
     text_pos = in_schema.fieldNames().index(text_col)
     ts_pos = in_schema.fieldNames().index(ts_col)
+    out_fields = [
+        f for i, f in enumerate(in_schema.fields)
+        if not (drop_text and i == text_pos)
+    ] + _OUT_FIELDS
+    out_schema = T.StructType(out_fields)
 
     def encode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         vers = bc.value
@@ -142,13 +154,29 @@ def sparse_code(
             n = batch.num_rows
             if n == 0:
                 continue
-            texts = batch.column(text_pos).to_pylist()
+            tarr = batch.column(text_pos)
             ts_us = batch.column(ts_pos).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            # zero-copy embed straight from the Arrow string buffers (no
+            # per-row Python objects); falls back to python strings only
+            # for null-bearing or non-string columns
+            buf = arrow_string_buffer(tarr)
+            if buf is not None:
+                X = embed_buffer(buf[0], buf[1], dim=embed_dim).T
+                texts = None
+            else:
+                X = None
+                texts = tarr.to_pylist()
             r = encode_block(
-                texts, ts_us, vers, algo=algo, k=k, lam=lam, knn=knn, embed_dim=embed_dim
+                texts, ts_us, vers, algo=algo, k=k, lam=lam, knn=knn,
+                embed_dim=embed_dim, fista_iter=fista_iter, fista_tol=fista_tol,
+                precomputed_X=X,
             )
             off = pa.array(r["offsets"], type=pa.int32())
-            arrays = list(batch.columns) + [
+            keep = [
+                c for i, c in enumerate(batch.columns)
+                if not (drop_text and i == text_pos)
+            ]
+            arrays = keep + [
                 pa.array(r["dict_version"], type=pa.int32()),
                 pa.ListArray.from_arrays(off, pa.array(r["code_idx"], type=pa.int32())),
                 pa.ListArray.from_arrays(off, pa.array(r["code_val"], type=pa.float64())),

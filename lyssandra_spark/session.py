@@ -20,6 +20,12 @@ def get_spark(
     - UTC session timezone (timestamps are logical clocks, never local time)
     - shuffle partitions sized to cores (not the 200 default)
     """
+    # CRITICAL in local mode: Python workers inherit the DRIVER env (the
+    # spark.executorEnv.* settings below only apply on a real cluster).
+    # Without this, every worker's OpenBLAS spawns <ncores> threads ->
+    # n_workers * ncores runnable threads and catastrophic oversubscription.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = f"local[{cores}]"
     shuffle = shuffle_partitions or max(int(cores) * 2, 8)
