@@ -78,12 +78,12 @@ def embed_buffer(
     # per-byte string id is a step function of position -> windows that
     # cross a string boundary are exactly those whose first and last byte
     # disagree; no searchsorted, no gathers
-    byte_tid = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    byte_tid = np.repeat(np.arange(n, dtype=np.int32), np.diff(offsets))
     tid = byte_tid[:nwin]
     valid = tid == byte_tid[ngram - 1 : ngram - 1 + nwin]
-    idx = (h % np.uint32(dim)).astype(np.int64)
+    idx = (h % np.uint32(dim)).astype(np.int32)
     sign = 1.0 - 2.0 * ((h >> np.uint32(31)) & np.uint32(1)).astype(np.float64)
-    acc = np.bincount(tid * dim + idx, weights=sign * valid, minlength=n * dim)
+    acc = np.bincount(tid * np.int32(dim) + idx, weights=sign * valid, minlength=n * dim)
     out = acc.reshape(n, dim)
     nrm = np.linalg.norm(out, axis=1)
     nz = nrm > 1e-13

@@ -197,7 +197,6 @@ def _batch_omp_block(
     n = X.shape[1]
 
     alpha0 = D.T @ X                       # (m, n)
-    alpha = alpha0.copy()
     xnorm2 = np.einsum("ij,ij->j", X, X)   # ||x||^2, computed ONCE
     eps = xnorm2.copy()                    # residual energy ||r||^2
     tol2 = tol * tol
@@ -215,7 +214,13 @@ def _batch_omp_block(
     for t in range(k):
         if not active.any():
             break
-        np.abs(alpha, out=absbuf)
+        if t == 0:
+            np.abs(alpha0, out=absbuf)
+        else:
+            # |alpha| = |alpha0 - G Zsp| without materializing alpha: one
+            # fused pass over two arrays instead of three
+            np.subtract(alpha0, gemmbuf, out=absbuf)
+            np.abs(absbuf, out=absbuf)
         if t > 0:
             # mask already-selected atoms (lowest-index argmax tie-break)
             absbuf[support[:t, :], cols] = -1.0
@@ -255,8 +260,8 @@ def _batch_omp_block(
         if t > 0:
             Zsp[support[:t, act], act] = 0.0
         Zsp[support[: t + 1, act], act] = zI[act, : t + 1].T
-        np.matmul(G, Zsp, out=gemmbuf)
-        np.subtract(alpha0, gemmbuf, out=alpha)
+        if t + 1 < k:  # last iteration never selects again: skip the GEMM
+            np.matmul(G, Zsp, out=gemmbuf)
         # residual energy: eps = ||x||^2 - z_I . alpha0_I
         aI_full = np.take_along_axis(alpha0[:, act], support[: t + 1, act], axis=0)
         eps[act] = np.maximum(
