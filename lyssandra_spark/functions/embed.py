@@ -70,9 +70,15 @@ def embed_buffer(
     offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     out = np.zeros((n, dim), dtype=np.float64)
-    if n == 0 or len(data) < ngram:
+    if n == 0:
         return out
-    b = _lowercase_ascii(np.asarray(data, dtype=np.uint8))
+    # normalize sliced-array views: offsets may not start at 0 and the data
+    # buffer may be shared beyond offsets[-1]
+    data = np.asarray(data, dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    if len(data) < ngram:
+        return out
+    b = _lowercase_ascii(data)
     h = rolling_hashes(b, ngram)
     nwin = len(h)
     # per-byte string id is a step function of position -> windows that
