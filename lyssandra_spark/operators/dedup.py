@@ -1,0 +1,331 @@
+"""Near-duplicate detection operators over document/transcript text.
+
+Training-data-pipeline staples, each Spark-first:
+
+- :func:`exact_dedup` — hash-groupBy (one shuffle on the text hash).
+- :func:`minhash_lsh_pairs` — shingle -> minhash -> band -> bucket-join:
+  the scale path. Signatures are computed in one vectorized mapInArrow
+  pass (numpy, no per-row Python); candidate generation is an explode on
+  (band, band_hash) + self-join INSIDE buckets only — at 10^12 docs the
+  shuffle is on (band, hash) keys, never an all-pairs cross join.
+- :func:`simhash` — 64-bit simhash from the same rolling-hash features;
+  near-dups differ in few bits (Hamming); column output so downstream
+  grouping on prefixes is plain Spark.
+- :func:`embedding_neardup_pairs` — cosine near-dup over an embedding
+  column via LSH on random hyperplanes (sign sketch), bucket-join, then
+  exact cosine verification of candidates.
+
+Exact Jaccard / cosine verification of the candidates happens in-plan
+(array_intersect / zip_with aggregates — JVM-side), so the LSH stage only
+has to be high-recall, not exact.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lyssandra_spark.functions.embed import arrow_string_buffer, rolling_hashes
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_neardup_pairs",
+    "shingle_set",
+]
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", keys=("doc_id",)) -> DataFrame:
+    """Keep one row per exact text (lowest key wins); adds n_copies."""
+    keys = list(keys)
+    h = F.md5(F.col(text_col))
+    w = (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(
+            F.min(F.struct(*keys)).alias("__keep"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    out = w.select(*[F.col(f"__keep.{k}").alias(k) for k in keys], "n_copies")
+    return df.join(out, keys, "inner")
+
+
+def _minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def _sig_block(texts_buf, n_perm: int, ngram_bytes: int, seed: int) -> np.ndarray:
+    """(n, n_perm) uint64 minhash signatures from a (data, offsets) buffer."""
+    data, offsets = texts_buf
+    n = len(offsets) - 1
+    a, b = _minhash_params(n_perm, seed)
+    out = np.full((n, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    data = np.asarray(data, dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offsets = np.asarray(offsets, dtype=np.int64) - offsets[0]
+    if len(data) < ngram_bytes:
+        return out
+    # char-ngram shingle hashes (same rolling hash as the embedder)
+    low = data.copy()
+    mask = (low >= 65) & (low <= 90)
+    low[mask] += 32
+    h = rolling_hashes(low, ngram_bytes).astype(np.uint64)
+    nwin = len(h)
+    byte_tid = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    tid = byte_tid[:nwin]
+    valid = tid == byte_tid[ngram_bytes - 1 : ngram_bytes - 1 + nwin]
+    h = h[valid]
+    tid = tid[valid]
+    if len(h) == 0:
+        return out
+    # h_i(x) = (a_i * x + b_i) mod M  (uint64 wraparound then mod Mersenne)
+    for i in range(n_perm):
+        hv = (a[i] * h + b[i]) % _MERSENNE
+        np.minimum.at(out[:, i], tid, hv)
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 32,
+    ngram_bytes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Append `sig: array<long>` minhash signatures (vectorized mapInArrow)."""
+    in_names = df.select(id_col, text_col).schema.fieldNames()
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("sig", T.ArrayType(T.LongType()), False)]
+    )
+    src = df.select(id_col, text_col)
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            tarr = batch.column(1)
+            buf = arrow_string_buffer(tarr)
+            if buf is None:
+                texts = ["" if t is None else t for t in tarr.to_pylist()]
+                enc = [t.encode() for t in texts]
+                off = np.zeros(len(enc) + 1, np.int64)
+                np.cumsum([len(e) for e in enc], out=off[1:])
+                buf = (np.frombuffer(b"".join(enc), np.uint8), off)
+            sig = _sig_block(buf, n_perm, ngram_bytes, seed).astype(np.int64)
+            offs = pa.array(
+                np.arange(0, (batch.num_rows + 1) * n_perm, n_perm, dtype=np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.ListArray.from_arrays(offs, pa.array(sig.ravel(), pa.int64())),
+                ],
+                names=[id_col, "sig"],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 32,
+    bands: int = 8,
+    ngram_bytes: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH + exact-Jaccard-on-
+    signature verification.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard >= threshold (est = fraction of agreeing minhashes, an
+    unbiased Jaccard estimator).
+    """
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_perm, ngram_bytes, seed)
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, xxhash64(to_json(struct(slice(sig, b*{rows_per_band}+1, {rows_per_band})))) AS bh))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(n_perm)
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def shingle_set(text_col: str = "text", n: int = 3):
+    """Column expr: distinct word n-gram shingles of a text column."""
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')) - {n}), "
+            f"i -> concat_ws(' ', slice(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != ''), i + 1, {n}))) END"
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    ngram_bytes: int = 4,
+) -> DataFrame:
+    """64-bit SimHash per document from rolling-hash char-ngram features.
+
+    Vectorized mapInArrow; output (id, simhash:long). Hamming-close
+    simhashes => near-duplicate texts.
+    """
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("simhash", T.LongType(), False)]
+    )
+    src = df.select(id_col, text_col)
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            tarr = batch.column(1)
+            buf = arrow_string_buffer(tarr)
+            if buf is None:
+                texts = ["" if t is None else t for t in tarr.to_pylist()]
+                enc = [t.encode() for t in texts]
+                off = np.zeros(len(enc) + 1, np.int64)
+                np.cumsum([len(e) for e in enc], out=off[1:])
+                buf = (np.frombuffer(b"".join(enc), np.uint8), off)
+            data, offsets = buf
+            n = batch.num_rows
+            data = np.asarray(data, np.uint8)[offsets[0] : offsets[-1]]
+            offsets = np.asarray(offsets, np.int64) - offsets[0]
+            acc = np.zeros((n, 64), dtype=np.int64)
+            if len(data) >= ngram_bytes:
+                low = data.copy()
+                mask = (low >= 65) & (low <= 90)
+                low[mask] += 32
+                h32 = rolling_hashes(low, ngram_bytes)
+                # widen to 64 bits deterministically
+                h64 = (
+                    h32.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ) ^ (h32.astype(np.uint64) << np.uint64(32))
+                nwin = len(h64)
+                byte_tid = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+                tid = byte_tid[:nwin]
+                valid = tid == byte_tid[ngram_bytes - 1 : ngram_bytes - 1 + nwin]
+                h64 = h64[valid]
+                tid = tid[valid]
+                bits = (
+                    (h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.int64) * 2 - 1
+                np.add.at(acc, tid, bits)
+            sh = (acc > 0).astype(np.uint64)
+            val = np.zeros(n, dtype=np.uint64)
+            for bit in range(64):
+                val |= sh[:, bit] << np.uint64(bit)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(val.view(np.int64), pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    min_cosine: float = 0.9,
+    seed: int = 11,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH + exact verification.
+
+    Bucket key = sign sketch of `n_planes` random projections; only
+    same-bucket pairs are compared exactly. Recall is probabilistic
+    (P[same bucket] = (1 - theta/pi)^n_planes); callers needing higher
+    recall stack multiple plane-sets (seed sweep).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    e = df.select(
+        F.col(id_col), F.col(emb_col).cast("array<double>").alias("emb")
+    )
+    # bucket = integer of sign bits of the random projections (Column API)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(F.array(*[F.lit(float(v)) for v in planes[p]]), F.col("emb"),
+                       lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket * 2 + F.when(dot > 0, 1).otherwise(0)
+    e = e.withColumn("bucket", bucket)
+    a = e.alias("a")
+    b = e.alias("b")
+    dotp = F.aggregate(
+        F.zip_with("a.emb", "b.emb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.emb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dotp / (nrm("a") * nrm("b"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

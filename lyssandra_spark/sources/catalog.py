@@ -1,0 +1,138 @@
+"""Table-format catalog adapter (SURVEY.md §2.B B17/B18, §7.7).
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg runtime
+jar (verified: none of the 287 bundled jars is iceberg/delta/hudi, and
+there is no network to fetch one — SURVEY.md §0). The adapter therefore
+exposes the Iceberg-shaped interface the engine codes against and backs it
+with partitioned parquet directories in-sandbox:
+
+- `write(df, name, partition_by=...)` — hidden-partitioning analogue:
+  partition columns are DERIVED (e.g. ts_day = days(ts)) and dropped on
+  read, like Iceberg transforms; `days(ts)` + `bucket(conv_id)` is the
+  layout the 10^12-turn design calls for.
+- `read(name)` — reads back with derived columns reattached/dropped.
+- snapshot semantics: every write lands in a new `snap=<n>` subdirectory
+  with a tiny JSON manifest; `read(name, as_of=<n>)` time-travels — the
+  mechanism dictionary-version history and resume rely on.
+
+On a real cluster, the same interface maps 1:1 to
+``df.writeTo(name).partitionedBy(days(ts), bucket(N, conv_id))`` and
+``spark.read.option("snapshot-id", ...).table(name)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["ParquetCatalog"]
+
+
+class ParquetCatalog:
+    """Parquet-dir catalog with Iceberg-shaped snapshot/partition semantics."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- internals ---------------------------------------------------------
+
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "manifest.json")
+
+    def _manifest(self, name: str) -> dict:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return {"snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    # -- public API --------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "append",
+        partition_by: dict[str, str] | None = None,
+    ) -> int:
+        """Write df as a new snapshot; returns the snapshot id.
+
+        partition_by maps derived-column name -> SQL expression over df
+        (Iceberg hidden-partitioning analogue), e.g.
+        ``{"ts_day": "date_trunc('day', ts)", "conv_bucket": "pmod(hash(conv_id), 16)"}``.
+        """
+        man = self._manifest(name)
+        snap_id = (man["snapshots"][-1]["id"] + 1) if man["snapshots"] else 1
+        snap_dir = os.path.join(self._tdir(name), f"snap={snap_id}")
+        out = df
+        pcols = list((partition_by or {}).keys())
+        for col, expr in (partition_by or {}).items():
+            out = out.withColumn(col, F.expr(expr))
+        w = out.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(snap_dir)
+        man["snapshots"].append(
+            {
+                "id": snap_id,
+                "mode": mode,
+                "partition_by": partition_by or {},
+                "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema],
+                "wall": time.time(),
+            }
+        )
+        os.makedirs(self._tdir(name), exist_ok=True)
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path(name))
+        return snap_id
+
+    def read(self, name: str, as_of: int | None = None,
+             keep_partition_cols: bool = False) -> DataFrame:
+        """Read a snapshot (latest by default; `as_of` time-travels).
+
+        `mode="append"` snapshots are cumulative: reading snapshot s unions
+        snapshots 1..s whose mode is append (an overwrite resets the chain).
+        """
+        man = self._manifest(name)
+        if not man["snapshots"]:
+            raise FileNotFoundError(f"no snapshots for table {name!r}")
+        snaps = man["snapshots"]
+        if as_of is not None:
+            snaps = [s for s in snaps if s["id"] <= as_of]
+            if not snaps:
+                raise FileNotFoundError(f"no snapshot <= {as_of} for {name!r}")
+        # find last overwrite boundary
+        start = 0
+        for i, s in enumerate(snaps):
+            if s["mode"] == "overwrite":
+                start = i
+        dirs = [
+            os.path.join(self._tdir(name), f"snap={s['id']}") for s in snaps[start:]
+        ]
+        df = self.spark.read.parquet(*dirs)
+        pcols = set()
+        for s in snaps[start:]:
+            pcols |= set(s["partition_by"].keys())
+        if not keep_partition_cols:
+            df = df.drop(*pcols)
+        return df
+
+    def snapshots(self, name: str) -> list[dict]:
+        return self._manifest(name)["snapshots"]
+
+    def tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.exists(self._manifest_path(d))
+        )

@@ -1,0 +1,72 @@
+"""Similarity search: brute-force correctness vs numpy, LSH/IVF recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.toPandas().sort_values("vec_id")
+    return (
+        pdf["vec_id"].to_numpy(),
+        np.asarray(pdf["embedding"].tolist(), dtype=np.float64),
+    )
+
+
+def _numpy_topk(ids, X, qids, k=5):
+    nrm = np.linalg.norm(X, axis=1)
+    out = {}
+    for qi in qids:
+        q = X[ids == qi][0]
+        sims = X @ q / (nrm * np.linalg.norm(q) + 1e-300)
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        out[qi] = [ids[i] for i in order if ids[i] != qi][:k]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, emb, emb_np):
+    ids, X = emb_np
+    q = emb.where(F.col("vec_id") < 8)
+    got = S.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    expect = _numpy_topk(ids, X, [i for i in ids if i < 8], k=5)
+    for qid, grp in got.groupby("qid"):
+        assert grp.sort_values("rk")["vec_id"].tolist() == expect[qid]
+
+
+def test_lsh_recall(spark, emb, emb_np):
+    ids, X = emb_np
+    q = emb.where(F.col("vec_id") < 20)
+    exact = _numpy_topk(ids, X, [i for i in ids if i < 20], k=5)
+    # fixture neighbors are weak (mean top-5 cosine ~0.32 -> theta ~71deg):
+    # hyperplane collision prob (1-theta/pi)^planes => 4 planes x 12 tables
+    # gives ~0.8 estimated recall on this geometry
+    got = S.cosine_topk_lsh(emb, q, k=5, n_planes=4, n_tables=12).toPandas()
+    hits = tot = 0
+    for qid, true_nn in exact.items():
+        found = set(got[got.qid == qid]["vec_id"])
+        hits += len(found & set(true_nn))
+        tot += len(true_nn)
+    recall = hits / tot
+    assert recall > 0.5, f"LSH recall@5 too low: {recall}"
+
+
+def test_ivf_recall(spark, emb, emb_np):
+    ids, X = emb_np
+    q = emb.where(F.col("vec_id") < 20)
+    exact = _numpy_topk(ids, X, [i for i in ids if i < 20], k=5)
+    got = S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=4).toPandas()
+    hits = tot = 0
+    for qid, true_nn in exact.items():
+        found = set(got[got.qid == qid]["vec_id"])
+        hits += len(found & set(true_nn))
+        tot += len(true_nn)
+    recall = hits / tot
+    assert recall > 0.5, f"IVF recall@5 too low: {recall}"
