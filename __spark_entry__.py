@@ -73,6 +73,69 @@ def _leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over documents + planted near-dups."""
+    from lyssandra_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    near = (
+        d.where(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail tweak")))
+    )
+    return minhash_lsh_pairs(
+        d.unionByName(near), n_perm=64, bands=16, threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lyssandra_spark.operators.dedup import simhash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return simhash(d)
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k (approximate; rows-only — recall gate lives in tests)."""
+    from lyssandra_spark.operators.similarity import cosine_topk_lsh
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_lsh(e, e.where(F.col("vec_id") < 10), k=5,
+                           n_planes=4, n_tables=12)
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lyssandra_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=4)
+
+
+def _dict_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch distributed dictionary learning; per-epoch metrics."""
+    import tempfile
+
+    from lyssandra_spark.operators.learn import DictLearner
+    from lyssandra_spark.sources import synth
+
+    t = synth.transcripts(spark, sf_dir).orderBy("conv_id", "turn_idx").limit(2000)
+    with tempfile.TemporaryDirectory() as d:
+        _, hist = DictLearner(n_atoms=64, k=5, n_epochs=2).fit(t, d)
+    return spark.createDataFrame(
+        [(h["epoch"], h["rmse"], h["n_rows"], h["avg_nnz"]) for h in hist],
+        "epoch int, rmse double, n_rows long, avg_nnz double",
+    )
+
+
+def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lyssandra_spark.functions.multimodal import (
+        attach_fake_media, decode_image_features,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_image_features(attach_fake_media(d), fake=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(Q.SPARK_QUERIES)
@@ -82,6 +145,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["encode_llc"] = _encode_summary("llc", knn=5)
     out["flagship_session_features"] = lambda spark, sf_dir: flagship(spark, sf_dir)
     out["leakage_audit"] = _leakage_audit
+    # training-data-pipeline ops (rows-only; quality gates live in tests/)
+    out["dedup_minhash_lsh"] = _minhash_lsh
+    out["simhash_documents"] = _simhash_docs
+    out["ann_lsh_topk"] = _ann_lsh
+    out["ann_ivf_topk"] = _ann_ivf
+    out["dictionary_learning"] = _dict_learn
+    out["multimodal_decode"] = _multimodal
     return out
 
 

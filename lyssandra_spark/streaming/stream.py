@@ -1,0 +1,74 @@
+"""Structured Streaming surface (SURVEY.md §2.B B21 — stretch scope).
+
+The encode kernels are state-free per turn (fixed dictionary history), so
+the SAME `sparse_code` operator lifts to a streaming DataFrame unchanged —
+mapInArrow is supported on streams. Windowed/sessionized aggregations use
+the built-in `window`/`session_window` with watermarks for late turns.
+
+Batch == stream parity is the test: running the stream with
+`Trigger.AvailableNow` over the same parquet input must produce exactly
+the batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.encode import sparse_code
+from lyssandra_spark.sources.synth import DictVersion
+
+__all__ = ["read_transcript_stream", "encode_stream", "session_agg_stream",
+           "tumbling_agg_stream"]
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, schema, max_files: int = 4
+) -> DataFrame:
+    """File-source stream over a transcript parquet directory."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def encode_stream(sdf: DataFrame, versions: list[DictVersion], **kw) -> DataFrame:
+    """Point-in-time sparse coding on a stream — identical operator as batch."""
+    return sparse_code(sdf, versions, **kw)
+
+
+def session_agg_stream(
+    sdf: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-conversation session aggregates via session_window + watermark."""
+    # watermarks need tz-aware TIMESTAMP (parquet NTZ is cast; session tz UTC)
+    sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_turns", "first_turn", "last_turn",
+        )
+    )
+
+
+def tumbling_agg_stream(
+    sdf: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window turn counts with late-data watermark."""
+    sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("role"))
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("w.start").alias("win_start"), "role", "n_turns")
+    )

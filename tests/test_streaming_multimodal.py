@@ -1,0 +1,101 @@
+"""Streaming (batch==stream parity) and multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.functions.multimodal import attach_fake_media, decode_image_features
+from lyssandra_spark.sources import synth
+from lyssandra_spark.streaming import stream as ST
+
+
+@pytest.fixture(scope="module")
+def tpath(spark, sf_dir, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    synth.transcripts(spark, sf_dir).limit(2000).coalesce(4).write.parquet(p)
+    return p
+
+
+def _run_stream(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if sdf.isStreaming and _has_agg(sdf) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _has_agg(sdf):
+    return "Aggregate" in sdf._jdf.queryExecution().analyzed().toString()
+
+
+def test_streaming_encode_matches_batch(spark, tpath):
+    batch_df = spark.read.parquet(tpath)
+    versions = synth.build_dict_versions("/root/testdata/sf0.001", n_atoms=128)
+    sdf = ST.read_transcript_stream(spark, tpath, batch_df.schema)
+    coded_stream = ST.encode_stream(
+        sdf.select("conv_id", "turn_idx", "ts", "text"), versions, algo="bomp", k=5,
+        drop_text=True,
+    )
+    got = _run_stream(spark, coded_stream, "enc_stream").toPandas()
+    from lyssandra_spark.operators.encode import sparse_code
+
+    exp = sparse_code(
+        batch_df.select("conv_id", "turn_idx", "ts", "text"), versions,
+        algo="bomp", k=5, drop_text=True,
+    ).toPandas()
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["dict_version"] == exp["dict_version"]).all()
+    assert np.allclose(got["recon_err"], exp["recon_err"], rtol=1e-9)
+    for i in range(0, len(got), 97):
+        assert np.array_equal(
+            np.asarray(got["code_idx"][i]), np.asarray(exp["code_idx"][i])
+        )
+
+
+def test_streaming_session_agg_matches_batch(spark, tpath):
+    batch_df = spark.read.parquet(tpath)
+    sdf = ST.read_transcript_stream(spark, tpath, batch_df.schema)
+    got = _run_stream(spark, ST.session_agg_stream(sdf), "sess_stream").toPandas()
+    # batch oracle: same session_window aggregation, batch mode
+    exp = (
+        batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select("conv_id", F.col("sw.start").alias("session_start"),
+                F.col("n_turns"))
+        .toPandas()
+    )
+    g = got[["conv_id", "session_start", "n_turns"]].sort_values(
+        ["conv_id", "session_start"]).reset_index(drop=True)
+    e = exp.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_multimodal_fake_decode(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    media = attach_fake_media(docs)
+    feats = decode_image_features(media, fake=True).toPandas()
+    assert len(feats) == 200
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["feature"].map(len).eq(8).all()
+    # deterministic across partitionings
+    feats2 = decode_image_features(
+        attach_fake_media(docs).repartition(7), fake=True
+    ).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    media = attach_fake_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        decode_image_features(media, fake=False).collect()
