@@ -21,6 +21,8 @@ Entry points with IDENTICAL math:
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 
@@ -134,10 +136,48 @@ def arrow_string_buffer(arr) -> tuple[np.ndarray, np.ndarray] | None:
     return data, off.astype(np.int64)
 
 
+def embed_column(df, text_col: str = "text", out_col: str = "embedding",
+                 dim: int = EMBED_DIM, drop_text: bool = False):
+    """Heavy-path standalone embedder: one mapInArrow crossing, zero-copy
+    string-buffer input, columnar list output (no pandas object series)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    in_schema = df.schema
+    text_pos = in_schema.fieldNames().index(text_col)
+    out_fields = [
+        f for i, f in enumerate(in_schema.fields)
+        if not (drop_text and i == text_pos)
+    ] + [T.StructField(out_col, T.ArrayType(T.DoubleType()), False)]
+    out_schema = T.StructType(out_fields)
+
+    def gen(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            tarr = batch.column(text_pos)
+            buf = arrow_string_buffer(tarr)
+            if buf is not None:
+                X = embed_buffer(buf[0], buf[1], dim=dim)
+            else:
+                X = embed_texts(tarr.to_pylist(), dim=dim)
+            off = pa.array(
+                np.arange(0, (batch.num_rows + 1) * dim, dim, dtype=np.int32)
+            )
+            keep = [
+                c for i, c in enumerate(batch.columns)
+                if not (drop_text and i == text_pos)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                keep + [pa.ListArray.from_arrays(off, pa.array(X.ravel(), pa.float64()))],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return df.mapInArrow(gen, out_schema)
+
+
 def embed_udf(dim: int = EMBED_DIM):
     """Return a scalar-iterator pandas_udf: string -> array<double>(dim)."""
-    from typing import Iterator
-
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

@@ -315,6 +315,82 @@ def asof_union_strategy_equivalence(spark, sf_dir):
     return out.select("event_id", "o_orderkey", "o_totalprice")
 
 
+@q(
+    "asof_tolerance_30d",
+    f"""
+    WITH dim AS ({_ASOF_DIM_SQL})
+    SELECT event_id,
+           CASE WHEN e.ts <= d.o_orderdate + INTERVAL 10950 DAY
+                THEN d.o_orderkey END AS o_orderkey
+    FROM events e
+    ASOF LEFT JOIN dim d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+def asof_tolerance_30d(spark, sf_dir):
+    """Backward as-of with a tolerance: matches older than ~30y are nulled
+    (events are 2024, orders 1995-2001, so the tolerance has bite)."""
+    e = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "o_custkey")
+    dim = _asof_dim(spark, sf_dir)
+    out = asof_join(
+        e, dim, on="o_custkey", ts_col="ts", valid_col="o_orderdate",
+        direction="backward", strategy="broadcast",
+        tolerance=F.expr("INTERVAL 10950 DAYS"),
+    )
+    return out.select("event_id", "o_orderkey")
+
+
+@q(
+    "distinct_counts_exact",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT date_trunc('day', ts)) AS n_days
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_counts_exact(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+    )
+
+
+@q("approx_distinct_users")  # no oracle: HLL++ sketch, rows-only check
+def approx_distinct_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS price_o,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS price_f,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS price_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("price_o"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("price_f"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("price_p"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B12: equi joins, semi/anti
 # ---------------------------------------------------------------------------
