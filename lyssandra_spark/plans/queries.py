@@ -616,6 +616,30 @@ def salted_agg_lineitem(spark, sf_dir):
     )
 
 
+@q(
+    "grouped_sequence_stats",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             epoch(ts) - epoch(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_type)) AS gap,
+             CASE WHEN event_type <> lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_type) THEN 1 ELSE 0 END AS chg
+      FROM events)
+    SELECT user_id, count(*) AS n_rows,
+           round(avg(gap), 4) AS mean_gap_sec,
+           round(max(gap), 4) AS max_gap_sec,
+           CAST(sum(chg) AS BIGINT) AS n_label_changes
+    FROM o GROUP BY user_id
+    """,
+)
+def grouped_sequence_stats(spark, sf_dir):
+    """B20-iii applyInPandas per-group operator vs a pure-SQL oracle."""
+    from lyssandra_spark.operators.grouped import group_sequence_stats
+
+    return group_sequence_stats(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: exact dedup (hash-groupBy) over documents
 # ---------------------------------------------------------------------------
