@@ -8,10 +8,14 @@ Skew note (B16): ``Window.partitionBy(key)`` puts an entire key on one
 task, and AQE does NOT split skewed window partitions (it only splits
 skewed shuffle-join/agg partitions). For genuinely hot keys (the 10^6-turn
 conversation), use :func:`salted_agg` for aggregations (two-phase: partial
-per salt -> final) — window ops that need full per-key order (lag,
-sessionize, ffill) are inherently sequential per key; at 10^12-turn scale
-those run per (conv_id, ts-bucket) instead, which `bucketed_window_cols`
-documents and tests exercise.
+per salt -> final). Window ops with BOUNDED lookback (lag-n, rolling-n)
+have skew-proof variants (:func:`with_lag_bucketed`,
+:func:`rolling_bucketed`) that split each key into
+(key, order div bucket_size) partitions with n overlap rows — exact same
+results (tested), bounded task size regardless of key skew.
+Unbounded-lookback ops (sessionize, ffill) are inherently sequential per
+key; at 10^12-turn scale run them per (conv_id, ts-day) and stitch, or
+accept one task per key with bounded conversation length.
 """
 
 from __future__ import annotations
@@ -30,6 +34,8 @@ __all__ = [
     "topk",
     "with_salt",
     "salted_agg",
+    "with_lag_bucketed",
+    "rolling_bucketed",
 ]
 
 
@@ -130,6 +136,74 @@ def topk(df: DataFrame, keys, order, k: int, desc: bool = True) -> DataFrame:
         df.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def with_lag_bucketed(
+    df: DataFrame, col: str, n: int = 1, part="conv_id",
+    order_col: str = "turn_idx", bucket_size: int = 4096,
+    prefix: str = "lag",
+) -> DataFrame:
+    """Skew-proof lag for bounded-lookback windows over hot keys (B16).
+
+    ``Window.partitionBy(key)`` puts a whole key on ONE task; AQE never
+    splits a skewed window partition, so a 10^6-turn conversation
+    serializes. This variant partitions by (key, order div bucket_size):
+    the last `n` rows of each bucket are duplicated into the next bucket
+    as context rows, the window runs per (key, bucket) — bounded task
+    size regardless of key skew — and context rows are dropped after
+    providing lag values. Result is EXACTLY equal to :func:`with_lag`
+    (tested), requires `order_col` to be a dense integer per key, and
+    lookback n must be < bucket_size.
+    """
+    if n >= bucket_size:
+        raise ValueError("lookback must be smaller than bucket_size")
+    part = [part] if isinstance(part, str) else list(part)
+    bucket = (F.col(order_col) / bucket_size).cast("long")
+    main = df.withColumn("__bkt", bucket).withColumn("__ctx", F.lit(False))
+    ctx = (
+        df.where(F.pmod(F.col(order_col), F.lit(bucket_size)) >= bucket_size - n)
+        .withColumn("__bkt", bucket + 1)
+        .withColumn("__ctx", F.lit(True))
+    )
+    u = main.unionByName(ctx)
+    w = Window.partitionBy(*part, "__bkt").orderBy(order_col)
+    out = (
+        u.withColumn(f"{prefix}{n}_{col}", F.lag(col, n).over(w))
+        .where(~F.col("__ctx"))
+        .drop("__bkt", "__ctx")
+    )
+    return out
+
+
+def rolling_bucketed(
+    df: DataFrame, col: str, n: int, part="conv_id",
+    order_col: str = "turn_idx", bucket_size: int = 4096,
+    aggs=("avg", "sum", "count"),
+) -> DataFrame:
+    """Skew-proof rolling window (last n rows) via the same overlap trick.
+
+    Context rows = previous n-1 rows of each bucket boundary; exact
+    equality with :func:`rolling` (tested)."""
+    if n - 1 >= bucket_size:
+        raise ValueError("frame must be smaller than bucket_size")
+    part = [part] if isinstance(part, str) else list(part)
+    bucket = (F.col(order_col) / bucket_size).cast("long")
+    main = df.withColumn("__bkt", bucket).withColumn("__ctx", F.lit(False))
+    ctx = (
+        df.where(F.pmod(F.col(order_col), F.lit(bucket_size)) >= bucket_size - (n - 1))
+        .withColumn("__bkt", bucket + 1)
+        .withColumn("__ctx", F.lit(True))
+    )
+    u = main.unionByName(ctx)
+    w = (
+        Window.partitionBy(*part, "__bkt")
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    out = u
+    for a in aggs:
+        out = out.withColumn(f"{a}_{col}_{n}", getattr(F, a)(col).over(w))
+    return out.where(~F.col("__ctx")).drop("__bkt", "__ctx")
 
 
 def with_salt(df: DataFrame, n_buckets: int = 16, cols=("conv_id", "turn_idx"),
