@@ -31,6 +31,27 @@ def coded_transcripts(
     return sparse_code(t, versions, algo=algo, **kw)
 
 
+def materialize_features(
+    spark: SparkSession, sf_dir: str, warehouse: str,
+    table: str = "turn_features", n_buckets: int = 16,
+) -> int:
+    """Write the coded feature table through the catalog with the
+    10^12-turn layout: ts-day range partitions + conv_id hash buckets
+    (Iceberg ``days(ts)`` + ``bucket(conv_id)`` analogue). Returns the
+    snapshot id."""
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    coded = coded_transcripts(spark, sf_dir, algo="bomp", k=5).drop("text")
+    cat = ParquetCatalog(spark, warehouse)
+    return cat.write(
+        coded, table, mode="overwrite",
+        partition_by={
+            "ts_day": "date_format(ts, 'yyyy-MM-dd')",
+            "conv_bucket": f"pmod(hash(conv_id), {n_buckets})",
+        },
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session sparse-code feature aggregates with a lag-1 drift feature."""
     coded = coded_transcripts(spark, sf_dir, algo="bomp", k=5)
