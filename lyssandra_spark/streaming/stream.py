@@ -61,6 +61,39 @@ def session_agg_stream(
     )
 
 
+def stateful_sessionize_stream(sdf: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful sessionizer: per-conversation session ids assigned
+    with applyInPandasWithState (state = last ts + running session id,
+    carried across triggers). Matches the batch `sessionize` exactly when
+    turns arrive in ts order (tested with one availableNow trigger)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, turn_idx int, ts timestamp, session_id int"
+    state_schema = "last_ts double, last_session int"
+
+    def fn(key, pdfs, state: GroupState):
+        last_ts, last_session = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "turn_idx"])
+        sess = []
+        for t in rows["ts"]:
+            tsec = t.timestamp()
+            if last_ts is not None and tsec - last_ts > gap_seconds:
+                last_session += 1
+            sess.append(last_session)
+            last_ts = tsec
+        state.update((last_ts, last_session))
+        rows = rows.assign(session_id=sess)
+        yield rows[["conv_id", "turn_idx", "ts", "session_id"]]
+
+    src = sdf.select(
+        "conv_id", "turn_idx", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return src.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def tumbling_agg_stream(
     sdf: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -99,3 +99,22 @@ def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
     media = attach_fake_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         decode_image_features(media, fake=False).collect()
+
+
+def test_stateful_sessionize_matches_batch(spark, tpath):
+    from lyssandra_spark.operators.windows import sessionize
+
+    batch_df = spark.read.parquet(tpath)
+    sdf = ST.read_transcript_stream(spark, tpath, batch_df.schema)
+    got = _run_stream(
+        spark, ST.stateful_sessionize_stream(sdf), "state_sess"
+    ).toPandas()
+    exp = (
+        sessionize(batch_df, 1800, part="conv_id", ts_col="ts")
+        .select("conv_id", "turn_idx", "session_id")
+        .toPandas()
+    )
+    g = got[["conv_id", "turn_idx", "session_id"]].sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    e = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
