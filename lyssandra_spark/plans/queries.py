@@ -564,6 +564,158 @@ def scalar_props_extract(spark, sf_dir):
     )
 
 
+@q(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           substring(p_name, 1, 8) AS name8,
+           upper(p_brand) AS brand_u,
+           instr(p_type, 'a') AS a_pos,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           levenshtein(p_brand, p_type) AS brand_type_dist,
+           length(concat(p_name, '-', p_brand)) AS full_len
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.upper("p_brand").alias("brand_u"),
+        F.instr("p_type", "a").cast("long").alias("a_pos"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.length(F.concat_ws("-", "p_name", "p_brand")).cast("long").alias("full_len"),
+    )
+
+
+@q(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+           CAST(extract(day FROM o_orderdate) AS INTEGER) AS dom,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+           date_trunc('month', o_orderdate) AS month_start
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_95"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@q(
+    "scalar_array_funcs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS toks
+      FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           CAST(list_contains(toks, 'the') AS INTEGER) AS has_the,
+           len(list_distinct(toks)) AS n_distinct
+    FROM t
+    """,
+)
+def scalar_array_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_sort(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    )
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.array_contains("toks", "the").cast("int").alias("has_the"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+
+
+@q(
+    "window_ntile_cume",
+    """
+    SELECT s_suppkey,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(percent_rank() OVER w, 6) AS prank
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
+)
+def window_ntile_cume(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    return s.select(
+        "s_suppkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@q(
+    "intersect_partkeys",
+    """
+    SELECT l_partkey AS partkey FROM lineitem
+    INTERSECT
+    SELECT p_partkey AS partkey FROM part WHERE p_size <= 25
+    """,
+)
+def intersect_partkeys(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 25)
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+    return li.intersect(p)
+
+
+@q(
+    "conditional_exprs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN 'deep' WHEN l_discount > 0 THEN 'some'
+                ELSE 'none' END AS disc_band,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_quantity, 10.0) AS capped_qty,
+           coalesce(nullif(l_returnflag, 'N'), 'kept') AS flag_or_kept
+    FROM lineitem
+    """,
+)
+def conditional_exprs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, "deep")
+        .when(F.col("l_discount") > 0, "some")
+        .otherwise("none").alias("disc_band"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least(F.col("l_quantity"), F.lit(10.0)).alias("capped_qty"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("kept")).alias(
+            "flag_or_kept"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B8: dense rank window
 # ---------------------------------------------------------------------------
