@@ -71,6 +71,16 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction {direction!r}")
 
+    if strategy == "auto":
+        # one cheap planner-like decision: broadcast when the dim is small
+        # enough to ship to every executor (bounded count probe — stops
+        # scanning at the threshold), else the shuffle-based union strategy.
+        limit = int(
+            facts.sparkSession.conf.get("lyssandra.asof.broadcastRowLimit", "2000000")
+        )
+        probed = dim.limit(limit + 1).count()
+        strategy = "broadcast" if (probed <= limit or not keys) else "union"
+
     if direction == "nearest":
         # compose: backward + forward, pick the closer non-null match
         b = asof_join(facts, dim, keys, ts_col, valid_col, "backward",

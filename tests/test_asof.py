@@ -139,3 +139,24 @@ def test_broadcast_plan_has_no_fact_shuffle(spark, facts, dim):
     got = asof_join(fdf, ddf, on="k", ts_col="ts", valid_col="valid_from")
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_auto_strategy(spark, facts, dim):
+    fdf, fpdf = facts
+    ddf, dpdf = dim
+    got = asof_join(fdf, ddf, on="k", ts_col="ts", valid_col="valid_from",
+                    strategy="auto")
+    assert _got(got, fpdf) == _oracle(fpdf, dpdf, "backward")
+    # small dim -> auto picks broadcast
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # force the union path with a tiny threshold
+    spark.conf.set("lyssandra.asof.broadcastRowLimit", "2")
+    try:
+        got2 = asof_join(fdf, ddf, on="k", ts_col="ts", valid_col="valid_from",
+                         strategy="auto")
+        assert _got(got2, fpdf) == _oracle(fpdf, dpdf, "backward")
+        plan2 = got2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        spark.conf.unset("lyssandra.asof.broadcastRowLimit")
