@@ -1,0 +1,96 @@
+"""Edge-case robustness: nulls, empties, single-row groups, odd partitioning."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.encode import sparse_code
+from lyssandra_spark.operators.windows import rolling, sessionize, with_lag
+from lyssandra_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def versions(sf_dir):
+    return synth.build_dict_versions(sf_dir, n_atoms=64)
+
+
+def test_encode_null_and_empty_text(spark, versions):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "ts": [dt.datetime(2024, 1, 15)] * 4,
+            "text": [None, "", "ok some words here", "ab"],  # ab < ngram size
+        }
+    )
+    out = (
+        sparse_code(spark.createDataFrame(pdf), versions, algo="bomp", k=3)
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    # null/empty/too-short text -> zero embedding -> empty code, err 0
+    assert out["nnz"].tolist()[:2] == [0, 0]
+    assert out["nnz"][3] == 0  # 2 chars < 4-byte ngram window
+    assert out["nnz"][2] > 0
+    # 2024-01-15 falls between boundary v2 (01-10) and v3 (01-20)
+    assert (out["dict_version"] == 2).all()
+
+
+def test_encode_empty_dataframe(spark, versions):
+    df = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, ts timestamp, text string"
+    )
+    out = sparse_code(df, versions, algo="bomp", k=3)
+    assert out.count() == 0
+
+
+def test_encode_many_empty_partitions(spark, versions):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"],
+            "turn_idx": [0],
+            "ts": [dt.datetime(2024, 1, 15)],
+            "text": ["single row many partitions"],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    out = sparse_code(df, versions, algo="bomp", k=3).toPandas()
+    assert len(out) == 1 and out["nnz"][0] > 0
+
+
+def test_windows_single_row_groups(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(5)],
+            "turn_idx": [0] * 5,
+            "ts": [dt.datetime(2024, 1, 1, i) for i in range(5)],
+            "v": [float(i) for i in range(5)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = rolling(
+        with_lag(sessionize(df, 1800), "v"), "v", 3
+    ).toPandas()
+    assert (out["session_id"] == 0).all()
+    assert out["lag1_v"].isna().all()
+    assert (out["count_v_3"] == 1).all()
+
+
+def test_unicode_text_embedding_stable(spark, versions):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 3,
+            "turn_idx": [0, 1, 2],
+            "ts": [dt.datetime(2024, 1, 15)] * 3,
+            "text": ["héllo wörld ünïcode", "日本語のテキスト🎉", "mixed ascii と 漢字"],
+        }
+    )
+    a = sparse_code(spark.createDataFrame(pdf), versions, k=3).toPandas()
+    b = sparse_code(spark.createDataFrame(pdf).repartition(3), versions, k=3).toPandas()
+    a = a.sort_values("turn_idx").reset_index(drop=True)
+    b = b.sort_values("turn_idx").reset_index(drop=True)
+    assert a["recon_err"].tolist() == b["recon_err"].tolist()
+    assert (a["nnz"] > 0).all()
