@@ -212,8 +212,11 @@ CPU-bound components scale at ~0.95 on this box; every component that
 streams MB-scale working sets saturates the shared memory bus at ~20 GB/s
 (the Batch-OMP inner loop moves ~30-40 KB/turn after the GEMM-form +
 cache-blocking optimizations; see kernels.py). The co-tenant VM also adds
-large run-to-run variance (identical configs measured 96k-185k turns/s
-minutes apart), which is why best-of-repeats is reported.
+large run-to-run variance: across this session the IDENTICAL local[32]
+encode measured anywhere from 59k to a 228k turns/s peak minutes apart
+(local[8]: 53k-188k), which is why best-of-interleaved-repeats within one
+run is reported — both levels get the same treatment, and the pair above
+is self-consistent (same run, same window).
 
 On a real 4N-executor cluster each executor owns its memory bus and its
 Python workers, so the resources that cap this box scale WITH the cluster:
