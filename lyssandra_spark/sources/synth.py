@@ -199,6 +199,26 @@ def build_dict_versions(
     return out
 
 
+def dict_versions_from_df(df: DataFrame) -> list[DictVersion]:
+    """Rebuild the broadcastable DictVersion list from the SCD-2 dimension
+    table (the inverse of :func:`dictionary_versions`) — Grams recomputed.
+
+    This is how a production run loads the dictionary history: the
+    dimension lives as DATA in the catalog (snapshot/time-travel-able),
+    not as code; encode broadcasts whatever history the table holds.
+    """
+    rows = df.select("dict_id", "version", "valid_from", "atoms").collect()
+    out = []
+    for r in sorted(rows, key=lambda r: r["version"]):
+        D = np.asarray(r["atoms"], dtype=np.float64).T  # (dim, n_atoms)
+        ts = r["valid_from"]
+        import datetime as dt
+
+        us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        out.append(DictVersion(r["dict_id"], int(r["version"]), us, D, D.T @ D))
+    return out
+
+
 def dictionary_versions(
     spark: SparkSession, versions: list[DictVersion]
 ) -> DataFrame:

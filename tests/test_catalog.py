@@ -47,3 +47,40 @@ def test_snapshot_time_travel_append(spark, cat, sf_dir):
     assert cat.read("ev").count() == 10
     assert cat.read("ev", as_of=s2).count() == df.count()  # history preserved
     assert "ev" in cat.tables()
+
+
+def test_dictionary_versions_roundtrip_catalog(spark, cat, sf_dir):
+    """The SCD-2 dictionary dimension lives as DATA: write it through the
+    catalog, time-travel it, rebuild the broadcast list, and get identical
+    codes from the encode path."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from lyssandra_spark.operators.encode import sparse_code
+    from lyssandra_spark.sources import synth
+
+    vers = synth.build_dict_versions(sf_dir, n_atoms=64)
+    vdf = synth.dictionary_versions(spark, vers)
+    # snapshot 1: only v1-v2; snapshot 2 appends v3 (history evolves)
+    cat.write(vdf.where(F.col("version") <= 2), "dict_versions", mode="overwrite")
+    cat.write(vdf.where(F.col("version") == 3), "dict_versions", mode="append")
+
+    full = synth.dict_versions_from_df(cat.read("dict_versions"))
+    old = synth.dict_versions_from_df(cat.read("dict_versions", as_of=1))
+    assert [v.version for v in full] == [1, 2, 3]
+    assert [v.version for v in old] == [1, 2]
+    for a, b in zip(full, vers):
+        assert np.allclose(a.D, b.D, atol=1e-12)
+
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * 2, "turn_idx": [0, 1],
+        "ts": [dt.datetime(2024, 1, 15)] * 2,
+        "text": ["roundtrip text one", "roundtrip text two"],
+    })
+    df = spark.createDataFrame(pdf)
+    got = sparse_code(df, full, k=3).toPandas().sort_values("turn_idx")
+    exp = sparse_code(df, vers, k=3).toPandas().sort_values("turn_idx")
+    assert got["recon_err"].tolist() == exp["recon_err"].tolist()
+    assert got["dict_version"].tolist() == exp["dict_version"].tolist()
