@@ -51,6 +51,7 @@ def encode_block(
     precomputed_X: np.ndarray | None = None,
     fista_iter: int = 500,
     fista_tol: float = 1e-10,
+    dict_ids=None,
 ) -> dict[str, np.ndarray]:
     """Encode one batch of turns. Pure numpy — usable with or without Spark.
 
@@ -59,8 +60,31 @@ def encode_block(
     """
     n = len(ts_us)
     X = precomputed_X if precomputed_X is not None else embed_texts(texts, dim=embed_dim).T
-    valid_from = np.asarray([v.valid_from_us for v in versions], dtype=np.int64)
-    vidx = np.searchsorted(valid_from, np.asarray(ts_us, dtype=np.int64), side="right") - 1
+    if dict_ids is not None:
+        # keyed dictionaries: resolve per (dict_id, ts); rows with unknown
+        # dict_id get no version (-1)
+        by_id: dict = {}
+        for i, v in enumerate(versions):
+            by_id.setdefault(v.dict_id, []).append(i)
+        for did in by_id:  # searchsorted needs per-dict ascending valid_from
+            by_id[did].sort(key=lambda i: versions[i].valid_from_us)
+        vidx = np.full(n, -1, dtype=np.int64)
+        ids = np.asarray(dict_ids)
+        ts_arr = np.asarray(ts_us, dtype=np.int64)
+        for did, idxs in by_id.items():
+            rows = np.nonzero(ids == did)[0]
+            if rows.size == 0:
+                continue
+            vf = np.asarray([versions[i].valid_from_us for i in idxs], dtype=np.int64)
+            local = np.searchsorted(vf, ts_arr[rows], side="right") - 1
+            ok = local >= 0
+            vidx[rows[ok]] = np.asarray(idxs)[local[ok]]
+    else:
+        valid_from = np.asarray([v.valid_from_us for v in versions], dtype=np.int64)
+        vidx = (
+            np.searchsorted(valid_from, np.asarray(ts_us, dtype=np.int64), side="right")
+            - 1
+        )
 
     ver_out = np.full(n, -1, dtype=np.int32)
     err = np.zeros(n, dtype=np.float64)
@@ -125,6 +149,7 @@ def sparse_code(
     fista_iter: int = 500,
     fista_tol: float = 1e-10,
     drop_text: bool = False,
+    dict_id_col: str | None = None,
 ) -> DataFrame:
     """Append point-in-time sparse-code feature columns to a transcript DataFrame.
 
@@ -142,6 +167,7 @@ def sparse_code(
     in_schema = df.schema
     text_pos = in_schema.fieldNames().index(text_col)
     ts_pos = in_schema.fieldNames().index(ts_col)
+    did_pos = in_schema.fieldNames().index(dict_id_col) if dict_id_col else None
     out_fields = [
         f for i, f in enumerate(in_schema.fields)
         if not (drop_text and i == text_pos)
@@ -166,10 +192,13 @@ def sparse_code(
             else:
                 X = None
                 texts = tarr.to_pylist()
+            dids = (
+                batch.column(did_pos).to_pylist() if did_pos is not None else None
+            )
             r = encode_block(
                 texts, ts_us, vers, algo=algo, k=k, lam=lam, knn=knn,
                 embed_dim=embed_dim, fista_iter=fista_iter, fista_tol=fista_tol,
-                precomputed_X=X,
+                precomputed_X=X, dict_ids=dids,
             )
             off = pa.array(r["offsets"], type=pa.int32())
             keep = [

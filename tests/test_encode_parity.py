@@ -142,3 +142,42 @@ def test_text_passthrough_equality(spark, tdf, versions):
     a = src.select("conv_id", "turn_idx", "text").sort("conv_id", "turn_idx").toPandas()
     b = coded.select("conv_id", "turn_idx", "text").sort("conv_id", "turn_idx").toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_keyed_dictionaries(spark, sf_dir):
+    """Multiple dict_id histories: each row coded under the as-of version
+    of ITS dictionary; unknown dict_id -> null code."""
+    import datetime as dt
+
+    from lyssandra_spark.sources.synth import DictVersion
+
+    rng = np.random.default_rng(3)
+    def mk(did, ver, day, seed):
+        D = K.normalize_cols(np.random.default_rng(seed).standard_normal((64, 32)))
+        us = int(dt.datetime(2024, 1, day, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        return DictVersion(did, ver, us, D, D.T @ D)
+
+    versions = [mk("da", 1, 1, 10), mk("da", 2, 10, 11),
+                mk("db", 1, 5, 20)]
+    rows = [
+        ("c", 0, "alpha text one", dt.datetime(2024, 1, 3), "da"),   # da v1
+        ("c", 1, "alpha text one", dt.datetime(2024, 1, 12), "da"),  # da v2
+        ("c", 2, "alpha text one", dt.datetime(2024, 1, 12), "db"),  # db v1
+        ("c", 3, "alpha text one", dt.datetime(2024, 1, 2), "db"),   # before db v1
+        ("c", 4, "alpha text one", dt.datetime(2024, 1, 12), "dx"),  # unknown
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "ts", "dict_id"])
+    out = (
+        sparse_code(spark.createDataFrame(pdf), versions, k=3, dict_id_col="dict_id")
+        .toPandas().sort_values("turn_idx").reset_index(drop=True)
+    )
+    assert out["dict_version"].tolist() == [1, 2, 1, -1, -1]
+    # same text, same ts, different dict -> different codes (rows 1 vs 2)
+    assert not np.array_equal(
+        np.asarray(out["code_val"][1]), np.asarray(out["code_val"][2])
+    )
+    # numpy oracle agreement for row 0 under da v1
+    X = embed_texts([rows[0][2]]).T
+    Z = K.batch_omp(versions[0].D, X, k=3, G=versions[0].G)
+    nz = np.nonzero(np.abs(Z[:, 0]) > 1e-12)[0]
+    assert np.array_equal(np.asarray(out["code_idx"][0], dtype=int), nz)
