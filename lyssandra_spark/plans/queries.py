@@ -732,6 +732,34 @@ def scalar_array_funcs(spark, sf_dir):
 
 
 @q(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(pow(1.0 + l_discount, 3), 6) AS disc_cubed,
+           round(ln(1.0 + l_extendedprice), 6) AS log_price,
+           abs(l_quantity - 25.0) AS dev_from_25,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_div7,
+           round(mod(l_extendedprice, 97.0), 6) AS price_mod
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 3), 6).alias("disc_cubed"),
+        F.round(F.log(F.lit(1.0) + F.col("l_extendedprice")), 6).alias("log_price"),
+        F.abs(F.col("l_quantity") - 25.0).alias("dev_from_25"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).cast("long").alias("qty_div7"),
+        F.round(F.col("l_extendedprice") % 97.0, 6).alias("price_mod"),
+    )
+
+
+@q(
     "window_ntile_cume",
     """
     SELECT s_suppkey,
