@@ -71,6 +71,22 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction {direction!r}")
 
+    # Precondition for well-defined as-of semantics: one dim row per
+    # (key, valid_col). Duplicates would make the broadcast strategy's
+    # lead()-built intervals overlap (each matching fact row duplicated,
+    # nondeterministic lead over tied sort keys) while the union strategy
+    # returns one arbitrary row — the two strategies would disagree.
+    # Enforce it here with a deterministic tiebreak (max xxhash64 of the
+    # value columns) so both strategies see the identical deduped dim.
+    dim_val_cols = [c for c in dim.columns if c not in keys and c != valid_col]
+    tiebreak = F.xxhash64(*dim_val_cols) if dim_val_cols else F.lit(0)
+    wd = Window.partitionBy(*keys, valid_col).orderBy(tiebreak.desc())
+    dim = (
+        dim.withColumn("__rn", F.row_number().over(wd))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
     if strategy == "auto":
         # one cheap planner-like decision: broadcast when the dim is small
         # enough to ship to every executor (bounded count probe — stops
@@ -181,13 +197,22 @@ def _asof_union(facts, dim, keys, ts_col, valid_col, direction,
             filled = filled.withColumn(c, F.first(c, ignorenulls=True).over(w))
     out = filled.where(F.col("__is_dim") == 0).drop("__is_dim")
     if tolerance is not None:
+        # Materialize the far-predicate ONCE from the original valid col
+        # before nulling anything: the loop below nulls every dim value
+        # column including `v` itself, and a predicate re-evaluated against
+        # an already-nulled `v` would keep out-of-tolerance matches in all
+        # columns processed after it.
         far = (
             (F.col(ts_col) > F.col(v) + tolerance)
             if direction == "backward"
             else (F.col(v) > F.col(ts_col) + tolerance)
         )
+        out = out.withColumn("__far", F.coalesce(far, F.lit(False)))
         for c in val_cols:
-            out = out.withColumn(c, F.when(far, F.lit(None)).otherwise(F.col(c)))
+            out = out.withColumn(
+                c, F.when(F.col("__far"), F.lit(None)).otherwise(F.col(c))
+            )
+        out = out.drop("__far")
     if how == "inner":
         out = out.where(F.col(v).isNotNull())
     return out

@@ -45,19 +45,24 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", keys=("doc_id",)) -> DataFrame:
-    """Keep one row per exact text (lowest key wins); adds n_copies."""
+    """Keep one row per exact text (lowest key wins); adds n_copies.
+
+    Single pass: ONE shuffle on the text hash, row_number + count over the
+    same window partitioning (the old groupBy + join-back re-scanned and
+    re-shuffled df a second time).
+    """
+    from pyspark.sql import Window
+
     keys = list(keys)
-    h = F.md5(F.col(text_col))
-    w = (
-        df.withColumn("__h", h)
-        .groupBy("__h")
-        .agg(
-            F.min(F.struct(*keys)).alias("__keep"),
-            F.count("*").alias("n_copies"),
-        )
+    w = Window.partitionBy("__h").orderBy(*keys)
+    cw = Window.partitionBy("__h")
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(cw))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
     )
-    out = w.select(*[F.col(f"__keep.{k}").alias(k) for k in keys], "n_copies")
-    return df.join(out, keys, "inner")
 
 
 def _minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -156,18 +161,29 @@ def minhash_lsh_pairs(
     est_jaccard >= threshold (est = fraction of agreeing minhashes, an
     unbiased Jaccard estimator).
     """
+    if n_perm % bands != 0:
+        raise ValueError(
+            f"n_perm ({n_perm}) must be divisible by bands ({bands}); a "
+            "remainder would silently exclude the trailing minhash values "
+            "from every band while est_jaccard still divides by n_perm"
+        )
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n_perm, ngram_bytes, seed)
+    # Candidate generation explodes ONLY (id, band, bh): carrying the full
+    # sig array (n_perm x 8 B) through the banded self-join would multiply
+    # the shuffle width by bands x n_perm at 10^12 docs. Signatures are
+    # re-joined below for surviving pairs only (2 narrow keyed joins beat
+    # a bands-x-wider exchange; the signature mapInArrow pass is cheap to
+    # recompute relative to the shuffle it avoids).
     banded = sigs.select(
         id_col,
-        "sig",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
                 f"struct(b AS band, xxhash64(to_json(struct(slice(sig, b*{rows_per_band}+1, {rows_per_band})))) AS bh))"
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -180,10 +196,12 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+              "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+              "id_b")
     )
     est = (
         F.size(

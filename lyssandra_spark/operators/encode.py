@@ -80,11 +80,17 @@ def encode_block(
             ok = local >= 0
             vidx[rows[ok]] = np.asarray(idxs)[local[ok]]
     else:
+        # sort by valid_from here rather than trusting caller ordering —
+        # searchsorted silently returns wrong as-of versions on an
+        # unsorted list (ADVICE.md); order maps back through `order`.
         valid_from = np.asarray([v.valid_from_us for v in versions], dtype=np.int64)
-        vidx = (
-            np.searchsorted(valid_from, np.asarray(ts_us, dtype=np.int64), side="right")
+        order = np.argsort(valid_from, kind="stable")
+        pos = (
+            np.searchsorted(valid_from[order], np.asarray(ts_us, dtype=np.int64),
+                            side="right")
             - 1
         )
+        vidx = np.where(pos >= 0, order[np.maximum(pos, 0)], -1)
 
     ver_out = np.full(n, -1, dtype=np.int32)
     err = np.zeros(n, dtype=np.float64)

@@ -119,8 +119,14 @@ class DictLearner:
     # --- checkpoint layout: <dir>/epoch_e.npz + <dir>/lineage.jsonl ---
 
     def _last_complete_epoch(self, ckpt_dir: str) -> int:
-        last = 0
-        for e in range(1, self.n_epochs + 1):
+        """Last epoch with a checkpoint on disk; -1 if none (fresh run).
+
+        epoch_0.npz (the saved init) counts: a kill between the init
+        checkpoint and epoch-1 completion resumes from the SAVED init
+        rather than re-running init_dictionary.
+        """
+        last = -1
+        for e in range(0, self.n_epochs + 1):
             if os.path.exists(os.path.join(ckpt_dir, f"epoch_{e}.npz")):
                 last = e
             else:
@@ -142,9 +148,15 @@ class DictLearner:
                 f.write(json.dumps(r) + "\n")
 
     def init_dictionary(self, df: DataFrame) -> np.ndarray:
-        """Deterministic init from the first rows of the (sorted) input."""
+        """Deterministic init: top-(4*n_atoms) rows by text order.
+
+        The explicit orderBy makes the sample independent of partitioning
+        and scan order (a bare limit() is nondeterministic); Spark executes
+        sort+limit as TakeOrderedAndProject, so this never global-sorts.
+        """
         sample = (
             df.select(self.text_col)
+            .orderBy(self.text_col)
             .limit(4 * self.n_atoms)
             .toPandas()[self.text_col]
             .tolist()
@@ -160,9 +172,12 @@ class DictLearner:
         """
         os.makedirs(ckpt_dir, exist_ok=True)
         start = self._last_complete_epoch(ckpt_dir)
-        D = self._load(ckpt_dir, start) if start else self.init_dictionary(df)
-        if not start:
+        if start >= 0:
+            D = self._load(ckpt_dir, start)
+        else:
+            D = self.init_dictionary(df)
             self._save(ckpt_dir, 0, D)
+            start = 0
         history: list[dict] = []
         for epoch in range(start + 1, self.n_epochs + 1):
             t0 = time.time()

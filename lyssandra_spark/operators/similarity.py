@@ -140,8 +140,13 @@ def ivf_topk(
     """IVF approximate top-k: coarse-quantize the corpus to seeded k-means
     cells; each query scans only its `nprobe` nearest cells."""
     c = _as_double(corpus, id_col, emb_col, "emb")
+    # Deterministic centroid sample: a bare limit() picks whichever
+    # partitions answer first, making the IVF index (and its recall)
+    # unstable across runs/repartitions. orderBy+limit compiles to
+    # TakeOrderedAndProject — bounded driver memory, stable result.
     sample = np.asarray(
-        [r["emb"] for r in c.limit(sample_rows).collect()], dtype=np.float64
+        [r["emb"] for r in c.orderBy(id_col).limit(sample_rows).collect()],
+        dtype=np.float64,
     )
     C = _lloyd_centroids(sample, n_cells, seed=seed)
 

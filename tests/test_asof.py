@@ -94,6 +94,48 @@ def test_asof_tolerance(spark, facts, dim, strategy):
     assert _got(got, fpdf) == _oracle(fpdf, dpdf, "backward", tol_minutes=500)
 
 
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_tolerance_nulls_all_dim_columns(spark, facts, dim, strategy):
+    """Out-of-tolerance matches must null EVERY dim value column, not only
+    the ones processed before valid_from in column order (ADVICE.md high)."""
+    fdf, _ = facts
+    ddf, _ = dim
+    got = asof_join(fdf, ddf, on="k", ts_col="ts", valid_col="valid_from",
+                    direction="backward", strategy=strategy,
+                    tolerance=F.expr("INTERVAL 500 MINUTES")).toPandas()
+    # every dim column is null exactly where version is null
+    for c in ("valid_from", "payload"):
+        assert (got[c].isna() == got["version"].isna()).all(), c
+    # and some rows ARE out of tolerance (the test is not vacuous)
+    assert got["version"].isna().any()
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_duplicate_valid_from_no_inflation(spark, facts, strategy):
+    """Dim rows duplicated on (key, valid_from) must not inflate fact rows,
+    and both strategies must pick the same (deterministic) winner."""
+    fdf, fpdf = facts
+    rows = []
+    for key in ["a", "b"]:
+        for v in range(3):
+            vf = T0 + dt.timedelta(minutes=1500 * v + 10)
+            rows.append((key, 10 * (v + 1), vf, f"dup1-{key}-{v}"))
+            rows.append((key, 10 * (v + 1) + 1, vf, f"dup2-{key}-{v}"))
+    ddf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "version", "valid_from", "payload"])
+    )
+    outs = {}
+    for s in ("broadcast", "union"):
+        out = asof_join(fdf, ddf, on="k", ts_col="ts", valid_col="valid_from",
+                        direction="backward", strategy=s)
+        assert out.count() == len(fpdf), f"row inflation under {s}"
+        outs[s] = (
+            out.select("k", "seq", "version", "payload")
+            .toPandas().sort_values(["k", "seq"]).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["union"])
+
+
 def test_asof_nearest(spark, facts, dim):
     fdf, fpdf = facts
     ddf, dpdf = dim

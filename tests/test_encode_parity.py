@@ -181,3 +181,18 @@ def test_keyed_dictionaries(spark, sf_dir):
     Z = K.batch_omp(versions[0].D, X, k=3, G=versions[0].G)
     nz = np.nonzero(np.abs(Z[:, 0]) > 1e-12)[0]
     assert np.array_equal(np.asarray(out["code_idx"][0], dtype=int), nz)
+
+
+def test_encode_block_version_order_invariant(versions):
+    """encode_block must resolve as-of versions correctly even when the
+    caller passes the version list out of valid_from order (the internal
+    searchsorted sorts; ADVICE.md regression)."""
+    texts = [f"turn number {i} payload words" for i in range(40)]
+    lo = min(v.valid_from_us for v in versions)
+    hi = max(v.valid_from_us for v in versions)
+    ts_us = np.linspace(lo - 10, hi + 10_000_000, 40).astype(np.int64)
+    a = encode_block(texts, ts_us, list(versions), algo="bomp", k=5)
+    b = encode_block(texts, ts_us, list(reversed(versions)), algo="bomp", k=5)
+    np.testing.assert_array_equal(a["dict_version"], b["dict_version"])
+    np.testing.assert_allclose(a["code_val"], b["code_val"])
+    np.testing.assert_array_equal(a["code_idx"], b["code_idx"])

@@ -70,3 +70,14 @@ def test_ivf_recall(spark, emb, emb_np):
         tot += len(true_nn)
     recall = hits / tot
     assert recall > 0.5, f"IVF recall@5 too low: {recall}"
+
+
+def test_ivf_deterministic_across_repartition(spark, emb):
+    """The IVF index must be stable across partition layouts: the centroid
+    sample is ordered (orderBy id + limit), so two runs over differently-
+    partitioned corpora return the identical result set."""
+    q = emb.where(F.col("vec_id") < 8)
+    a = S.ivf_topk(emb.repartition(3), q, k=5, n_cells=8, nprobe=4).toPandas()
+    b = S.ivf_topk(emb.repartition(17), q, k=5, n_cells=8, nprobe=4).toPandas()
+    key = lambda df: sorted(map(tuple, df[["qid", "vec_id", "rk"]].to_numpy()))  # noqa: E731
+    assert key(a) == key(b)
