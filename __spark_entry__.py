@@ -25,7 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from lyssandra_spark.plans import queries as Q  # noqa: E402
-from lyssandra_spark.plans.pipeline import coded_transcripts, flagship  # noqa: E402
+from lyssandra_spark.plans.pipeline import (  # noqa: E402
+    SKELETON_ORACLE_SQL,
+    coded_transcripts,
+    flagship,
+    flagship_skeleton,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -136,25 +141,55 @@ def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(attach_fake_media(d), fake=True)
 
 
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs with planted scaled copies
+    (cosine(v, 1.5v) = 1, so every planted pair must surface; the recall
+    gate lives in tests/test_dedup.py)."""
+    from lyssandra_spark.operators.dedup import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = (
+        e.where(F.col("vec_id") % 10 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1000000)
+        .withColumn("embedding", F.transform("embedding", lambda x: x * 1.5))
+    )
+    return embedding_neardup_pairs(
+        e.unionByName(planted), n_planes=12, min_cosine=0.95
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(Q.SPARK_QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Exactly 50 entries (the driver records at most 50 CORRECTNESS rows —
+    r01 silently dropped registrations 51-53). The engine-defining ops
+    (kernels, flagship, leakage, LLM-pipeline ops) are registered FIRST so
+    any cap hits the relational long tail, never them.
+    """
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # kernel-backed (rows-only; numpy parity gate lives in tests/)
     out["encode_batch_omp"] = _encode_summary("bomp", k=5)
     out["encode_fista_lasso"] = _encode_summary("fista", lam=0.1)
     out["encode_llc"] = _encode_summary("llc", knn=5)
     out["flagship_session_features"] = lambda spark, sf_dir: flagship(spark, sf_dir)
+    out["flagship_skeleton"] = lambda spark, sf_dir: flagship_skeleton(spark, sf_dir)
     out["leakage_audit"] = _leakage_audit
+    out["dictionary_learning"] = _dict_learn
     # training-data-pipeline ops (rows-only; quality gates live in tests/)
     out["dedup_minhash_lsh"] = _minhash_lsh
     out["simhash_documents"] = _simhash_docs
+    out["embedding_neardup_pairs"] = _embedding_neardup
     out["ann_lsh_topk"] = _ann_lsh
     out["ann_ivf_topk"] = _ann_ivf
-    out["dictionary_learning"] = _dict_learn
     out["multimodal_decode"] = _multimodal
+    # relational / window / text / similarity registry (mostly oracled)
+    out.update(Q.SPARK_QUERIES)
+    assert len(out) <= 50, f"{len(out)} queries registered; driver caps at 50"
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
-    return dict(Q.ORACLE_SQL)
+    out = dict(Q.ORACLE_SQL)
+    out["flagship_skeleton"] = SKELETON_ORACLE_SQL
+    return out

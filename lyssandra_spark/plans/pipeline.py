@@ -17,7 +17,8 @@ from lyssandra_spark.operators.encode import sparse_code
 from lyssandra_spark.operators.windows import dedup_latest, sessionize, with_lag
 from lyssandra_spark.sources import synth
 
-__all__ = ["flagship", "coded_transcripts"]
+__all__ = ["flagship", "flagship_skeleton", "coded_transcripts",
+           "SKELETON_ORACLE_SQL"]
 
 
 def coded_transcripts(
@@ -49,6 +50,54 @@ def materialize_features(
             "ts_day": "date_format(ts, 'yyyy-MM-dd')",
             "conv_bucket": f"pmod(hash(conv_id), {n_buckets})",
         },
+    )
+
+
+SKELETON_PATH = "/root/repo/.oracle_cache/transcripts_skel"
+
+SKELETON_ORACLE_SQL = f"""
+    WITH t AS (SELECT * FROM read_parquet('{SKELETON_PATH}/*.parquet')),
+    d AS (SELECT conv_id, turn_idx, ts FROM (
+        SELECT conv_id, turn_idx, ts,
+               row_number() OVER (PARTITION BY conv_id, turn_idx
+                                  ORDER BY ts DESC, role DESC) AS rn
+        FROM t) x WHERE rn = 1),
+    g AS (SELECT conv_id, ts,
+            CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                   (PARTITION BY conv_id ORDER BY ts)) > 1800.0
+                 THEN 1 ELSE 0 END AS flag
+          FROM d),
+    s AS (SELECT conv_id, ts,
+            sum(flag) OVER (PARTITION BY conv_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+    SELECT conv_id, CAST(session_id AS INTEGER) AS session_id,
+           count(*) AS n_turns, min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY conv_id, session_id
+"""
+
+
+def flagship_skeleton(spark: SparkSession, sf_dir: str,
+                      path: str = SKELETON_PATH) -> DataFrame:
+    """The flagship's relational skeleton — dedup -> sessionize ->
+    per-session aggregates — hash-checkable against a DuckDB oracle.
+
+    The sparse-code values of the full flagship aren't SQL-expressible,
+    but this structure is; to give both engines the identical input, the
+    synthesized transcripts are materialized to parquet (Spark-side write,
+    deterministic content) and BOTH sides read that file — the oracle via
+    read_parquet (SKELETON_ORACLE_SQL). This also exercises the sink path
+    (B18) inside a hash-checked query.
+    """
+    t = synth.transcripts(spark, sf_dir, with_dups=True)
+    t.write.mode("overwrite").parquet(path)
+    t2 = spark.read.parquet(path)
+    t2 = dedup_latest(t2, ["conv_id", "turn_idx"], ["ts", "role"])
+    t2 = sessionize(t2, gap_seconds=1800, part="conv_id", ts_col="ts")
+    return t2.groupBy("conv_id", "session_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )
 
 

@@ -124,19 +124,31 @@ def dedup_latest_event_per_user(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @q(
-    "lag_lead_event_value",
+    "window_lag_lead_rolling",
     """
     SELECT event_id,
-           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1_value,
-           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lead1_value
+           lag(value)  OVER w AS lag1_value,
+           lead(value) OVER w AS lead1_value,
+           round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+             AS roll_avg5,
+           count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_n5
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
-def lag_lead_event_value(spark, sf_dir):
+def window_lag_lead_rolling(spark, sf_dir):
+    """B3 lag/lead + B6 rolling in one pass (single shuffle+sort: all four
+    window functions share the same partitioning and ordering)."""
     e = _t(spark, sf_dir, "events")
     out = W.with_lag(e, "value", part="user_id", order=["ts", "event_id"])
     out = W.with_lead(out, "value", part="user_id", order=["ts", "event_id"])
-    return out.select("event_id", "lag1_value", "lead1_value")
+    out = W.rolling(out, "value", 5, part="user_id", order=["ts", "event_id"],
+                    aggs=("avg", "count"))
+    return out.select(
+        "event_id", "lag1_value", "lead1_value",
+        F.round("avg_value_5", 4).alias("roll_avg5"),
+        F.col("count_value_5").alias("roll_n5"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -182,52 +194,34 @@ def sessionize_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @q(
-    "ffill_event_value",
+    "ffill_bfill_event_value",
     """
     SELECT event_id,
            last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
                       IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           first_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                       IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill
     FROM events
     """,
 )
-def ffill_event_value(spark, sf_dir):
-    e = _t(spark, sf_dir, "events").withColumn(
-        "value_ffill",
-        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+def ffill_bfill_event_value(spark, sf_dir):
+    """B5 forward- AND backward-fill of the same deterministically-nulled
+    column (error events), both directions in one query."""
+    nulled = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
     )
-    return W.ffill(e, "value_ffill", part="user_id", order=["ts", "event_id"]).select(
-        "event_id", "value_ffill"
+    e = (
+        _t(spark, sf_dir, "events")
+        .withColumn("value_ffill", nulled)
+        .withColumn("value_bfill", nulled)
     )
-
-
-# ---------------------------------------------------------------------------
-# B6: rolling window aggregates
-# ---------------------------------------------------------------------------
-
-@q(
-    "rolling_avg_value",
-    """
-    SELECT event_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
-             AS roll_avg5,
-           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_n5
-    FROM events
-    """,
-)
-def rolling_avg_value(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
-    )
-    return e.select(
-        "event_id",
-        F.round(F.avg("value").over(w), 4).alias("roll_avg5"),
-        F.count("*").over(w).alias("roll_n5"),
-    )
+    out = W.ffill(e, "value_ffill", part="user_id", order=["ts", "event_id"])
+    out = W.bfill(out, "value_bfill", part="user_id", order=["ts", "event_id"])
+    return out.select("event_id", "value_ffill", "value_bfill")
 
 
 # ---------------------------------------------------------------------------
@@ -338,6 +332,56 @@ def asof_tolerance_30d(spark, sf_dir):
         tolerance=F.expr("INTERVAL 10950 DAYS"),
     )
     return out.select("event_id", "o_orderkey")
+
+
+@q(
+    "asof_nearest_sampled_order",
+    """
+    WITH dim AS (
+      SELECT o_custkey, valid_date, near_orderkey FROM (
+        SELECT o_custkey, o_orderdate AS valid_date, o_orderkey AS near_orderkey,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderkey % 10 = 0) t WHERE rn = 1),
+    f AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+          WHERE o_orderkey % 10 <> 0),
+    b AS (
+      SELECT f.o_orderkey, f.o_orderdate, d.near_orderkey AS bk, d.valid_date AS bd
+      FROM f ASOF LEFT JOIN dim d
+        ON f.o_custkey = d.o_custkey AND f.o_orderdate >= d.valid_date),
+    fw AS (
+      SELECT f.o_orderkey, d.near_orderkey AS fk, d.valid_date AS fd
+      FROM f ASOF LEFT JOIN dim d
+        ON f.o_custkey = d.o_custkey AND f.o_orderdate <= d.valid_date)
+    SELECT b.o_orderkey,
+           CASE WHEN fd IS NULL OR (bd IS NOT NULL AND
+                     epoch(b.o_orderdate) - epoch(bd) <= epoch(fd) - epoch(b.o_orderdate))
+                THEN bk ELSE fk END AS near_orderkey
+    FROM b JOIN fw ON fw.o_orderkey = b.o_orderkey
+    """,
+)
+def asof_nearest_sampled_order(spark, sf_dir):
+    """B2 nearest direction: each non-sampled order matched to the closest
+    (in either time direction) sampled order of the same customer; ties
+    break backward — mirrored exactly in the DuckDB oracle."""
+    o = _t(spark, sf_dir, "orders")
+    facts = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    dim = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("valid_date"),
+            F.col("o_orderkey").alias("near_orderkey"),
+        )
+    )
+    dim = W.dedup_latest(dim, ["o_custkey", "valid_date"], "near_orderkey", desc=True)
+    out = asof_join(
+        facts, dim, on="o_custkey", ts_col="o_orderdate", valid_col="valid_date",
+        direction="nearest",
+    )
+    return out.select("o_orderkey", "near_orderkey")
 
 
 @q(
@@ -571,51 +615,58 @@ def range_join_ship_window(spark, sf_dir):
 @q(
     "setops_partkeys",
     """
-    SELECT partkey FROM (
+    SELECT 'except' AS op, partkey FROM (
       SELECT l_partkey AS partkey FROM lineitem
       EXCEPT
-      SELECT p_partkey AS partkey FROM part WHERE p_size > 25) t
+      SELECT p_partkey AS partkey FROM part WHERE p_size > 25)
+    UNION ALL
+    SELECT 'intersect' AS op, partkey FROM (
+      SELECT l_partkey AS partkey FROM lineitem
+      INTERSECT
+      SELECT p_partkey AS partkey FROM part WHERE p_size <= 25)
     """,
 )
 def setops_partkeys(spark, sf_dir):
+    """B14 set operations: except + intersect + union all, tagged."""
     li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
-    p = (
-        _t(spark, sf_dir, "part")
-        .where(F.col("p_size") > 25)
-        .select(F.col("p_partkey").alias("partkey"))
+    p = _t(spark, sf_dir, "part")
+    big = p.where(F.col("p_size") > 25).select(F.col("p_partkey").alias("partkey"))
+    small = p.where(F.col("p_size") <= 25).select(F.col("p_partkey").alias("partkey"))
+    exc = li.distinct().exceptAll(big.distinct()).select(
+        F.lit("except").alias("op"), "partkey"
     )
-    return li.distinct().exceptAll(p.distinct())
+    inter = li.intersect(small).select(F.lit("intersect").alias("op"), "partkey")
+    return exc.unionByName(inter)
 
 
 # ---------------------------------------------------------------------------
-# B10: rollup / cube
+# B10: rollup / cube / grouping sets (cube over 2 cols == the full grouping
+# set lattice; rollup is the prefix subset — one query covers the family,
+# pivot is covered separately by pivot_status_by_priority)
 # ---------------------------------------------------------------------------
 
 @q(
-    "rollup_lineitem_flags",
-    """
-    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-)
-def rollup_lineitem_flags(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
-    )
-
-
-@q(
-    "cube_order_status_priority",
+    "rollup_cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
            round(sum(o_totalprice), 2) AS sum_price
-    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
+                            (o_orderpriority), ())
     """,
 )
-def cube_order_status_priority(spark, sf_dir):
+def rollup_cube_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    return o.groupingSets(
+        [
+            ["o_orderstatus", "o_orderpriority"],
+            ["o_orderstatus"],
+            ["o_orderpriority"],
+            [],
+        ],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
     )
 
@@ -732,7 +783,7 @@ def scalar_array_funcs(spark, sf_dir):
 
 
 @q(
-    "scalar_math_funcs",
+    "scalar_math_conditional",
     """
     SELECT l_orderkey, l_linenumber,
            round(sqrt(l_quantity), 6) AS sqrt_qty,
@@ -741,11 +792,17 @@ def scalar_array_funcs(spark, sf_dir):
            abs(l_quantity - 25.0) AS dev_from_25,
            CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
            CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_div7,
-           round(mod(l_extendedprice, 97.0), 6) AS price_mod
+           round(mod(l_extendedprice, 97.0), 6) AS price_mod,
+           CASE WHEN l_discount > 0.05 THEN 'deep' WHEN l_discount > 0 THEN 'some'
+                ELSE 'none' END AS disc_band,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_quantity, 10.0) AS capped_qty,
+           coalesce(nullif(l_returnflag, 'N'), 'kept') AS flag_or_kept
     FROM lineitem
     """,
 )
-def scalar_math_funcs(spark, sf_dir):
+def scalar_math_conditional(spark, sf_dir):
+    """B19 math functions + conditional expressions (same lineitem grain)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",
@@ -756,65 +813,6 @@ def scalar_math_funcs(spark, sf_dir):
         F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
         F.floor(F.col("l_quantity") / 7.0).cast("long").alias("qty_div7"),
         F.round(F.col("l_extendedprice") % 97.0, 6).alias("price_mod"),
-    )
-
-
-@q(
-    "window_ntile_cume",
-    """
-    SELECT s_suppkey,
-           ntile(4) OVER w AS quartile,
-           round(cume_dist() OVER w, 6) AS cume,
-           round(percent_rank() OVER w, 6) AS prank
-    FROM supplier
-    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC)
-    """,
-)
-def window_ntile_cume(spark, sf_dir):
-    s = _t(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
-    return s.select(
-        "s_suppkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-    )
-
-
-@q(
-    "intersect_partkeys",
-    """
-    SELECT l_partkey AS partkey FROM lineitem
-    INTERSECT
-    SELECT p_partkey AS partkey FROM part WHERE p_size <= 25
-    """,
-)
-def intersect_partkeys(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
-    p = (
-        _t(spark, sf_dir, "part")
-        .where(F.col("p_size") <= 25)
-        .select(F.col("p_partkey").alias("partkey"))
-    )
-    return li.intersect(p)
-
-
-@q(
-    "conditional_exprs",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CASE WHEN l_discount > 0.05 THEN 'deep' WHEN l_discount > 0 THEN 'some'
-                ELSE 'none' END AS disc_band,
-           greatest(l_tax, l_discount) AS max_rate,
-           least(l_quantity, 10.0) AS capped_qty,
-           coalesce(nullif(l_returnflag, 'N'), 'kept') AS flag_or_kept
-    FROM lineitem
-    """,
-)
-def conditional_exprs(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey", "l_linenumber",
         F.when(F.col("l_discount") > 0.05, "deep")
         .when(F.col("l_discount") > 0, "some")
         .otherwise("none").alias("disc_band"),
@@ -827,24 +825,36 @@ def conditional_exprs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# B8: dense rank window
+# B8: rank / ntile / cume_dist / percent_rank window suite
 # ---------------------------------------------------------------------------
 
 @q(
-    "rank_suppliers_by_balance",
+    "window_rank_suite",
     """
     SELECT s_suppkey, s_nationkey,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(percent_rank() OVER w, 6) AS prank,
            dense_rank() OVER (PARTITION BY s_nationkey
                               ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
     FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC)
     """,
 )
-def rank_suppliers_by_balance(spark, sf_dir):
+def window_rank_suite(spark, sf_dir):
+    """B8: global ntile/cume_dist/percent_rank + per-nation dense_rank."""
     s = _t(spark, sf_dir, "supplier")
-    w = Window.partitionBy("s_nationkey").orderBy(
+    wg = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    wn = Window.partitionBy("s_nationkey").orderBy(
         F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
     )
-    return s.select("s_suppkey", "s_nationkey", F.dense_rank().over(w).alias("rnk"))
+    return s.select(
+        "s_suppkey", "s_nationkey",
+        F.ntile(4).over(wg).alias("quartile"),
+        F.round(F.cume_dist().over(wg), 6).alias("cume"),
+        F.round(F.percent_rank().over(wg), 6).alias("prank"),
+        F.dense_rank().over(wn).alias("rnk"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -937,29 +947,7 @@ def dedup_exact_documents(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @q(
-    "text_token_stats",
-    r"""
-    SELECT doc_id,
-           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '')) AS n_tokens,
-           length(text) AS n_chars
-    FROM documents
-    """,
-)
-def text_token_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
-    )
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
-    )
-
-
-@q(
-    "text_quality_score",
+    "text_token_quality",
     r"""
     WITH t AS (
       SELECT doc_id, text, length(text) AS n_chars,
@@ -967,6 +955,8 @@ def text_token_stats(spark, sf_dir):
                          x -> x <> '') AS toks
       FROM documents)
     SELECT doc_id,
+           len(toks) AS n_tokens,
+           n_chars,
            round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
                  / greatest(n_chars, 1), 4) AS punct_ratio,
            round(len(list_filter(toks,
@@ -976,7 +966,9 @@ def text_token_stats(spark, sf_dir):
     FROM t
     """,
 )
-def text_quality_score(spark, sf_dir):
+def text_token_quality(spark, sf_dir):
+    """Token counting + quality scoring (length/punct/stopword ratios) over
+    the documents table, one projection — all JVM-side expressions."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
@@ -988,6 +980,8 @@ def text_quality_score(spark, sf_dir):
     punct_removed = F.regexp_replace(F.col("text"), "[.,;:!?]", "")
     return d.select(
         "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
         F.round(
             (F.length("text") - F.length(punct_removed))
             / F.greatest(F.length("text"), F.lit(1)),
