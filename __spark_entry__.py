@@ -133,12 +133,29 @@ def _dict_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: BMP images + WAV audio synthesized as honest
+    container bytes, decoded with pure-numpy header parsing (BGR->gray +
+    nearest resize; PCM16 + FFT band energies). One row per (modality,
+    media_id) with the leading feature value."""
     from lyssandra_spark.functions.multimodal import (
-        attach_fake_media, decode_image_features,
+        attach_bmp_media, attach_wav_media,
+        decode_audio_features, decode_image_features,
     )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decode_image_features(attach_fake_media(d), fake=True)
+    img = decode_image_features(attach_bmp_media(d)).select(
+        F.lit("image").alias("modality"), "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round("mean_pixel", 4).alias("stat"),
+        F.round(F.element_at("feature", 1), 6).alias("feat0"),
+    )
+    aud = decode_audio_features(attach_wav_media(d)).select(
+        F.lit("audio").alias("modality"), "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round("rms", 4).alias("stat"),
+        F.round(F.element_at("band_energy", 1), 6).alias("feat0"),
+    )
+    return img.unionByName(aud)
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,19 +1,23 @@
-"""Multimodal column plumbing (image/audio/video as opaque binary columns).
+"""Multimodal columns: image/audio bytes as opaque ``binary`` columns with
+typed metadata, decoded to fixed-schema features inside ``mapInPandas``.
 
-The Spark-side machinery — schema, partition-size-aware batching, Arrow
-UDF signatures, typed metadata structs — is real and tested; the actual
-media decoding is STUBBED: the sandbox has no image/audio libraries, so
-`decode_image` raises NotImplementedError unless `fake=True`, in which
-case a deterministic fake decoder (hash-derived pixel stats) stands in so
-the full pipeline shape can be exercised end-to-end.
+The decode is REAL for the two container formats parseable with numpy
+alone — BMP (uncompressed 24-bit) and WAV (RIFF PCM16) — including
+header parsing, pixel/PCM extraction, grayscale conversion,
+nearest-neighbor resize, and FFT band energies. Formats that need a
+native codec (PNG/JPEG/MP3/H.264) raise ``NotImplementedError`` with a
+clear message, since the sandbox has no PIL/libav; the deterministic
+fake decoder remains available (``fake=True``) to exercise the pipeline
+shape for those mimes.
 
 Pattern for 100 TB media tables:
+
 - media bytes live in their own column (parquet binary; on a real lake,
   usually a pointer column + object-store fetch inside the UDF)
-- decode / feature-extract runs in `mapInPandas` with a SMALL
-  maxRecordsPerBatch (media rows are MBs, not KBs — batch by bytes, not
-  rows) and returns fixed-schema feature structs
-- downstream joins/apply are ordinary columnar ops on the features
+- decode / feature-extract runs in ``mapInPandas`` flushing sub-batches
+  bounded by BYTES, not rows (media rows are MBs; a row-count batch
+  bound would blow worker memory on large assets)
+- downstream joins/aggregations are ordinary columnar ops on the features
 """
 
 from __future__ import annotations
@@ -26,7 +30,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["attach_fake_media", "decode_image_features", "IMAGE_FEATURE_SCHEMA"]
+__all__ = [
+    "attach_bmp_media",
+    "attach_wav_media",
+    "attach_fake_media",
+    "decode_image_features",
+    "decode_audio_features",
+    "synth_bmp",
+    "synth_wav",
+    "decode_bmp",
+    "decode_wav",
+    "IMAGE_FEATURE_SCHEMA",
+    "AUDIO_FEATURE_SCHEMA",
+]
 
 IMAGE_FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -37,11 +53,239 @@ IMAGE_FEATURE_SCHEMA = T.StructType([
     T.StructField("feature", T.ArrayType(T.DoubleType()), True),
 ])
 
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_samples", T.IntegerType(), True),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zero_cross_rate", T.DoubleType(), True),
+    T.StructField("band_energy", T.ArrayType(T.DoubleType()), True),
+])
+
+
+# ---------------------------------------------------------------------------
+# Deterministic media synthesis (numpy): real container bytes, seeded by id.
+# ---------------------------------------------------------------------------
+
+def synth_bmp(media_id: int, width: int = 48, height: int = 32) -> bytes:
+    """A real uncompressed 24-bit BMP: gradient + id-hashed phase pattern."""
+    rng = np.random.default_rng(media_id)
+    x = np.linspace(0, 4 * np.pi, width)[None, :]
+    y = np.linspace(0, 4 * np.pi, height)[:, None]
+    phase = float(rng.uniform(0, 2 * np.pi))
+    g = (127.5 + 127.5 * np.sin(x + phase) * np.cos(y - phase)).astype(np.uint8)
+    img = np.stack([g, np.roll(g, 3, axis=1), np.roll(g, 7, axis=0)], axis=-1)
+    row_nbytes = (width * 3 + 3) & ~3  # each BGR row padded to 4 bytes
+    data_size = row_nbytes * height
+    header = np.zeros(54, dtype=np.uint8)
+    header[0:2] = [0x42, 0x4D]  # 'BM'
+    _put_u32(header, 2, 54 + data_size)
+    _put_u32(header, 10, 54)        # pixel data offset
+    _put_u32(header, 14, 40)        # BITMAPINFOHEADER size
+    _put_u32(header, 18, width)
+    _put_u32(header, 22, height)
+    header[26] = 1                   # planes
+    header[28] = 24                  # bpp
+    _put_u32(header, 34, data_size)
+    rows = np.zeros((height, row_nbytes), dtype=np.uint8)
+    # BMP stores rows bottom-up, channels as BGR
+    rows[:, : width * 3] = img[::-1, :, ::-1].reshape(height, width * 3)
+    return header.tobytes() + rows.tobytes()
+
+
+def synth_wav(media_id: int, n_samples: int = 4096, rate: int = 16000) -> bytes:
+    """A real RIFF/WAVE mono PCM16 clip: sine + harmonic, id-hashed pitch."""
+    rng = np.random.default_rng(media_id)
+    f0 = float(rng.uniform(80.0, 2000.0))
+    t = np.arange(n_samples) / rate
+    sig = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
+    pcm = np.clip(sig * 32767.0, -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    hdr = bytearray(44)
+    hdr[0:4] = b"RIFF"
+    hdr[4:8] = (36 + len(data)).to_bytes(4, "little")
+    hdr[8:12] = b"WAVE"
+    hdr[12:16] = b"fmt "
+    hdr[16:20] = (16).to_bytes(4, "little")
+    hdr[20:22] = (1).to_bytes(2, "little")        # PCM
+    hdr[22:24] = (1).to_bytes(2, "little")        # mono
+    hdr[24:28] = rate.to_bytes(4, "little")
+    hdr[28:32] = (rate * 2).to_bytes(4, "little")  # byte rate
+    hdr[32:34] = (2).to_bytes(2, "little")         # block align
+    hdr[34:36] = (16).to_bytes(2, "little")        # bits/sample
+    hdr[36:40] = b"data"
+    hdr[40:44] = len(data).to_bytes(4, "little")
+    return bytes(hdr) + data
+
+
+def _put_u32(buf: np.ndarray, off: int, val: int) -> None:
+    buf[off : off + 4] = np.frombuffer(
+        int(val).to_bytes(4, "little"), dtype=np.uint8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real decoders (pure numpy header parsing; no codec libraries).
+# ---------------------------------------------------------------------------
+
+def decode_bmp(buf: bytes, out_hw: tuple[int, int] = (8, 8)):
+    """Parse an uncompressed 24-bit BMP; return (w, h, mean_pixel, feature).
+
+    feature = the grayscale image nearest-neighbor-resized to ``out_hw``,
+    flattened, scaled to [0, 1] — a real decode/resize/feature-extract
+    chain with no image library.
+    """
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) < 54 or b[0] != 0x42 or b[1] != 0x4D:
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    offset = int.from_bytes(b[10:14].tobytes(), "little")
+    width = int.from_bytes(b[18:22].tobytes(), "little", signed=True)
+    height = int.from_bytes(b[22:26].tobytes(), "little", signed=True)
+    bpp = int.from_bytes(b[28:30].tobytes(), "little")
+    if bpp != 24:
+        raise NotImplementedError(f"only 24-bit BMP supported, got {bpp}")
+    row_nbytes = (width * 3 + 3) & ~3
+    px = b[offset : offset + row_nbytes * abs(height)].reshape(
+        abs(height), row_nbytes
+    )[:, : width * 3].reshape(abs(height), width, 3)
+    if height > 0:  # bottom-up storage
+        px = px[::-1]
+    # BGR -> grayscale (ITU-R 601 weights)
+    gray = (
+        0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
+    )
+    mean_pixel = float(gray.mean())
+    oh, ow = out_hw
+    ridx = np.minimum((np.arange(oh) * abs(height)) // oh, abs(height) - 1)
+    cidx = np.minimum((np.arange(ow) * width) // ow, width - 1)
+    feat = (gray[ridx][:, cidx] / 255.0).ravel()
+    return width, abs(height), mean_pixel, [float(v) for v in feat]
+
+
+def decode_wav(buf: bytes, n_bands: int = 8):
+    """Parse a RIFF PCM16 WAV; return (rate, n, rms, zcr, band_energy).
+
+    band_energy = mean |FFT| magnitude over ``n_bands`` equal-width
+    frequency bands of the first 4096 samples — a real DSP feature with
+    numpy only.
+    """
+    b = buf
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    # walk chunks to find fmt and data (robust to extra chunks)
+    pos = 12
+    rate = None
+    bits = None
+    channels = 1
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            if fmt_tag != 1:
+                raise NotImplementedError(f"only PCM WAV supported, got fmt {fmt_tag}")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"only 16-bit PCM supported, got {bits}")
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if channels > 1:
+        pcm = pcm[: len(pcm) - (len(pcm) % channels)].reshape(-1, channels).mean(1)
+    n = len(pcm)
+    rms = float(np.sqrt(np.mean(pcm**2))) if n else None
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if n > 1 else None
+    seg = pcm[:4096]
+    mag = np.abs(np.fft.rfft(seg))
+    bands = np.array_split(mag, n_bands)
+    band_energy = [float(np.mean(s)) for s in bands]
+    return rate, n, rms, zcr, band_energy
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing: attach synthesized media, decode via bytes-bounded
+# mapInPandas.
+# ---------------------------------------------------------------------------
+
+def attach_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real BMP binary column (deterministic per id) + metadata.
+
+    Synthesis runs in mapInPandas (vectorized numpy packing per row);
+    the result is an honest (media_id, media_bytes, media_meta) table.
+    """
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_bytes", T.BinaryType(), False),
+        T.StructField("media_meta", T.StructType([
+            T.StructField("mime", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]), False),
+    ])
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].to_numpy()
+            w = (ids % 64 + 16).astype(int)
+            h = (ids % 48 + 16).astype(int)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_bytes": [
+                    synth_bmp(int(i), int(wi), int(hi))
+                    for i, wi, hi in zip(ids, w, h)
+                ],
+                "media_meta": [
+                    {"mime": "image/bmp", "width": int(wi), "height": int(hi)}
+                    for wi, hi in zip(w, h)
+                ],
+            })
+
+    return src.mapInPandas(gen, schema)
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real WAV binary column (deterministic per id) + metadata."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_bytes", T.BinaryType(), False),
+        T.StructField("media_meta", T.StructType([
+            T.StructField("mime", T.StringType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+        ]), False),
+    ])
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].to_numpy()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_bytes": [
+                    synth_wav(int(i), n_samples=2048 + int(i) % 2048)
+                    for i in ids
+                ],
+                "media_meta": [
+                    {"mime": "audio/wav", "sample_rate": 16000} for _ in ids
+                ],
+            })
+
+    return src.mapInPandas(gen, schema)
+
 
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a deterministic opaque binary column (stand-in for image bytes)."""
+    """Opaque non-container bytes + a PIL-needing mime (exercises the
+    unsupported-codec path and the fake decoder)."""
     return df.select(
-        F.col(id_col).alias("media_id"),
+        F.col(id_col).cast("long").alias("media_id"),
         F.encode(
             F.concat(F.lit("IMGv1:"), F.md5(F.col(id_col).cast("string")),
                      F.repeat(F.md5(F.concat(F.lit("px"), F.col(id_col).cast("string"))), 8)),
@@ -55,8 +299,9 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _fake_decode(buf: bytes, width: int, height: int, dim: int = 8):
-    """Deterministic fake decoder: hash-derived pixel statistics."""
+def _fake_decode(buf: bytes, dim: int = 8):
+    """Deterministic fake decoder (hash-derived stats) for codec-needing
+    mimes the sandbox cannot really decode (no PIL/libvips)."""
     arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
     mean_pixel = float(arr.mean()) if len(arr) else None
     feat = [float(arr[i::dim].sum() % 255.0) for i in range(dim)] if len(arr) else None
@@ -64,34 +309,45 @@ def _fake_decode(buf: bytes, width: int, height: int, dim: int = 8):
 
 
 def decode_image_features(
-    df: DataFrame, fake: bool = True, feature_dim: int = 8,
+    df: DataFrame, fake: bool = False, feature_dim: int = 8,
     bytes_per_batch: int = 64 << 20,
 ) -> DataFrame:
-    """Decode media_bytes -> typed feature struct via mapInPandas.
+    """media_bytes -> typed image feature struct via mapInPandas.
 
-    With fake=False this raises NotImplementedError from the workers — the
-    real decoder needs PIL/libvips, absent in this sandbox. The Spark
-    plumbing (schema, batching, UDF signature) is identical either way.
+    BMP decodes for real (header parse, BGR->gray, nearest resize to
+    sqrt(feature_dim)^2). PNG/JPEG need a codec library the sandbox lacks:
+    fake=True substitutes the deterministic stand-in, fake=False raises
+    NotImplementedError for those mimes.
     """
+    # factor feature_dim into the most-square (rows, cols) grid with
+    # rows * cols == feature_dim exactly
+    side = int(feature_dim ** 0.5)
+    while side > 1 and feature_dim % side:
+        side -= 1
+    out_hw = (side, feature_dim // side)
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips (not in sandbox); "
-                    "run with fake=True for the deterministic stand-in"
-                )
             out = {"media_id": [], "width": [], "height": [], "n_bytes": [],
                    "mean_pixel": [], "feature": []}
-            # flush in sub-batches bounded by BYTES (media rows are large)
             acc_bytes = 0
             for mid, buf, meta in zip(pdf["media_id"], pdf["media_bytes"],
                                       pdf["media_meta"]):
-                mp, feat = _fake_decode(buf, meta["width"], meta["height"],
-                                        feature_dim)
+                mime = meta["mime"]
+                if mime == "image/bmp":
+                    w, h, mp, feat = decode_bmp(bytes(buf), out_hw)
+                elif fake:
+                    w, h = meta["width"], meta["height"]
+                    mp, feat = _fake_decode(buf, feature_dim)
+                else:
+                    raise NotImplementedError(
+                        f"decoding {mime} requires PIL/libvips (absent in "
+                        "this sandbox); BMP decodes natively, or pass "
+                        "fake=True for the deterministic stand-in"
+                    )
                 out["media_id"].append(mid)
-                out["width"].append(meta["width"])
-                out["height"].append(meta["height"])
+                out["width"].append(w)
+                out["height"].append(h)
                 out["n_bytes"].append(len(buf))
                 out["mean_pixel"].append(mp)
                 out["feature"].append(feat)
@@ -104,3 +360,42 @@ def decode_image_features(
                 yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, IMAGE_FEATURE_SCHEMA)
+
+
+def decode_audio_features(
+    df: DataFrame, n_bands: int = 8, bytes_per_batch: int = 64 << 20,
+) -> DataFrame:
+    """media_bytes -> typed audio feature struct (real RIFF PCM16 decode:
+    rate/length, RMS, zero-crossing rate, FFT band energies)."""
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "sample_rate": [], "n_samples": [],
+                   "n_bytes": [], "rms": [], "zero_cross_rate": [],
+                   "band_energy": []}
+            acc_bytes = 0
+            for mid, buf, meta in zip(pdf["media_id"], pdf["media_bytes"],
+                                      pdf["media_meta"]):
+                if meta["mime"] != "audio/wav":
+                    raise NotImplementedError(
+                        f"decoding {meta['mime']} requires an audio codec "
+                        "library (absent in this sandbox); WAV PCM16 "
+                        "decodes natively"
+                    )
+                rate, n, rms, zcr, bands = decode_wav(bytes(buf), n_bands)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["n_bytes"].append(len(buf))
+                out["rms"].append(rms)
+                out["zero_cross_rate"].append(zcr)
+                out["band_energy"].append(bands)
+                acc_bytes += len(buf)
+                if acc_bytes >= bytes_per_batch:
+                    yield pd.DataFrame(out)
+                    out = {k: [] for k in out}
+                    acc_bytes = 0
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, AUDIO_FEATURE_SCHEMA)

@@ -95,17 +95,51 @@ def encode_block(
     ver_out = np.full(n, -1, dtype=np.int32)
     err = np.zeros(n, dtype=np.float64)
     n_atoms = versions[0].D.shape[1] if versions else 0
-    Zfull = np.zeros((n, n_atoms), dtype=np.float64)  # sample-major for CSR pass
 
+    if algo == "bomp":
+        # sparse CSR assembly: batch_omp_sparse returns (support, zI, nsel,
+        # eps) so no (n, n_atoms) dense code matrix is ever written — the
+        # dense scatter + nonzero re-scan is ~3 KB/turn of DRAM traffic at
+        # 128 atoms, the largest single stream in the encode hot path.
+        kk = min(k, n_atoms) if n_atoms else k
+        idx_buf = np.zeros((n, kk), dtype=np.int32)
+        val_buf = np.zeros((n, kk), dtype=np.float64)
+        cnt = np.zeros(n, dtype=np.int32)
+        pos = np.arange(kk)[None, :]
+        for vi in np.unique(vidx):
+            rows = np.nonzero(vidx == vi)[0]
+            if vi < 0:
+                continue  # ts before first valid_from: no dictionary yet
+            v = versions[vi]
+            support, zI, nsel, eps = K.batch_omp_sparse(v.D, X[:, rows], k=k, G=v.G)
+            valid = (pos < nsel[:, None]) & (np.abs(zI) > 1e-12)
+            sup = np.where(valid, support.T, np.iinfo(np.int32).max).astype(np.int64)
+            order = np.argsort(sup, axis=1, kind="stable")  # ascending atom idx
+            idx_buf[rows] = np.take_along_axis(sup, order, axis=1).astype(np.int32)
+            val_buf[rows] = np.take_along_axis(np.where(valid, zI, 0.0), order, axis=1)
+            cnt[rows] = valid.sum(axis=1).astype(np.int32)
+            ver_out[rows] = v.version
+            err[rows] = np.sqrt(eps)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(cnt, out=offsets[1:])
+        keep = pos < cnt[:, None]  # row-major mask => CSR order
+        return {
+            "dict_version": ver_out,
+            "offsets": offsets,
+            "code_idx": idx_buf[keep],
+            "code_val": val_buf[keep],
+            "recon_err": err,
+            "nnz": cnt,
+        }
+
+    Zfull = np.zeros((n, n_atoms), dtype=np.float64)  # sample-major for CSR pass
     for vi in np.unique(vidx):
         rows = np.nonzero(vidx == vi)[0]
         if vi < 0:
             continue  # ts before first valid_from: no dictionary yet -> null code
         v = versions[vi]
         Xb = X[:, rows]
-        if algo == "bomp":
-            Z = K.batch_omp(v.D, Xb, k=k, G=v.G)
-        elif algo == "omp":
+        if algo == "omp":
             Z = K.omp(v.D, Xb, k=k)
         elif algo == "fista":
             Z = K.fista_lasso(v.D, Xb, lam=lam, n_iter=fista_iter, tol=fista_tol)

@@ -89,3 +89,29 @@ def test_salted_agg_spreads_hot_key(spark, sf_dir):
     plan = _plan(out)
     # phase 1 groups by (conv_id, salt): the first exchange partitions on both
     assert "hashpartitioning(conv_id" in plan and "salt" in plan
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """exact_dedup is one pass: a single Exchange on the text hash (the old
+    groupBy + join-back shape shuffled the input twice)."""
+    from lyssandra_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = exact_dedup(d)
+    assert _n_shuffles(out) == 1, _plan(out)[:2000]
+
+
+def test_minhash_lsh_banded_exchange_excludes_signature(spark, sf_dir):
+    """The banded self-join must not carry the sig array through its
+    shuffle: the exploded exchange's output schema is (id, band, bh) only;
+    signatures re-join for surviving pairs."""
+    from lyssandra_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = minhash_lsh_pairs(d, n_perm=32, bands=8)
+    plan = _plan(out)
+    # every exchange partitioned on (band, bh) must not ship a sig column
+    for chunk in plan.split("Exchange hashpartitioning(")[1:]:
+        header = chunk.splitlines()[0]
+        if header.startswith("band"):
+            assert "sig" not in header, header

@@ -94,11 +94,60 @@ def test_multimodal_fake_decode(spark, sf_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
-def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+def test_multimodal_codec_formats_raise(spark, sf_dir):
+    """PNG (needs PIL, absent) raises through the real-decode path."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
-    media = attach_fake_media(docs)
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    media = attach_fake_media(docs)  # mime=image/png, opaque bytes
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
         decode_image_features(media, fake=False).collect()
+
+
+def test_multimodal_real_bmp_decode(spark, sf_dir):
+    """REAL BMP round-trip: synthesized container bytes -> pure-numpy
+    header parse + grayscale + nearest resize; values match a local
+    decode of the same bytes exactly."""
+    import numpy as np
+
+    from lyssandra_spark.functions.multimodal import (
+        attach_bmp_media, decode_bmp, synth_bmp,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    feats = decode_image_features(attach_bmp_media(docs)).toPandas()
+    assert len(feats) == 50
+    assert feats["feature"].map(len).eq(8).all()
+    for _, r in feats.sample(5, random_state=0).iterrows():
+        mid = int(r["media_id"])
+        w, h = mid % 64 + 16, mid % 48 + 16
+        ew, eh, emp, efeat = decode_bmp(synth_bmp(mid, w, h), (2, 4))
+        assert (r["width"], r["height"]) == (ew, eh)
+        assert abs(r["mean_pixel"] - emp) < 1e-9
+        np.testing.assert_allclose(list(r["feature"]), efeat)
+
+
+def test_multimodal_real_wav_decode(spark, sf_dir):
+    """REAL WAV decode: PCM16 parse, RMS ~ known sine amplitude, FFT band
+    energy peaks in the band containing the synthesized pitch."""
+    import numpy as np
+
+    from lyssandra_spark.functions.multimodal import (
+        attach_wav_media, decode_audio_features, decode_wav, synth_wav,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    feats = decode_audio_features(attach_wav_media(docs)).toPandas()
+    assert len(feats) == 50
+    assert (feats["sample_rate"] == 16000).all()
+    # 0.6 sin + 0.25 harmonic -> rms = sqrt(0.6^2/2 + 0.25^2/2) ~ 0.4596
+    assert feats["rms"].between(0.40, 0.52).all()
+    for _, r in feats.sample(5, random_state=1).iterrows():
+        mid = int(r["media_id"])
+        rate, n, rms, zcr, bands = decode_wav(
+            synth_wav(mid, n_samples=2048 + mid % 2048)
+        )
+        assert (r["sample_rate"], r["n_samples"]) == (rate, n)
+        assert abs(r["rms"] - rms) < 1e-12
+        np.testing.assert_allclose(list(r["band_energy"]), bands)
 
 
 def test_stateful_sessionize_matches_batch(spark, tpath):
