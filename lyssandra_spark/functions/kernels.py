@@ -33,6 +33,8 @@ No scipy (absent in the sandbox): ``numpy.linalg`` only.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = [
@@ -156,7 +158,7 @@ def batch_omp(
     k: int,
     tol: float = 0.0,
     G: np.ndarray | None = None,
-    block: int = 256,
+    block: int | None = None,
 ) -> np.ndarray:
     """Batch-OMP: same output as :func:`omp`, amortizing G = D^T D across samples.
 
@@ -193,7 +195,7 @@ def batch_omp_sparse(
     k: int,
     tol: float = 0.0,
     G: np.ndarray | None = None,
-    block: int = 256,
+    block: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Batch-OMP returning the sparse form directly — no (n_atoms, n) dense
     code matrix is ever materialized.
@@ -212,6 +214,8 @@ def batch_omp_sparse(
     d, m = D.shape
     n = X.shape[1]
     k = min(k, m)
+    if block is None:
+        block = int(os.environ.get("LYSSANDRA_OMP_BLOCK", "256"))
     if G is None:
         G = D.T @ D
     else:
