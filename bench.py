@@ -124,9 +124,9 @@ def run_bench(spark, sf_dir: str) -> dict:
         }
     timed("encode_fista", lambda: _force(
         sparse_code(tmin, versions, algo="fista", lam=0.1, fista_iter=100,
-                    fista_tol=1e-7, drop_text=True)))
+                    fista_tol=1e-7, drop_text=True)), reps=2)
     timed("encode_llc", lambda: _force(
-        sparse_code(tmin, versions, algo="llc", knn=5, drop_text=True)))
+        sparse_code(tmin, versions, algo="llc", knn=5, drop_text=True)), reps=2)
 
     timed("window_suite", lambda: _force(
         rolling(
@@ -136,14 +136,15 @@ def run_bench(spark, sf_dir: str) -> dict:
                     1800, part="conv_id", ts_col="ts"),
                 "role", part="conv_id", order="turn_idx"),
             "turn_idx", 5, part="conv_id", order="turn_idx")
-        .select("conv_id", "turn_idx", "session_id", "role", "avg_turn_idx_5")))
+        .select("conv_id", "turn_idx", "session_id", "role", "avg_turn_idx_5")),
+        reps=2)
 
     timed("asof_backward", lambda: _force(
-        Q.SPARK_QUERIES["asof_backward_latest_order"](spark, sf_dir)))
+        Q.SPARK_QUERIES["asof_backward_latest_order"](spark, sf_dir)), reps=2)
     timed("agg_pricing", lambda: _force(
-        Q.SPARK_QUERIES["agg_pricing_summary"](spark, sf_dir)))
+        Q.SPARK_QUERIES["agg_pricing_summary"](spark, sf_dir)), reps=2)
     timed("knn_cosine", lambda: _force(
-        Q.SPARK_QUERIES["knn_cosine_topk"](spark, sf_dir)))
+        Q.SPARK_QUERIES["knn_cosine_topk"](spark, sf_dir)), reps=2)
 
     t.unpersist()
     encode_sec = timings["encode_batch_omp"]

@@ -36,10 +36,15 @@ __all__ = [
 ]
 
 # Logical-clock validity boundaries (never wall-clock): v1 covers everything,
-# v2/v3 fall inside the testdata's 2024-01 event window so version changes
-# land mid-conversation for many conv_ids (the adversarial leakage setup).
+# v2/v3 fall inside the synthesized transcripts' actual ts range so version
+# changes land mid-conversation for many conv_ids (the adversarial leakage
+# setup). Transcript bases are each user's MIN event ts (+2h per extra
+# conversation), which concentrates on 2024-01-01 at every sf — boundaries
+# at 08:00/20:00 that day split real conversations across all 3 versions,
+# so the driver-visible encode summaries exercise multi-version
+# point-in-time resolution, not just v1.
 EPOCH_V1 = "2023-01-01 00:00:00"
-VERSION_BOUNDARIES = [EPOCH_V1, "2024-01-10 00:00:00", "2024-01-20 00:00:00"]
+VERSION_BOUNDARIES = [EPOCH_V1, "2024-01-01 08:00:00", "2024-01-01 20:00:00"]
 
 HOT_TURNS = 1400  # ~100x the median conversation length (skew fixture, B16)
 
@@ -210,7 +215,14 @@ def dict_versions_from_df(df: DataFrame) -> list[DictVersion]:
     rows = df.select("dict_id", "version", "valid_from", "atoms").collect()
     out = []
     for r in sorted(rows, key=lambda r: r["version"]):
-        D = np.asarray(r["atoms"], dtype=np.float64).T  # (dim, n_atoms)
+        # ascontiguousarray: atoms round-trip as rows, so .T alone would be
+        # a non-contiguous view; BLAS then takes a different GEMM path for
+        # D.T @ D and the Gram (hence codes/residuals) would differ from
+        # the originally-built version in the last ulp. Restoring the
+        # original memory layout keeps the round-trip bit-identical.
+        D = np.ascontiguousarray(
+            np.asarray(r["atoms"], dtype=np.float64).T  # (dim, n_atoms)
+        )
         ts = r["valid_from"]
         import datetime as dt
 

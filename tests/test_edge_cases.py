@@ -35,8 +35,16 @@ def test_encode_null_and_empty_text(spark, versions):
     assert out["nnz"].tolist()[:2] == [0, 0]
     assert out["nnz"][3] == 0  # 2 chars < 4-byte ngram window
     assert out["nnz"][2] > 0
-    # 2024-01-15 falls between boundary v2 (01-10) and v3 (01-20)
-    assert (out["dict_version"] == 2).all()
+    # expected version derived from the boundaries, not hardcoded
+    import datetime as _dt
+
+    from lyssandra_spark.sources import synth as _synth
+
+    ts = _dt.datetime(2024, 1, 15)
+    exp_ver = sum(
+        1 for b in _synth.VERSION_BOUNDARIES if _dt.datetime.fromisoformat(b) <= ts
+    )
+    assert (out["dict_version"] == exp_ver).all()
 
 
 def test_encode_empty_dataframe(spark, versions):

@@ -81,3 +81,16 @@ def test_ivf_deterministic_across_repartition(spark, emb):
     b = S.ivf_topk(emb.repartition(17), q, k=5, n_cells=8, nprobe=4).toPandas()
     key = lambda df: sorted(map(tuple, df[["qid", "vec_id", "rk"]].to_numpy()))  # noqa: E731
     assert key(a) == key(b)
+
+
+def test_vectorized_matches_bruteforce(spark, emb, emb_np):
+    """cosine_topk_vectorized must equal the JVM brute force exactly
+    (same top-k sets, same ranks, sims allclose) across partitionings."""
+    q = emb.where(F.col("vec_id") < 12)
+    a = S.cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    b = S.cosine_topk_vectorized(emb.repartition(7), q, k=5).toPandas()
+    a = a.sort_values(["qid", "rk"]).reset_index(drop=True)
+    b = b.sort_values(["qid", "rk"]).reset_index(drop=True)
+    assert a[["qid", "vec_id", "rk"]].values.tolist() == \
+        b[["qid", "vec_id", "rk"]].values.tolist()
+    np.testing.assert_allclose(a["cos_sim"], b["cos_sim"], rtol=1e-9)
