@@ -202,3 +202,15 @@ def test_asof_auto_strategy(spark, facts, dim):
         assert "BroadcastHashJoin" not in plan2
     finally:
         spark.conf.unset("lyssandra.asof.broadcastRowLimit")
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_nearest_with_tolerance(spark, facts, dim, strategy):
+    """nearest composes backward+forward; tolerance must reject far
+    matches on BOTH sides under either strategy."""
+    fdf, fpdf = facts
+    ddf, dpdf = dim
+    got = asof_join(fdf, ddf, on="k", ts_col="ts", valid_col="valid_from",
+                    direction="nearest", strategy=strategy,
+                    tolerance=F.expr("INTERVAL 400 MINUTES"))
+    assert _got(got, fpdf) == _oracle(fpdf, dpdf, "nearest", tol_minutes=400)
