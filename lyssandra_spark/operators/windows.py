@@ -13,9 +13,12 @@ have skew-proof variants (:func:`with_lag_bucketed`,
 :func:`rolling_bucketed`) that split each key into
 (key, order div bucket_size) partitions with n overlap rows — exact same
 results (tested), bounded task size regardless of key skew.
-Unbounded-lookback ops (sessionize, ffill) are inherently sequential per
-key; at 10^12-turn scale run them per (conv_id, ts-day) and stitch, or
-accept one task per key with bounded conversation length.
+UNBOUNDED-lookback ops (sessionize's running cumsum, ffill's
+last-non-null) have segmented-scan variants
+(:func:`sessionize_bucketed`, :func:`ffill_bucketed`): a local pass per
+(key, bucket) plus a one-row-per-bucket per-key summary window — exact
+same results (tested), so no key ever serializes a task longer than
+bucket_size rows even at 10^12-turn scale.
 """
 
 from __future__ import annotations
@@ -27,7 +30,9 @@ __all__ = [
     "with_lag",
     "with_lead",
     "sessionize",
+    "sessionize_bucketed",
     "ffill",
+    "ffill_bucketed",
     "bfill",
     "rolling",
     "dedup_latest",
@@ -204,6 +209,108 @@ def rolling_bucketed(
     for a in aggs:
         out = out.withColumn(f"{a}_{col}_{n}", getattr(F, a)(col).over(w))
     return out.where(~F.col("__ctx")).drop("__bkt", "__ctx")
+
+
+def sessionize_bucketed(
+    df: DataFrame, gap_seconds: int = 1800, part="conv_id",
+    ts_col: str = "ts", order_col: str = "turn_idx",
+    bucket_size: int = 4096, out_col: str = "session_id",
+) -> DataFrame:
+    """Skew-proof sessionize for UNBOUNDED-lookback cumsum (B16).
+
+    Plain :func:`sessionize` puts a whole key on one task (and AQE never
+    splits a skewed window partition), so a 10^6-turn conversation
+    serializes. This is the classic segmented scan: a local pass per
+    (key, order_col div bucket_size) computes within-bucket gap flags and
+    their running sum, then ONE ROW PER BUCKET (first/last ts, flag count)
+    flows through a per-key window — thousands of rows, not billions — to
+    produce each bucket's session-id offset (internal flags of earlier
+    buckets + boundary-gap flags), joined back and added. EXACTLY equal to
+    :func:`sessionize` (tested, incl. the hot conversation); requires
+    `order_col` to be ts-monotone integers per key (turn_idx is).
+    """
+    part = [part] if isinstance(part, str) else list(part)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    b = df.withColumn("__bkt", (F.col(order_col) / bucket_size).cast("long"))
+    wl = Window.partitionBy(*part, "__bkt").orderBy(order_col)
+    gap = sec - F.lag(sec).over(wl)
+    flag = F.when(gap > F.lit(float(gap_seconds)), 1).otherwise(0)
+    local = b.withColumn(
+        "__lsid", F.sum(flag).over(wl.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    summaries = local.groupBy(*part, "__bkt").agg(
+        F.min(sec).alias("__first"),
+        F.max(sec).alias("__last"),
+        F.max("__lsid").alias("__nflags"),
+    )
+    ws = Window.partitionBy(*part).orderBy("__bkt")
+    bflag = F.when(
+        (F.col("__first") - F.lag("__last").over(ws)) > F.lit(float(gap_seconds)),
+        1,
+    ).otherwise(0)
+    offsets = summaries.withColumn("__bflag", bflag).select(
+        *part,
+        "__bkt",
+        (
+            F.coalesce(
+                F.sum("__nflags").over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.sum("__bflag").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("__off"),
+    )
+    out = local.join(offsets, [*part, "__bkt"])
+    return out.withColumn(
+        out_col, (F.col("__lsid") + F.col("__off")).cast("int")
+    ).drop("__bkt", "__lsid", "__off")
+
+
+def ffill_bucketed(
+    df: DataFrame, cols, part="conv_id", order_col: str = "turn_idx",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Skew-proof forward-fill (B16), same segmented-scan shape as
+    :func:`sessionize_bucketed`: fill within (key, bucket) locally, carry
+    each bucket's last non-null through a one-row-per-bucket per-key
+    window, coalesce. EXACTLY equal to :func:`ffill` (tested); requires
+    integer `order_col` per key.
+    """
+    part = [part] if isinstance(part, str) else list(part)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    b = df.withColumn("__bkt", (F.col(order_col) / bucket_size).cast("long"))
+    wl = (
+        Window.partitionBy(*part, "__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b
+    for c in cols:
+        local = local.withColumn(c, F.last(c, ignorenulls=True).over(wl))
+    summaries = local.groupBy(*part, "__bkt").agg(
+        *[
+            F.max_by(c, F.when(F.col(c).isNotNull(), F.col(order_col))).alias(
+                f"__blast_{c}"
+            )
+            for c in cols
+        ]
+    )
+    ws = Window.partitionBy(*part).orderBy("__bkt")
+    carries = summaries.select(
+        *part,
+        "__bkt",
+        *[
+            F.last(f"__blast_{c}", ignorenulls=True)
+            .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+            .alias(f"__carry_{c}")
+            for c in cols
+        ],
+    )
+    out = local.join(carries, [*part, "__bkt"])
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__carry_{c}")))
+    return out.drop("__bkt", *[f"__carry_{c}" for c in cols])
 
 
 def with_salt(df: DataFrame, n_buckets: int = 16, cols=("conv_id", "turn_idx"),

@@ -55,3 +55,38 @@ def test_bucketed_partitions_are_bounded(spark, hot):
 def test_lookback_must_fit(spark, hot):
     with pytest.raises(ValueError):
         W.with_lag_bucketed(hot, "v", n=64, bucket_size=64)
+
+
+@pytest.mark.parametrize("bucket_size", [64, 257, 4096])
+def test_sessionize_bucketed_equals_plain(spark, hot, bucket_size):
+    """Segmented-scan sessionize == plain unbounded cumsum, incl. the hot
+    conversation and session boundaries that land on bucket boundaries."""
+    plain = W.sessionize(hot, 1800, part="conv_id", ts_col="ts")
+    buck = W.sessionize_bucketed(hot, 1800, part="conv_id", ts_col="ts",
+                                 order_col="turn_idx", bucket_size=bucket_size)
+    pd.testing.assert_frame_equal(
+        _sorted(plain, ["session_id"]), _sorted(buck, ["session_id"])
+    )
+
+
+@pytest.mark.parametrize("bucket_size", [64, 300])
+def test_ffill_bucketed_equals_plain(spark, hot, bucket_size):
+    """Bucketed forward-fill == plain, incl. null runs that span multiple
+    buckets (role has ~5% nulls; also null out a long stretch)."""
+    src = hot.withColumn(
+        "role2",
+        F.when((F.col("turn_idx") > 100) & (F.col("turn_idx") < 600),
+               F.lit(None).cast("string")).otherwise(F.col("role")),
+    )
+    plain = W.ffill(src, "role2", part="conv_id", order="turn_idx")
+    buck = W.ffill_bucketed(src, "role2", part="conv_id",
+                            order_col="turn_idx", bucket_size=bucket_size)
+    pd.testing.assert_frame_equal(
+        _sorted(plain, ["role2"]), _sorted(buck, ["role2"])
+    )
+
+
+def test_sessionize_bucketed_partition_bounded(spark, hot):
+    buck = W.sessionize_bucketed(hot, 1800, bucket_size=64)
+    plan = buck._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan
