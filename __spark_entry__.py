@@ -133,29 +133,39 @@ def _dict_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL multimodal decode: BMP images + WAV audio synthesized as honest
-    container bytes, decoded with pure-numpy header parsing (BGR->gray +
-    nearest resize; PCM16 + FFT band energies). One row per (modality,
-    media_id) with the leading feature value."""
+    """REAL multimodal decode: BMP images, WAV audio, and BMV1 video
+    synthesized as honest container bytes, decoded with pure-numpy header
+    parsing (BGR->gray + nearest resize; PCM16 + FFT band energies;
+    every-4th-frame sampling). One row per (modality, media_id[, frame])
+    with the leading feature value."""
     from lyssandra_spark.functions.multimodal import (
-        attach_bmp_media, attach_wav_media,
-        decode_audio_features, decode_image_features,
+        attach_bmp_media, attach_video_media, attach_wav_media,
+        decode_audio_features, decode_image_features, sample_video_frames,
     )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     img = decode_image_features(attach_bmp_media(d)).select(
         F.lit("image").alias("modality"), "media_id",
-        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.lit(0).cast("int").alias("item_idx"),
         F.round("mean_pixel", 4).alias("stat"),
         F.round(F.element_at("feature", 1), 6).alias("feat0"),
     )
     aud = decode_audio_features(attach_wav_media(d)).select(
         F.lit("audio").alias("modality"), "media_id",
-        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.lit(0).cast("int").alias("item_idx"),
         F.round("rms", 4).alias("stat"),
         F.round(F.element_at("band_energy", 1), 6).alias("feat0"),
     )
-    return img.unionByName(aud)
+    vid = sample_video_frames(
+        attach_video_media(d.where(F.col("doc_id") % 5 == 0)), every_nth=4
+    ).select(
+        F.lit("video").alias("modality"),
+        "media_id",
+        F.col("frame_idx").alias("item_idx"),
+        F.round("mean_pixel", 4).alias("stat"),
+        F.round(F.element_at("feature", 1), 6).alias("feat0"),
+    )
+    return img.unionByName(aud).unionByName(vid)
 
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,15 +33,19 @@ from pyspark.sql import types as T
 __all__ = [
     "attach_bmp_media",
     "attach_wav_media",
+    "attach_video_media",
     "attach_fake_media",
     "decode_image_features",
     "decode_audio_features",
+    "sample_video_frames",
     "synth_bmp",
     "synth_wav",
+    "synth_video",
     "decode_bmp",
     "decode_wav",
     "IMAGE_FEATURE_SCHEMA",
     "AUDIO_FEATURE_SCHEMA",
+    "FRAME_FEATURE_SCHEMA",
 ]
 
 IMAGE_FEATURE_SCHEMA = T.StructType([
@@ -49,6 +53,16 @@ IMAGE_FEATURE_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
     T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("mean_pixel", T.DoubleType(), True),
+    T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+])
+
+FRAME_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
     T.StructField("mean_pixel", T.DoubleType(), True),
     T.StructField("feature", T.ArrayType(T.DoubleType()), True),
 ])
@@ -117,6 +131,33 @@ def synth_wav(media_id: int, n_samples: int = 4096, rate: int = 16000) -> bytes:
     hdr[36:40] = b"data"
     hdr[40:44] = len(data).to_bytes(4, "little")
     return bytes(hdr) + data
+
+
+VIDEO_MAGIC = b"BMV1"
+
+
+def synth_video(media_id: int, n_frames: int = 12, width: int = 32,
+                height: int = 24) -> bytes:
+    """A simple real video container: magic + u32 frame count, then
+    length-prefixed BMP frames (per-frame content varies with frame idx)."""
+    parts = [VIDEO_MAGIC, int(n_frames).to_bytes(4, "little")]
+    for f in range(n_frames):
+        frame = synth_bmp(media_id * 1009 + f, width, height)
+        parts.append(len(frame).to_bytes(4, "little"))
+        parts.append(frame)
+    return b"".join(parts)
+
+
+def _iter_video_frames(buf: bytes):
+    """Yield (frame_idx, n_frames, bmp_bytes) without copying the container."""
+    if buf[:4] != VIDEO_MAGIC:
+        raise ValueError("not a BMV1 video container")
+    n_frames = int.from_bytes(buf[4:8], "little")
+    pos = 8
+    for f in range(n_frames):
+        size = int.from_bytes(buf[pos : pos + 4], "little")
+        yield f, n_frames, buf[pos + 4 : pos + 4 + size]
+        pos += 4 + size
 
 
 def _put_u32(buf: np.ndarray, off: int, val: int) -> None:
@@ -279,6 +320,83 @@ def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             })
 
     return src.mapInPandas(gen, schema)
+
+
+def attach_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real BMV1 video column (length-prefixed BMP frames)."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_bytes", T.BinaryType(), False),
+        T.StructField("media_meta", T.StructType([
+            T.StructField("mime", T.StringType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+        ]), False),
+    ])
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["media_id"].to_numpy()
+            nf = (ids % 10 + 6).astype(int)
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_bytes": [
+                    synth_video(int(i), int(n)) for i, n in zip(ids, nf)
+                ],
+                "media_meta": [
+                    {"mime": "video/x-bmv1", "n_frames": int(n)} for n in nf
+                ],
+            })
+
+    return src.mapInPandas(gen, schema)
+
+
+def sample_video_frames(
+    df: DataFrame, every_nth: int = 4, feature_dim: int = 8,
+    bytes_per_batch: int = 64 << 20,
+) -> DataFrame:
+    """Frame-sample a video column: decode every Nth frame (always
+    including frame 0) to image features — one output row per sampled
+    frame. Real decode (BMV1 container walk + BMP parse); the bytes-bounded
+    sub-batching is what keeps worker memory flat when rows are MB-scale."""
+    side = int(feature_dim ** 0.5)
+    while side > 1 and feature_dim % side:
+        side -= 1
+    out_hw = (side, feature_dim // side)
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "n_frames": [],
+                   "width": [], "height": [], "mean_pixel": [], "feature": []}
+            acc = 0
+            for mid, buf, meta in zip(pdf["media_id"], pdf["media_bytes"],
+                                      pdf["media_meta"]):
+                if meta["mime"] != "video/x-bmv1":
+                    raise NotImplementedError(
+                        f"decoding {meta['mime']} requires a video codec "
+                        "library (absent in this sandbox); BMV1 "
+                        "(length-prefixed BMP frames) decodes natively"
+                    )
+                for fidx, n_frames, frame in _iter_video_frames(bytes(buf)):
+                    if fidx % every_nth:
+                        continue
+                    w, h, mp, feat = decode_bmp(frame, out_hw)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fidx)
+                    out["n_frames"].append(n_frames)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_pixel"].append(mp)
+                    out["feature"].append(feat)
+                    acc += len(frame)
+                if acc >= bytes_per_batch:
+                    yield pd.DataFrame(out)
+                    out = {k: [] for k in out}
+                    acc = 0
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(sample, FRAME_FEATURE_SCHEMA)
 
 
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -167,3 +167,32 @@ def test_stateful_sessionize_matches_batch(spark, tpath):
         ["conv_id", "turn_idx"]).reset_index(drop=True)
     e = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_multimodal_video_frame_sampling(spark, sf_dir):
+    """REAL video frame-sampling: BMV1 container walk + BMP decode of every
+    Nth frame; counts and values match a local decode of the same bytes."""
+    import numpy as np
+
+    from lyssandra_spark.functions.multimodal import (
+        _iter_video_frames, attach_video_media, decode_bmp,
+        sample_video_frames, synth_video,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    frames = sample_video_frames(attach_video_media(docs), every_nth=3).toPandas()
+    # every video contributes ceil(n_frames / 3) sampled frames
+    got_counts = frames.groupby("media_id").size()
+    for mid, cnt in got_counts.items():
+        n_frames = int(mid) % 10 + 6
+        assert cnt == -(-n_frames // 3), (mid, cnt, n_frames)
+    assert (frames["frame_idx"] % 3 == 0).all()
+    # spot-check values against a local decode of the same container
+    r = frames[frames["frame_idx"] == 3].iloc[0]
+    mid = int(r["media_id"])
+    for fidx, _, frame in _iter_video_frames(synth_video(mid, mid % 10 + 6)):
+        if fidx == 3:
+            w, h, mp, feat = decode_bmp(frame, (2, 4))
+    assert (r["width"], r["height"]) == (w, h)
+    assert abs(r["mean_pixel"] - mp) < 1e-9
+    np.testing.assert_allclose(list(r["feature"]), feat)
