@@ -64,7 +64,10 @@ def pool_codes(
             F.array_sort(F.collect_list(F.struct("i", "pv")))
         ).alias("__m")
     )
-    out = grouped.join(counts, part)
+    # LEFT join from counts: a group whose every row has an EMPTY code
+    # array contributes no exploded pairs, so `grouped` misses it — it
+    # must still pool to the zero vector, not silently disappear.
+    out = counts.join(grouped, part, "left")
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(n_atoms - 1)),
         lambda i: F.coalesce(
@@ -111,7 +114,8 @@ def ridge_probe(
         for batch in it:
             if batch.num_rows == 0:
                 continue
-            X = np.asarray(batch.column(0).to_pylist(), dtype=np.float64)
+            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(batch.num_rows, -1)  # fixed-length vectors
             y = batch.column(1).to_numpy(zero_copy_only=False)
             Xb = np.concatenate([X, np.ones((len(X), 1))], axis=1)
             xtx += Xb.T @ Xb

@@ -19,7 +19,7 @@ from lyssandra_spark.operators.encode import sparse_code
 from lyssandra_spark.sources.synth import DictVersion
 
 __all__ = ["read_transcript_stream", "encode_stream", "session_agg_stream",
-           "tumbling_agg_stream"]
+           "tumbling_agg_stream", "dedup_stream"]
 
 
 def read_transcript_stream(
@@ -91,6 +91,22 @@ def stateful_sessionize_stream(sdf: DataFrame, gap_seconds: int = 1800) -> DataF
     )
     return src.groupBy("conv_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def dedup_stream(
+    sdf: DataFrame, keys=("conv_id", "turn_idx"), ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming idempotent re-ingest (B7 on a stream): drop duplicate
+    (conv_id, turn_idx) arrivals with bounded state via
+    ``dropDuplicatesWithinWatermark`` — duplicates arriving within the
+    watermark window are suppressed, and state for keys older than the
+    watermark is evicted (the property that keeps this runnable forever at
+    ingest scale; a plain dropDuplicates on a stream retains ALL keys)."""
+    sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
     )
 
 

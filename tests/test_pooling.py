@@ -93,3 +93,19 @@ def test_ridge_probe_stats_are_partition_invariant(spark, coded):
     w2, a2 = ridge_probe(pooled.repartition(9), dim=N_ATOMS)
     np.testing.assert_allclose(w1, w2, rtol=1e-9, atol=1e-12)
     assert a1 == a2
+
+
+def test_pool_keeps_all_empty_code_groups(spark):
+    """A group whose rows ALL have empty code arrays must pool to the zero
+    vector, not vanish (explode drops its pairs entirely)."""
+    pdf = pd.DataFrame({
+        "conv_id": ["a", "a", "b"],
+        "session_id": [0, 0, 0],
+        "code_idx": [[], [], [1, 2]],
+        "code_val": [[], [], [0.5, -0.5]],
+    })
+    got = pool_codes(spark.createDataFrame(pdf), 4).toPandas()
+    assert len(got) == 2
+    a = got[got.conv_id == "a"].iloc[0]
+    assert list(a["pooled"]) == [0.0, 0.0, 0.0, 0.0]
+    assert a["n_pooled"] == 2

@@ -196,3 +196,17 @@ def test_multimodal_video_frame_sampling(spark, sf_dir):
     assert (r["width"], r["height"]) == (w, h)
     assert abs(r["mean_pixel"] - mp) < 1e-9
     np.testing.assert_allclose(list(r["feature"]), feat)
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming dropDuplicatesWithinWatermark == batch dedup on a
+    re-ingested (duplicated) transcript table: one row per (conv, turn)."""
+    p = str(tmp_path_factory.mktemp("stream_dup") / "dup")
+    dup = synth.transcripts(spark, sf_dir, with_dups=True).limit(3000)
+    dup.coalesce(3).write.parquet(p)
+    batch_df = spark.read.parquet(p)
+    sdf = ST.read_transcript_stream(spark, p, batch_df.schema)
+    got = _run_stream(spark, ST.dedup_stream(sdf), "dedup_stream").toPandas()
+    exp_n = batch_df.select("conv_id", "turn_idx").distinct().count()
+    assert len(got) == exp_n
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
