@@ -82,6 +82,14 @@ AUDIO_FEATURE_SCHEMA = T.StructType([
 # Deterministic media synthesis (numpy): real container bytes, seeded by id.
 # ---------------------------------------------------------------------------
 
+def _out_hw(feature_dim: int) -> tuple[int, int]:
+    """Most-square (rows, cols) grid with rows * cols == feature_dim."""
+    side = int(feature_dim ** 0.5)
+    while side > 1 and feature_dim % side:
+        side -= 1
+    return side, feature_dim // side
+
+
 def synth_bmp(media_id: int, width: int = 48, height: int = 32) -> bytes:
     """A real uncompressed 24-bit BMP: gradient + id-hashed phase pattern."""
     rng = np.random.default_rng(media_id)
@@ -244,7 +252,14 @@ def decode_wav(buf: bytes, n_bands: int = 8):
     n = len(pcm)
     rms = float(np.sqrt(np.mean(pcm**2))) if n else None
     zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if n > 1 else None
+    if n == 0:
+        return rate, n, rms, zcr, None
+    # zero-pad very short clips so every FFT band is non-empty (an empty
+    # data chunk would make rfft raise; 1..~2*n_bands samples would leave
+    # empty np.array_split bands -> NaN means)
     seg = pcm[:4096]
+    if len(seg) < 2 * n_bands:
+        seg = np.pad(seg, (0, 2 * n_bands - len(seg)))
     mag = np.abs(np.fft.rfft(seg))
     bands = np.array_split(mag, n_bands)
     band_energy = [float(np.mean(s)) for s in bands]
@@ -359,10 +374,7 @@ def sample_video_frames(
     including frame 0) to image features — one output row per sampled
     frame. Real decode (BMV1 container walk + BMP parse); the bytes-bounded
     sub-batching is what keeps worker memory flat when rows are MB-scale."""
-    side = int(feature_dim ** 0.5)
-    while side > 1 and feature_dim % side:
-        side -= 1
-    out_hw = (side, feature_dim // side)
+    out_hw = _out_hw(feature_dim)
 
     def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -437,12 +449,7 @@ def decode_image_features(
     fake=True substitutes the deterministic stand-in, fake=False raises
     NotImplementedError for those mimes.
     """
-    # factor feature_dim into the most-square (rows, cols) grid with
-    # rows * cols == feature_dim exactly
-    side = int(feature_dim ** 0.5)
-    while side > 1 and feature_dim % side:
-        side -= 1
-    out_hw = (side, feature_dim // side)
+    out_hw = _out_hw(feature_dim)
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -51,6 +51,7 @@ def asof_join(
     strategy: str = "broadcast",
     suffix: str = "",
     how: str = "left",
+    _dedup_dim: bool = True,
 ) -> DataFrame:
     """Point-in-time join of ``facts`` to ``dim``.
 
@@ -78,14 +79,18 @@ def asof_join(
     # returns one arbitrary row — the two strategies would disagree.
     # Enforce it here with a deterministic tiebreak (max xxhash64 of the
     # value columns) so both strategies see the identical deduped dim.
-    dim_val_cols = [c for c in dim.columns if c not in keys and c != valid_col]
-    tiebreak = F.xxhash64(*dim_val_cols) if dim_val_cols else F.lit(0)
-    wd = Window.partitionBy(*keys, valid_col).orderBy(tiebreak.desc())
-    dim = (
-        dim.withColumn("__rn", F.row_number().over(wd))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # `_dedup_dim=False` is internal: the nearest composition recurses with
+    # an already-deduped dim, and re-running the window would shuffle the
+    # dim three times for nothing.
+    if _dedup_dim:
+        dim_val_cols = [c for c in dim.columns if c not in keys and c != valid_col]
+        tiebreak = F.xxhash64(*dim_val_cols) if dim_val_cols else F.lit(0)
+        wd = Window.partitionBy(*keys, valid_col).orderBy(tiebreak.desc())
+        dim = (
+            dim.withColumn("__rn", F.row_number().over(wd))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     if strategy == "auto":
         # one cheap planner-like decision: broadcast when the dim is small
@@ -100,9 +105,11 @@ def asof_join(
     if direction == "nearest":
         # compose: backward + forward, pick the closer non-null match
         b = asof_join(facts, dim, keys, ts_col, valid_col, "backward",
-                      tolerance, strategy, suffix="__b", how="left")
+                      tolerance, strategy, suffix="__b", how="left",
+                      _dedup_dim=False)
         f_ = asof_join(b, dim, keys, ts_col, valid_col, "forward",
-                       tolerance, strategy, suffix="__f", how="left")
+                       tolerance, strategy, suffix="__f", how="left",
+                       _dedup_dim=False)
         val_cols = [c for c in dim.columns if c not in keys]
         sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
         db = F.abs(sec(ts_col) - sec(valid_col + "__b"))

@@ -79,6 +79,9 @@ def encode_block(
             local = np.searchsorted(vf, ts_arr[rows], side="right") - 1
             ok = local >= 0
             vidx[rows[ok]] = np.asarray(idxs)[local[ok]]
+    elif not versions:
+        # no dictionary history at all -> every row gets the null code
+        vidx = np.full(n, -1, dtype=np.int64)
     else:
         # sort by valid_from here rather than trusting caller ordering —
         # searchsorted silently returns wrong as-of versions on an

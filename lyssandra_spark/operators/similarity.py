@@ -76,6 +76,11 @@ def cosine_topk_vectorized(
     q = queries.select(
         F.col(id_col).cast("long"), F.col(emb_col).cast("array<double>")
     ).collect()
+    if not q:  # empty query side -> empty result, same as the brute force
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"qid long, {id_col} long, cos_sim double, rk int",
+        )
     qids = np.asarray([r[0] for r in q], dtype=np.int64)
     Q = np.asarray([r[1] for r in q], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)

@@ -77,8 +77,7 @@ SKELETON_ORACLE_SQL = f"""
 """
 
 
-def flagship_skeleton(spark: SparkSession, sf_dir: str,
-                      path: str = SKELETON_PATH) -> DataFrame:
+def flagship_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship's relational skeleton — dedup -> sessionize ->
     per-session aggregates — hash-checkable against a DuckDB oracle.
 
@@ -86,9 +85,14 @@ def flagship_skeleton(spark: SparkSession, sf_dir: str,
     but this structure is; to give both engines the identical input, the
     synthesized transcripts are materialized to parquet (Spark-side write,
     deterministic content) and BOTH sides read that file — the oracle via
-    read_parquet (SKELETON_ORACLE_SQL). This also exercises the sink path
-    (B18) inside a hash-checked query.
+    read_parquet of SKELETON_PATH, which is deliberately NOT a parameter:
+    SKELETON_ORACLE_SQL is a static string, so a configurable path would
+    silently diverge from the oracle. Contract: the Spark callable must
+    run before the oracle SQL, at the same sf (the driver runs them
+    side-by-side at sf0.01). This also exercises the sink path (B18)
+    inside a hash-checked query.
     """
+    path = SKELETON_PATH
     t = synth.transcripts(spark, sf_dir, with_dups=True)
     t.write.mode("overwrite").parquet(path)
     t2 = spark.read.parquet(path)

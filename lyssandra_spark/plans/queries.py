@@ -143,11 +143,18 @@ def window_lag_lead_rolling(spark, sf_dir):
     out = W.with_lag(e, "value", part="user_id", order=["ts", "event_id"])
     out = W.with_lead(out, "value", part="user_id", order=["ts", "event_id"])
     out = W.rolling(out, "value", 5, part="user_id", order=["ts", "event_id"],
-                    aggs=("avg", "count"))
+                    aggs=("avg",))
+    # roll_n5 is a ROW count (count(*), matching the oracle), not a
+    # non-null count of `value` — W.rolling's count aggregates the column
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
     return out.select(
         "event_id", "lag1_value", "lead1_value",
         F.round("avg_value_5", 4).alias("roll_avg5"),
-        F.col("count_value_5").alias("roll_n5"),
+        F.count("*").over(wf).alias("roll_n5"),
     )
 
 

@@ -102,3 +102,66 @@ def test_unicode_text_embedding_stable(spark, versions):
     b = b.sort_values("turn_idx").reset_index(drop=True)
     assert a["recon_err"].tolist() == b["recon_err"].tolist()
     assert (a["nnz"] > 0).all()
+
+
+def test_encode_block_empty_version_list():
+    """No dictionary history at all: every row must get the null code
+    (dict_version=-1, empty CSR), not crash (code-review regression)."""
+    import numpy as np
+
+    from lyssandra_spark.operators.encode import encode_block
+
+    r = encode_block(["some text here"] * 5, np.arange(5, dtype=np.int64),
+                     [], algo="bomp", k=3)
+    assert (r["dict_version"] == -1).all()
+    assert r["nnz"].tolist() == [0] * 5
+    assert len(r["code_idx"]) == 0
+
+
+def test_vectorized_topk_empty_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lyssandra_spark.operators.similarity import cosine_topk_vectorized
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_vectorized(e, e.where(F.col("vec_id") < 0), k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"qid", "vec_id", "cos_sim", "rk"}
+
+
+def test_decode_wav_degenerate_clips():
+    """Empty and very short PCM data must not crash the FFT or emit NaN."""
+    import math
+
+    from lyssandra_spark.functions.multimodal import decode_wav, synth_wav
+
+    rate, n, rms, zcr, bands = decode_wav(synth_wav(7, n_samples=0))
+    assert (n, rms, bands) == (0, None, None)
+    for short in (1, 3, 15):
+        rate, n, rms, zcr, bands = decode_wav(synth_wav(7, n_samples=short))
+        assert n == short
+        assert all(not math.isnan(b) for b in bands)
+
+
+def test_rolling_count_is_row_count_with_nulls(spark):
+    """window_lag_lead_rolling's roll_n5 counts ROWS (count(*)), so null
+    values inside the frame must not reduce it (latent oracle divergence
+    found in code review — current testdata has no null values)."""
+    import pandas as pd
+
+    from lyssandra_spark.plans.queries import window_lag_lead_rolling
+
+    # build a tiny events-like table with nulls, write it, and point the
+    # query at it via a temp sf_dir layout
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf = pd.DataFrame({
+            "event_id": range(6),
+            "user_id": [1] * 6,
+            "ts": pd.date_range("2024-01-01", periods=6, freq="1min"),
+            "value": [1.0, None, 3.0, None, 5.0, 6.0],
+        })
+        spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+        out = window_lag_lead_rolling(spark, d).toPandas().sort_values("event_id")
+        assert out["roll_n5"].tolist() == [1, 2, 3, 4, 5, 5]
