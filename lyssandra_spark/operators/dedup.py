@@ -37,6 +37,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "shingle_set",
 ]
@@ -291,6 +292,58 @@ def simhash(
             )
 
     return src.mapInArrow(gen, out_schema)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    ngram_bytes: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, scalably.
+
+    Pigeonhole banding: split the 64-bit simhash into ``max_hamming + 1``
+    contiguous chunks — two hashes within ``max_hamming`` bits of each
+    other MUST agree exactly on at least one chunk, so candidates are a
+    bucket-join on (chunk_idx, chunk_value), never all-pairs; exact
+    Hamming verification (bit_count(xor), JVM-side) filters the bucket
+    collisions. Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sh = simhash(df, id_col, text_col, ngram_bytes)
+    # chunk c = bits [c*width, (c+1)*width) (last chunk takes the remainder)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("ci"),
+            F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(
+                F.lit((1 << (width if c < n_chunks - 1 else 64 - c * width)) - 1)
+            ).alias("cv"),
+        )
+        for c in range(n_chunks)
+    ])
+    banded = sh.select(id_col, "simhash", F.explode(chunks).alias("ch")).select(
+        id_col, "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def embedding_neardup_pairs(

@@ -101,3 +101,24 @@ def test_embedding_neardup_recall(spark, sf_dir):
     # verified cosine must be exact (scaled copy -> cosine ~ 1)
     hits = got[[(a, b) in planted for a, b in zip(got.id_a, got.id_b)]]
     assert (hits.cosine > 0.999999).all()
+
+
+def test_simhash_neardup_pairs_pigeonhole(spark, docs):
+    """Pigeonhole-banded SimHash pairs == brute-force Hamming filter
+    (the banding is exact for distance <= max_hamming by construction)."""
+    import itertools
+
+    from lyssandra_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    d = docs.select("doc_id", "text")
+    # brute force oracle over the same simhashes
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    expect = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(sorted(hashes.items()), 2):
+        if bin((ha ^ hb) & ((1 << 64) - 1)).count("1") <= 3:
+            expect.add((ia, ib))
+    got = simhash_neardup_pairs(d, max_hamming=3).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert got_pairs == expect
+    for r in got:
+        assert r["hamming"] <= 3
