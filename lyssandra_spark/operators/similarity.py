@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk_bruteforce", "cosine_topk_vectorized", "cosine_topk_lsh", "ivf_topk"]
+__all__ = ["cosine_topk_bruteforce", "cosine_topk_vectorized", "cosine_topk_lsh", "ivf_topk", "kmeans_refine"]
 
 
 def _dot(a, b):
@@ -209,14 +209,77 @@ def _lloyd_centroids(X: np.ndarray, n_cells: int, n_iter: int = 5,
     return C
 
 
+def kmeans_refine(
+    corpus: DataFrame, C: np.ndarray,
+    emb_col: str = "embedding", n_iter: int = 2,
+) -> np.ndarray:
+    """Refine centroids over the FULL corpus, distributed.
+
+    One Lloyd iteration = one map-only pass emitting constant-size
+    per-partition sufficient statistics (per-cell sum + count — the same
+    sample-additive pattern as dictionary learning) and a driver-side
+    (n_cells, dim) update. Index quality then reflects all 10^12 rows,
+    not a driver sample. Note: float summation order varies with
+    partitioning, so refined centroids are deterministic only up to ulps
+    — use n_iter=0 (the default in :func:`ivf_topk`) where bit-exact
+    cross-partitioning reproducibility matters more than recall.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    n_cells, dim = C.shape
+    schema = T.StructType([
+        T.StructField("sums", T.ArrayType(T.DoubleType()), False),
+        T.StructField("counts", T.ArrayType(T.LongType()), False),
+    ])
+    for _ in range(n_iter):
+        bc = corpus.sparkSession.sparkContext.broadcast(C)
+
+        def stats(it):
+            Cv = bc.value
+            sums = np.zeros((n_cells, dim))
+            counts = np.zeros(n_cells, dtype=np.int64)
+            for batch in it:
+                if batch.num_rows == 0:
+                    continue
+                flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+                X = flat.reshape(batch.num_rows, -1)
+                d2 = ((X[:, None, :] - Cv[None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                np.add.at(sums, a, X)
+                np.add.at(counts, a, 1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([sums.ravel()], pa.list_(pa.float64())),
+                    pa.array([counts], pa.list_(pa.int64())),
+                ],
+                names=["sums", "counts"],
+            )
+
+        pdf = (
+            corpus.select(F.col(emb_col).cast("array<double>"))
+            .mapInArrow(stats, schema)
+            .toPandas()
+        )
+        S = np.add.reduce([np.asarray(s).reshape(n_cells, dim) for s in pdf["sums"]])
+        N = np.add.reduce([np.asarray(c) for c in pdf["counts"]])
+        nz = N > 0
+        C = C.copy()
+        C[nz] = S[nz] / N[nz, None]  # empty cells keep their old centroid
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", emb_col: str = "embedding",
     dim: int = 64, n_cells: int = 16, nprobe: int = 4,
-    sample_rows: int = 2048, seed: int = 23,
+    sample_rows: int = 2048, seed: int = 23, refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus to seeded k-means
-    cells; each query scans only its `nprobe` nearest cells."""
+    cells; each query scans only its `nprobe` nearest cells.
+    ``refine_iters > 0`` runs distributed Lloyd passes over the full
+    corpus (see :func:`kmeans_refine`) — better cells at scale, at the
+    cost of bit-exact cross-partitioning determinism."""
     c = _as_double(corpus, id_col, emb_col, "emb")
     # Deterministic centroid sample: a bare limit() picks whichever
     # partitions answer first, making the IVF index (and its recall)
@@ -227,6 +290,8 @@ def ivf_topk(
         dtype=np.float64,
     )
     C = _lloyd_centroids(sample, n_cells, seed=seed)
+    if refine_iters > 0:
+        C = kmeans_refine(c, C, emb_col="emb", n_iter=refine_iters)
 
     def cell_expr(col):  # argmin distance to centroids, built-in only
         best_id = F.lit(0)

@@ -94,3 +94,47 @@ def test_vectorized_matches_bruteforce(spark, emb, emb_np):
     assert a[["qid", "vec_id", "rk"]].values.tolist() == \
         b[["qid", "vec_id", "rk"]].values.tolist()
     np.testing.assert_allclose(a["cos_sim"], b["cos_sim"], rtol=1e-9)
+
+
+def test_ivf_refined_recall(spark, emb, emb_np):
+    """Distributed k-means refinement must keep (or improve) IVF recall;
+    refined centroids are trained on the FULL corpus via constant-size
+    per-partition sufficient statistics."""
+    ids, X = emb_np
+    q = emb.where(F.col("vec_id") < 20)
+    exact = _numpy_topk(ids, X, [i for i in ids if i < 20], k=5)
+
+    def recall(df):
+        got = df.toPandas()
+        hits = tot = 0
+        for qid, true_nn in exact.items():
+            found = set(got[got.qid == qid]["vec_id"])
+            hits += len(found & set(true_nn))
+            tot += len(true_nn)
+        return hits / tot
+
+    base = recall(S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=4))
+    refined = recall(S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=4,
+                                refine_iters=2))
+    assert refined >= base - 0.1, (base, refined)
+    assert refined > 0.5
+
+
+def test_kmeans_refine_moves_toward_cell_means(spark, emb, emb_np):
+    """One distributed Lloyd pass == the numpy Lloyd pass on the same data."""
+    _, X = emb_np
+    rng = np.random.default_rng(5)
+    C0 = X[rng.choice(len(X), size=8, replace=False)].copy()
+    got = S.kmeans_refine(
+        emb.select(F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(5),
+        C0, emb_col="emb", n_iter=1,
+    )
+    d2 = ((X[:, None, :] - C0[None, :, :]) ** 2).sum(-1)
+    a = d2.argmin(1)
+    exp = C0.copy()
+    for j in range(8):
+        sel = X[a == j]
+        if len(sel):
+            exp[j] = sel.mean(0)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
