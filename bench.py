@@ -180,8 +180,13 @@ def _run_level(cores: int, mode: str, mult: str) -> dict:
         [sys.executable, os.path.abspath(__file__)],
         env=env, capture_output=True, text=True, timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench child (cores={cores}, mode={mode!r}) failed "
+            f"rc={out.returncode}; stderr tail:\n{out.stderr[-4000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def scaling():

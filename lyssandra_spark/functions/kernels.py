@@ -170,8 +170,12 @@ def batch_omp(
     the difference between DRAM-bandwidth-bound and compute-bound when 32
     workers share one socket (measured: 32-proc aggregate throughput is
     ~30% higher and 8->32-proc scaling efficiency ~0.6 -> ~0.8+ at
-    block=256 vs 1024 on a 32-core box). Per-sample independence => result
-    is invariant to both the chunking and any outer batching/partitioning.
+    block=256 vs 1024 on a 32-core box). Per-sample independence => the
+    selected support is invariant to the chunking and any outer
+    batching/partitioning, and the coefficient values are invariant up to
+    floating-point rounding (~1e-15 max observed diff across block sizes:
+    BLAS takes shape-dependent GEMM paths, and LYSSANDRA_OMP_BLOCK is
+    env-tunable) — do NOT build bit-exact hash checks on the raw values.
     """
     D = np.asarray(D, dtype=np.float64)
     X = np.atleast_2d(np.asarray(X, dtype=np.float64))

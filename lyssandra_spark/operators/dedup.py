@@ -310,6 +310,13 @@ def simhash_neardup_pairs(
     Hamming verification (bit_count(xor), JVM-side) filters the bucket
     collisions. Output: (id_a, id_b, hamming) with id_a < id_b.
     """
+    if not 1 <= max_hamming <= 31:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be in [1, 31]: 0 would build "
+            "a 64-bit chunk mask that overflows a Spark long literal, and "
+            ">= 32 gives zero-width chunks whose all-zero values bucket "
+            "every row with every other row (an all-pairs join)"
+        )
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     sh = simhash(df, id_col, text_col, ngram_bytes)

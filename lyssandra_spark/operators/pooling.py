@@ -44,6 +44,15 @@ def pool_codes(
     for sparse codes); 'mean' averages with zeros counted, i.e. divides
     the atom-sum by the group's turn count.
 
+    Sparse-max semantics: 'max' is the max over the values PRESENT in the
+    CSR pairs. An atom that appears only with negative coefficients in a
+    group pools to that negative max — NOT to 0, as dense max-pooling
+    (where absent turns contribute an explicit 0) would give. This matches
+    max-pooling over the support and is the documented contract; callers
+    wanting the dense behaviour should apply ``greatest(pooled[i], 0)``
+    downstream (sparse codes from OMP/LLC are sign-ambiguous, so clamping
+    by default would silently discard information).
+
     Returns one row per group: part columns + ``pooled: array<double>``
     (length n_atoms) + ``n_pooled: long``.
     """

@@ -10,6 +10,8 @@ __spark_entry__.py runs it at sf0.001.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,7 +20,42 @@ from lyssandra_spark.operators.windows import dedup_latest, sessionize, with_lag
 from lyssandra_spark.sources import synth
 
 __all__ = ["flagship", "flagship_skeleton", "coded_transcripts",
-           "SKELETON_ORACLE_SQL"]
+           "SKELETON_ORACLE_SQL", "ORACLE_CACHE", "materialize_once"]
+
+# Test-contract artifact directory (NOT a production sink): Spark-side
+# queries materialize deterministic inputs here so the DuckDB oracle can
+# read the IDENTICAL bytes. Derived from the package location — no
+# hard-coded /root/repo — so the repo can be relocated; the oracle SQL
+# constants below interpolate the same value, keeping both in lockstep.
+ORACLE_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".oracle_cache",
+)
+
+
+def materialize_once(build, path: str, fingerprint: str) -> None:
+    """Write ``build()`` (a DataFrame) to parquet at ``path``, once per
+    content fingerprint.
+
+    The oracle-cache parquets are pure functions of (sf_dir, generator
+    version); rewriting them on every query invocation made the oracle
+    read execution-order-coupled (spark had to run strictly before the
+    oracle SQL) and raced under concurrent sessions. A sidecar ``.fp``
+    file records what the parquet holds: matching fingerprint + existing
+    dir => skip the write entirely, so a second invocation — or an
+    oracle-first driver ordering after ANY prior run at the same sf —
+    reads stable bytes.
+    """
+    fp_file = path + ".fp"
+    try:
+        with open(fp_file) as f:
+            if f.read() == fingerprint and os.path.isdir(path):
+                return
+    except OSError:
+        pass
+    build().write.mode("overwrite").parquet(path)
+    with open(fp_file, "w") as f:
+        f.write(fingerprint)
 
 
 def coded_transcripts(
@@ -53,7 +90,9 @@ def materialize_features(
     )
 
 
-SKELETON_PATH = "/root/repo/.oracle_cache/transcripts_skel"
+SKELETON_PATH = os.path.join(ORACLE_CACHE, "transcripts_skel")
+# bump when synth.transcripts generation changes — forces a cache rewrite
+_SKEL_GEN = "skel-v1"
 
 SKELETON_ORACLE_SQL = f"""
     WITH t AS (SELECT * FROM read_parquet('{SKELETON_PATH}/*.parquet')),
@@ -87,14 +126,18 @@ def flagship_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic content) and BOTH sides read that file — the oracle via
     read_parquet of SKELETON_PATH, which is deliberately NOT a parameter:
     SKELETON_ORACLE_SQL is a static string, so a configurable path would
-    silently diverge from the oracle. Contract: the Spark callable must
-    run before the oracle SQL, at the same sf (the driver runs them
-    side-by-side at sf0.01). This also exercises the sink path (B18)
-    inside a hash-checked query.
+    silently diverge from the oracle. The write is once-per-fingerprint
+    (see :func:`materialize_once`): after any prior run at the same sf,
+    the parquet is stable on disk, so the oracle SQL can run before OR
+    after the Spark callable. First-ever run at an sf still requires
+    spark-before-oracle (the driver runs them side-by-side at sf0.01).
+    This also exercises the sink path (B18) inside a hash-checked query.
     """
     path = SKELETON_PATH
-    t = synth.transcripts(spark, sf_dir, with_dups=True)
-    t.write.mode("overwrite").parquet(path)
+    materialize_once(
+        lambda: synth.transcripts(spark, sf_dir, with_dups=True),
+        path, f"{_SKEL_GEN}|{sf_dir}",
+    )
     t2 = spark.read.parquet(path)
     t2 = dedup_latest(t2, ["conv_id", "turn_idx"], ["ts", "role"])
     t2 = sessionize(t2, gap_seconds=1800, part="conv_id", ts_col="ts")
