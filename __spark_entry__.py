@@ -26,10 +26,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from lyssandra_spark.plans import queries as Q  # noqa: E402
 from lyssandra_spark.plans.pipeline import (  # noqa: E402
+    ORACLE_CACHE,
     SKELETON_ORACLE_SQL,
     coded_transcripts,
     flagship,
     flagship_skeleton,
+    materialize_once,
 )
 
 
@@ -43,38 +45,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-def _encode_summary(algo: str, **kw):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        coded = coded_transcripts(spark, sf_dir, algo=algo, **kw)
-        return (
-            coded.groupBy("dict_version")
-            .agg(
-                F.count("*").alias("n_turns"),
-                F.round(F.avg("nnz"), 4).alias("avg_nnz"),
-                F.round(F.avg("recon_err"), 6).alias("avg_recon_err"),
-                F.round(F.max("recon_err"), 6).alias("max_recon_err"),
-            )
-            .orderBy("dict_version")
+def _encode_summary(spark: SparkSession, sf_dir: str, algo: str, **kw) -> DataFrame:
+    coded = coded_transcripts(spark, sf_dir, algo=algo, **kw)
+    return (
+        coded.groupBy("dict_version")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.round(F.avg("nnz"), 4).alias("avg_nnz"),
+            F.round(F.avg("recon_err"), 6).alias("avg_recon_err"),
+            F.round(F.max("recon_err"), 6).alias("max_recon_err"),
         )
+        .withColumn("algo", F.lit(algo))
+        .select("algo", "dict_version", "n_turns", "avg_nnz",
+                "avg_recon_err", "max_recon_err")
+    )
 
-    return run
+
+def _encode_kernel_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(algo, dict_version) encode summaries for all three sparse-coding
+    kernels — Batch-OMP (A2), FISTA/LASSO (A3), LLC (A4) — in one result.
+    Rows-only (kernels aren't SQL-expressible); the numpy-parity gates live
+    in tests/test_encode_parity.py and tests/test_kernels.py."""
+    out = _encode_summary(spark, sf_dir, "bomp", k=5)
+    out = out.unionByName(_encode_summary(spark, sf_dir, "fista", lam=0.1))
+    out = out.unionByName(_encode_summary(spark, sf_dir, "llc", knn=5))
+    return out.orderBy("algo", "dict_version")
 
 
 def _leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join audit: rows whose code used a version newer than ts.
+    """Keyed-dictionary temporal-leakage audit (two dictionaries).
 
-    MUST return exactly one row with n_leaks = 0 (zero temporal leakage).
+    Each conversation is routed to one of TWO dictionary histories
+    ('main' / 'aux' — different atoms AND different version boundaries),
+    encoded with ``dict_id_col`` so as-of version resolution happens per
+    (dict_id, ts). The audit joins back to the SCD-2 dimension on
+    (dict_id, dict_version) and counts rows whose code used a version
+    newer than its ts, per key. MUST return one row per dict_id with
+    n_leaks = 0, and (at sf>=0.01) n_versions > 1 for both keys — i.e.
+    multi-version point-in-time resolution is exercised per key, with
+    zero leakage.
     """
+    from lyssandra_spark.operators.encode import sparse_code
     from lyssandra_spark.sources import synth
 
-    coded = coded_transcripts(spark, sf_dir, algo="bomp", k=5)
-    vdf = synth.dictionary_versions(
-        spark, synth.build_dict_versions(sf_dir, n_atoms=128)
-    ).select(F.col("version").alias("dict_version"), "valid_from")
-    joined = coded.join(F.broadcast(vdf), "dict_version", "left")
-    return joined.select(
-        F.sum((F.col("valid_from") > F.col("ts")).cast("long")).alias("n_leaks"),
-        F.count("*").alias("n_rows"),
+    main = synth.build_dict_versions(sf_dir, n_atoms=128)
+    # aux: different atoms (seed) AND different validity boundaries, so a
+    # row routed to the wrong history is caught by version mismatch too
+    aux = synth.build_dict_versions(
+        sf_dir, n_atoms=128, seed=202, dict_id="aux",
+        boundaries=["2023-01-01 00:00:00", "2024-01-01 02:00:00",
+                    "2024-01-01 14:00:00"],
+    )
+    t = synth.transcripts(spark, sf_dir).withColumn(
+        "dict_id",
+        F.when(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, "main").otherwise("aux"),
+    )
+    coded = sparse_code(t, main + aux, algo="bomp", k=5, dict_id_col="dict_id")
+    vdf = synth.dictionary_versions(spark, main + aux).select(
+        "dict_id", F.col("version").alias("dict_version"), "valid_from"
+    )
+    joined = coded.join(F.broadcast(vdf), ["dict_id", "dict_version"], "left")
+    return (
+        joined.groupBy("dict_id")
+        .agg(
+            F.sum((F.col("valid_from") > F.col("ts")).cast("long")).alias("n_leaks"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("dict_version").alias("n_versions"),
+        )
+        .orderBy("dict_id")
     )
 
 
@@ -93,13 +131,6 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lyssandra_spark.operators.dedup import simhash
-
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return simhash(d)
-
-
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN top-k (approximate; rows-only — recall gate lives in tests)."""
     from lyssandra_spark.operators.similarity import cosine_topk_lsh
@@ -110,10 +141,22 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k, sample-trained and distributed-refined variants in
+    one result (union, `refined` flag): refined=true runs one full-corpus
+    Lloyd pass (kmeans_refine — constant-size per-partition stats), so the
+    driver row exercises the distributed-training path, not just the
+    2048-row driver sample."""
     from lyssandra_spark.operators.similarity import ivf_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(e, e.where(F.col("vec_id") < 10), k=5, n_cells=8, nprobe=4)
+    q = e.where(F.col("vec_id") < 10)
+    base = ivf_topk(e, q, k=5, n_cells=8, nprobe=4).withColumn(
+        "refined", F.lit(False)
+    )
+    ref = ivf_topk(e, q, k=5, n_cells=8, nprobe=4, refine_iters=1).withColumn(
+        "refined", F.lit(True)
+    )
+    return base.unionByName(ref)
 
 
 def _dict_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +228,133 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+POOL_PATH = os.path.join(ORACLE_CACHE, "session_codes")
+
+# Max-pooling of per-turn sparse codes is pure SQL once the CSR arrays are
+# data: zip-unnest (code_idx, code_val), per-atom max within the session,
+# turn counts from the un-exploded table (empty-code turns still count).
+# Atoms absent from a session emit no row (sparse-max semantics — see
+# pool_codes docstring); the Spark side filters its densified zeros to
+# mirror that. Exact compare is safe: max() moves input doubles, it never
+# does arithmetic on them, and both engines read the identical parquet.
+POOL_ORACLE_SQL = f"""
+    WITH t AS (SELECT * FROM read_parquet('{POOL_PATH}/*.parquet')),
+    counts AS (SELECT conv_id, session_id, count(*) AS n_pooled
+               FROM t GROUP BY conv_id, session_id),
+    pairs AS (SELECT conv_id, session_id,
+                     UNNEST(code_idx) AS atom, UNNEST(code_val) AS v FROM t),
+    atom AS (SELECT conv_id, session_id, atom, max(v) AS pooled_val
+             FROM pairs GROUP BY conv_id, session_id, atom)
+    SELECT a.conv_id, a.session_id, a.atom, a.pooled_val, c.n_pooled
+    FROM atom a JOIN counts c USING (conv_id, session_id)
+"""
+
+
+def _session_code_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session max-pooling of sparse codes (A9 analogue), hash-checked.
+
+    The flagship's coded sessions are materialized once per fingerprint
+    (same pattern as flagship_skeleton) so DuckDB pools the identical
+    CSR arrays; the Spark side runs the real pool_codes operator (dense
+    length-128 output) and re-sparsifies via posexplode + nonzero filter
+    to meet the oracle's sparse shape.
+    """
+    from lyssandra_spark.operators.pooling import pool_codes
+
+    materialize_once(
+        lambda: coded_transcripts(spark, sf_dir, algo="bomp", k=5).select(
+            "conv_id", "session_id", "code_idx", "code_val"
+        ),
+        POOL_PATH, f"pool-v1|{sf_dir}",
+    )
+    src = spark.read.parquet(POOL_PATH)
+    pooled = pool_codes(src, n_atoms=128, part=("conv_id", "session_id"))
+    return pooled.select(
+        "conv_id", "session_id",
+        F.posexplode("pooled").alias("atom", "pooled_val"),
+        "n_pooled",
+    ).where(F.col("pooled_val") != 0.0)
+
+
+def _ridge_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed closed-form ridge probe on pooled session codes (the
+    A9 classify analogue), planted-separable: labels come from a seeded
+    linear rule on the pooled features (threshold = median score), so the
+    probe must recover high training accuracy. One output row
+    (n_groups, dim, train_acc); the XtX/Xty sufficient statistics and the
+    accuracy pass are both distributed (constant driver memory)."""
+    import numpy as np
+
+    from lyssandra_spark.operators.pooling import pool_codes, ridge_probe
+
+    materialize_once(
+        lambda: coded_transcripts(spark, sf_dir, algo="bomp", k=5).select(
+            "conv_id", "session_id", "code_idx", "code_val"
+        ),
+        POOL_PATH, f"pool-v1|{sf_dir}",
+    )
+    src = spark.read.parquet(POOL_PATH)
+    pooled = pool_codes(src, n_atoms=128, part=("conv_id", "session_id"))
+    wstar = np.random.default_rng(31).standard_normal(128)
+    score = F.aggregate(
+        F.zip_with(F.col("pooled"), F.array(*[F.lit(float(v)) for v in wstar]),
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = pooled.withColumn("score", score).cache()
+    thr = scored.approxQuantile("score", [0.5], 0.001)[0]
+    labeled = scored.withColumn(
+        "label", F.when(F.col("score") >= thr, 1.0).otherwise(-1.0)
+    )
+    w, acc = ridge_probe(labeled, dim=128, lam=1e-4)
+    n = labeled.count()
+    scored.unpersist()
+    return spark.createDataFrame(
+        [(n, 128, round(acc, 4))], "n_groups long, dim int, train_acc double"
+    )
+
+
+SIMHASH_PATH = os.path.join(ORACLE_CACHE, "doc_simhashes")
+
+# Pigeonhole banding has exact recall at hamming <= max_hamming, so the
+# brute-force all-pairs filter IS the oracle (600 rows -> 180k pairs at
+# sf0.01 — trivial for DuckDB; the Spark side never builds that product).
+# xor/bit_count are two's-complement bitwise in both engines.
+SIMHASH_ORACLE_SQL = f"""
+    WITH s AS (SELECT * FROM read_parquet('{SIMHASH_PATH}/*.parquet'))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding,
+    hash-checked against a DuckDB brute-force oracle over Spark-
+    materialized simhashes (exact copies planted so pairs exist at
+    hamming 0; light edits plant low-nonzero-hamming pairs)."""
+    from lyssandra_spark.operators.dedup import simhash, simhash_pairs_from_hashes
+
+    def build():
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        exact = d.where(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        tweaked = (
+            d.where(F.col("doc_id") % 11 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 2000000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" addendum")))
+        )
+        return simhash(d.unionByName(exact).unionByName(tweaked))
+
+    materialize_once(build, SIMHASH_PATH, f"simhash-v1|{sf_dir}")
+    sh = spark.read.parquet(SIMHASH_PATH)
+    return simhash_pairs_from_hashes(sh, max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -194,21 +364,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     any cap hits the relational long tail, never them.
     """
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # kernel-backed (rows-only; numpy parity gate lives in tests/)
-    out["encode_batch_omp"] = _encode_summary("bomp", k=5)
-    out["encode_fista_lasso"] = _encode_summary("fista", lam=0.1)
-    out["encode_llc"] = _encode_summary("llc", knn=5)
+    # kernel-backed (rows-only; numpy parity gate lives in tests/).
+    # All three encode kernels share ONE summary row (algo column) so the
+    # 50-slot cap leaves room for the oracled pipeline ops below.
+    out["encode_kernel_summaries"] = _encode_kernel_summaries
     out["flagship_session_features"] = lambda spark, sf_dir: flagship(spark, sf_dir)
     out["flagship_skeleton"] = lambda spark, sf_dir: flagship_skeleton(spark, sf_dir)
     out["leakage_audit"] = _leakage_audit
     out["dictionary_learning"] = _dict_learn
-    # training-data-pipeline ops (rows-only; quality gates live in tests/)
+    # training-data-pipeline ops (quality gates live in tests/; the simhash
+    # operator's driver coverage is the ORACLED simhash_neardup_pairs row,
+    # which materializes and verifies the same signatures end-to-end)
     out["dedup_minhash_lsh"] = _minhash_lsh
-    out["simhash_documents"] = _simhash_docs
+    out["simhash_neardup_pairs"] = _simhash_pairs
     out["embedding_neardup_pairs"] = _embedding_neardup
     out["ann_lsh_topk"] = _ann_lsh
     out["ann_ivf_topk"] = _ann_ivf
     out["multimodal_decode"] = _multimodal
+    out["session_code_pooling"] = _session_code_pooling
+    out["ridge_probe_accuracy"] = _ridge_probe_accuracy
     # relational / window / text / similarity registry (mostly oracled)
     out.update(Q.SPARK_QUERIES)
     assert len(out) <= 50, f"{len(out)} queries registered; driver caps at 50"
@@ -219,4 +393,6 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
     out = dict(Q.ORACLE_SQL)
     out["flagship_skeleton"] = SKELETON_ORACLE_SQL
+    out["session_code_pooling"] = POOL_ORACLE_SQL
+    out["simhash_neardup_pairs"] = SIMHASH_ORACLE_SQL
     return out

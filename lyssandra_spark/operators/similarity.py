@@ -18,7 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk_bruteforce", "cosine_topk_vectorized", "cosine_topk_lsh", "ivf_topk", "kmeans_refine"]
+__all__ = ["cosine_topk_bruteforce", "cosine_topk_vectorized", "cosine_topk_lsh",
+           "ivf_topk", "kmeans_refine", "assign_cells_arrow"]
 
 
 def _dot(a, b):
@@ -269,6 +270,64 @@ def kmeans_refine(
     return C
 
 
+def assign_cells_arrow(
+    df: DataFrame, C: np.ndarray, emb_col: str, nprobe: int = 1,
+    out_col: str = "cells",
+) -> DataFrame:
+    """Append the ``nprobe`` nearest-centroid cell ids as an array<int>
+    column, via ONE mapInArrow pass with broadcast centroids.
+
+    This is the production-IVF path: plan size is O(1) in n_cells (the
+    centroids travel as a broadcast ndarray, not as Catalyst literals),
+    whereas the expression path in :func:`ivf_topk` unrolls
+    O(n_cells x dim) literals per distance — a plan-compile/codegen
+    killer at real IVF sizes (4k-64k cells). Distances use the expanded
+    form |x|^2 - 2 x.C^T + |c|^2 (one GEMM per Arrow batch); ties and
+    ordering follow ascending distance then ascending cell id, matching
+    the expression path's argmin semantics.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(C, np.float64))
+    in_fields = df.schema.fields
+    emb_pos = df.schema.fieldNames().index(emb_col)
+    out_schema = T.StructType(
+        list(in_fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()), False)]
+    )
+
+    def gen(it):
+        Cv = bc.value
+        cn2 = (Cv * Cv).sum(1)  # (n_cells,)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(emb_pos).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, -1)
+            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ Cv.T) + cn2[None, :]
+            p = min(nprobe, len(Cv))
+            # stable argsort => ascending distance, ties by ascending cell id
+            cells = np.argsort(d2, axis=1, kind="stable")[:, :p].astype(np.int32)
+            offs = pa.array(np.arange(0, (n + 1) * p, p, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [pa.ListArray.from_arrays(offs, pa.array(cells.ravel(), pa.int32()))],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return df.mapInArrow(gen, out_schema)
+
+
+# Above this many cells the literal-expression assignment is a plan-size
+# hazard (O(n_cells x dim) Catalyst literals per distance); switch to the
+# broadcast mapInArrow path. The expression path stays the default for
+# small indexes because it is bit-exact with the historical plans (Catalyst
+# sums (a-b)^2 sequentially; numpy pairwise-sums — same argmin on real
+# data, but ulp-level distance ties could in principle differ).
+MAX_EXPR_CELLS = 64
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", emb_col: str = "embedding",
@@ -279,7 +338,10 @@ def ivf_topk(
     cells; each query scans only its `nprobe` nearest cells.
     ``refine_iters > 0`` runs distributed Lloyd passes over the full
     corpus (see :func:`kmeans_refine`) — better cells at scale, at the
-    cost of bit-exact cross-partitioning determinism."""
+    cost of bit-exact cross-partitioning determinism. Cell assignment and
+    probe selection use in-plan expressions for n_cells <= MAX_EXPR_CELLS
+    and the broadcast :func:`assign_cells_arrow` pass beyond (constant
+    plan size at production index widths)."""
     c = _as_double(corpus, id_col, emb_col, "emb")
     # Deterministic centroid sample: a bare limit() picks whichever
     # partitions answer first, making the IVF index (and its recall)
@@ -293,38 +355,47 @@ def ivf_topk(
     if refine_iters > 0:
         C = kmeans_refine(c, C, emb_col="emb", n_iter=refine_iters)
 
-    def cell_expr(col):  # argmin distance to centroids, built-in only
-        best_id = F.lit(0)
-        best_d = F.lit(float("inf"))
-        for j in range(len(C)):
-            dj = F.aggregate(
-                F.zip_with(F.array(*[F.lit(float(v)) for v in C[j]]), col,
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            best_id = F.when(dj < best_d, F.lit(j)).otherwise(best_id)
-            best_d = F.least(best_d, dj)
-        return best_id
-
-    ctag = c.withColumn("cell", cell_expr(F.col("emb")))
     q = _as_double(queries, id_col, emb_col, "qemb").withColumnRenamed(id_col, "qid")
 
-    def probe_cells(col):  # nprobe nearest centroids as an array column
-        dists = F.array(*[
-            F.struct(
-                F.aggregate(
+    if len(C) <= MAX_EXPR_CELLS:
+
+        def cell_expr(col):  # argmin distance to centroids, built-in only
+            best_id = F.lit(0)
+            best_d = F.lit(float("inf"))
+            for j in range(len(C)):
+                dj = F.aggregate(
                     F.zip_with(F.array(*[F.lit(float(v)) for v in C[j]]), col,
                                lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0), lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(j).alias("cell"),
-            )
-            for j in range(len(C))
-        ])
-        return F.slice(F.transform(F.array_sort(dists), lambda s: s["cell"]),
-                       1, nprobe)
+                )
+                best_id = F.when(dj < best_d, F.lit(j)).otherwise(best_id)
+                best_d = F.least(best_d, dj)
+            return best_id
 
-    qtag = q.withColumn("qcell", F.explode(probe_cells(F.col("qemb"))))
+        def probe_cells(col):  # nprobe nearest centroids as an array column
+            dists = F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(F.array(*[F.lit(float(v)) for v in C[j]]), col,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(j).alias("cell"),
+                )
+                for j in range(len(C))
+            ])
+            return F.slice(F.transform(F.array_sort(dists), lambda s: s["cell"]),
+                           1, nprobe)
+
+        ctag = c.withColumn("cell", cell_expr(F.col("emb")))
+        qtag = q.withColumn("qcell", F.explode(probe_cells(F.col("qemb"))))
+    else:
+        ctag = assign_cells_arrow(c, C, "emb", nprobe=1).withColumn(
+            "cell", F.element_at("cells", 1)
+        ).drop("cells")
+        qtag = assign_cells_arrow(q, C, "qemb", nprobe=nprobe).withColumn(
+            "qcell", F.explode("cells")
+        ).drop("cells")
     cand = ctag.join(
         F.broadcast(qtag),
         (F.col("cell") == F.col("qcell")) & (F.col(id_col) != F.col("qid")),

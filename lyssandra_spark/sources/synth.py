@@ -174,6 +174,7 @@ def build_dict_versions(
     n_atoms: int = 128,
     boundaries: list[str] | None = None,
     seed: int = 101,
+    dict_id: str = "main",
 ) -> list[DictVersion]:
     """Driver-side deterministic dictionary history from the embeddings fixture.
 
@@ -194,7 +195,7 @@ def build_dict_versions(
             D = K.replace_dead_atoms(D, X, Z, seed=seed + i)
         out.append(
             DictVersion(
-                dict_id="main",
+                dict_id=dict_id,
                 version=i + 1,
                 valid_from_us=_ts_to_us(b),
                 D=D.copy(),

@@ -122,3 +122,47 @@ def test_simhash_neardup_pairs_pigeonhole(spark, docs):
     assert got_pairs == expect
     for r in got:
         assert r["hamming"] <= 3
+
+
+def test_embedding_neardup_multitable_recall_perturbed(spark, sf_dir):
+    """Multi-table stacking must catch GENUINE near-dups (perturbed, not
+    scaled copies): cosine ~0.96 pairs at n_planes=12 land in one table's
+    bucket only ~32% of the time; 8 independent tables lift recall to
+    ~0.96 (all seeds fixed -> deterministic)."""
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = e.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(42)
+    target = 0.96
+    rows = []
+    planted = set()
+    for i in range(0, len(ids), 4):  # every 4th vector gets a perturbed twin
+        v = X[i] / np.linalg.norm(X[i])
+        u = rng.standard_normal(len(v))
+        u -= (u @ v) * v
+        u /= np.linalg.norm(u)
+        w = target * v + np.sqrt(1 - target**2) * u
+        rows.append((int(ids[i]) + 50000, [float(x) for x in w]))
+        planted.add((int(ids[i]), int(ids[i]) + 50000))
+    near = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = e.select("vec_id", F.col("embedding").cast("array<double>")
+                  .alias("embedding")).unionByName(near)
+
+    got1 = DD.embedding_neardup_pairs(
+        df, n_planes=12, min_cosine=0.95, n_tables=1
+    ).toPandas()
+    got8 = DD.embedding_neardup_pairs(
+        df, n_planes=12, min_cosine=0.95, n_tables=8
+    ).toPandas()
+    found1 = {(a, b) for a, b in zip(got1.id_a, got1.id_b)} & planted
+    found8 = {(a, b) for a, b in zip(got8.id_a, got8.id_b)} & planted
+    r1 = len(found1) / len(planted)
+    r8 = len(found8) / len(planted)
+    assert r8 >= 0.9, f"multi-table recall {r8:.2f}"
+    assert r8 > r1, f"stacking must beat one table ({r8:.2f} vs {r1:.2f})"
+    # verified cosines are exact: every reported planted pair ~= target
+    hits = got8[[(a, b) in planted for a, b in zip(got8.id_a, got8.id_b)]]
+    assert np.allclose(hits.cosine, target, atol=1e-6)

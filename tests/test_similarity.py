@@ -138,3 +138,58 @@ def test_kmeans_refine_moves_toward_cell_means(spark, emb, emb_np):
         if len(sel):
             exp[j] = sel.mean(0)
     np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+def test_assign_cells_arrow_matches_numpy(spark, emb, emb_np):
+    """Broadcast-centroid Arrow assignment == numpy argmin/argsort
+    (ascending distance, ties by ascending cell id), across partitionings."""
+    ids, X = emb_np
+    rng = np.random.default_rng(9)
+    C = X[rng.choice(len(X), size=12, replace=False)].copy()
+    src = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    got = (
+        S.assign_cells_arrow(src.repartition(7), C, "e", nprobe=3)
+        .select("vec_id", "cells")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    exp = np.argsort(d2, axis=1, kind="stable")[:, :3]
+    order = np.argsort(ids)
+    np.testing.assert_array_equal(
+        np.asarray(got["cells"].tolist()), exp[order]
+    )
+
+
+def test_ivf_arrow_path_matches_expression_path(spark, emb, monkeypatch):
+    """Forcing the mapInArrow assignment (MAX_EXPR_CELLS=0) returns the
+    same top-k as the literal-expression path at small n_cells."""
+    q = emb.where(F.col("vec_id") < 6)
+    base = sorted(
+        map(tuple, S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=4)
+            .select("qid", "vec_id", "rk").collect())
+    )
+    monkeypatch.setattr(S, "MAX_EXPR_CELLS", 0)
+    arrow = sorted(
+        map(tuple, S.ivf_topk(emb, q, k=5, n_cells=8, nprobe=4)
+            .select("qid", "vec_id", "rk").collect())
+    )
+    assert arrow == base
+
+
+def test_ivf_large_cell_count_bounded_plan(spark, emb, emb_np):
+    """n_cells=256 must take the broadcast path: the plan compiles in
+    bounded time/size (no O(n_cells x dim) literal unrolling) and recall
+    vs brute force stays reasonable."""
+    ids, X = emb_np
+    q = emb.where(F.col("vec_id") < 6)
+    df = S.ivf_topk(emb, q, k=5, n_cells=256, nprobe=32, sample_rows=512)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 2_000_000, "plan string exploded — literal unrolling?"
+    got = df.toPandas()
+    expect = _numpy_topk(ids, X, [i for i in ids if i < 6], k=5)
+    hits = sum(
+        len(set(grp["vec_id"]) & set(expect[qid]))
+        for qid, grp in got.groupby("qid")
+    )
+    assert hits / (5 * len(expect)) >= 0.5  # nprobe=32/256 cells probed
