@@ -21,6 +21,7 @@ Entry points with IDENTICAL math:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -56,30 +57,17 @@ def _lowercase_ascii(data: np.ndarray) -> np.ndarray:
     return out
 
 
-def embed_buffer(
-    data: np.ndarray, offsets: np.ndarray, dim: int = EMBED_DIM, ngram: int = NGRAM
+def _embed_accumulate(
+    data: np.ndarray, offsets: np.ndarray, dim: int, ngram: int
 ) -> np.ndarray:
-    """Embed n strings stored as one concatenated utf-8 buffer.
-
-    Args:
-        data: uint8 array, the concatenated string bytes.
-        offsets: int array of length n+1; string i is data[offsets[i]:offsets[i+1]].
-
-    Feature hashing: for every character `ngram` window fully inside one
-    string, bucket = h % dim, sign = +1 if bit31(h) else -1; rows are
-    L2-normalized (empty/too-short strings stay zero vectors).
-    """
-    offsets = np.asarray(offsets, dtype=np.int64)
+    """Unnormalized signed feature-hash accumulation for one row chunk."""
     n = len(offsets) - 1
-    out = np.zeros((n, dim), dtype=np.float64)
-    if n == 0:
-        return out
     # normalize sliced-array views: offsets may not start at 0 and the data
     # buffer may be shared beyond offsets[-1]
     data = np.asarray(data, dtype=np.uint8)[offsets[0] : offsets[-1]]
     offsets = offsets - offsets[0]
     if len(data) < ngram:
-        return out
+        return np.zeros((n, dim), dtype=np.float64)
     b = _lowercase_ascii(data)
     h = rolling_hashes(b, ngram)
     nwin = len(h)
@@ -92,7 +80,47 @@ def embed_buffer(
     idx = (h % np.uint32(dim)).astype(np.int32)
     sign = 1.0 - 2.0 * ((h >> np.uint32(31)) & np.uint32(1)).astype(np.float64)
     acc = np.bincount(tid * np.int32(dim) + idx, weights=sign * valid, minlength=n * dim)
-    out = acc.reshape(n, dim)
+    return acc.reshape(n, dim)
+
+
+def embed_buffer(
+    data: np.ndarray, offsets: np.ndarray, dim: int = EMBED_DIM,
+    ngram: int = NGRAM, block: int | None = None,
+) -> np.ndarray:
+    """Embed n strings stored as one concatenated utf-8 buffer.
+
+    Args:
+        data: uint8 array, the concatenated string bytes.
+        offsets: int array of length n+1; string i is data[offsets[i]:offsets[i+1]].
+        block: rows per accumulation chunk (default LYSSANDRA_EMBED_BLOCK
+            or 256). Chunking keeps the per-window temporaries (hash, sign,
+            product, tid — ~28 B per byte of text, i.e. ~25 MB for a 10k-row
+            Arrow batch) L2-resident instead of streaming through the DRAM
+            bus that 32 workers share — the same cache-blocking lever that
+            moved Batch-OMP from DRAM-bound to compute-bound. Results are
+            BIT-identical for any block: the bincount weights are exactly
+            +-1.0, whose float64 partial sums are exact integers, so the
+            accumulation order cannot change the output.
+
+    Feature hashing: for every character `ngram` window fully inside one
+    string, bucket = h % dim, sign = +1 if bit31(h) else -1; rows are
+    L2-normalized (empty/too-short strings stay zero vectors).
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if n == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    if block is None:
+        block = int(os.environ.get("LYSSANDRA_EMBED_BLOCK", "256"))
+    if block < 1:
+        block = n
+    if block >= n:
+        out = _embed_accumulate(data, offsets, dim, ngram)
+    else:
+        out = np.empty((n, dim), dtype=np.float64)
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            out[i0:i1] = _embed_accumulate(data, offsets[i0 : i1 + 1], dim, ngram)
     nrm = np.linalg.norm(out, axis=1)
     nz = nrm > 1e-13
     out[nz] /= nrm[nz, None]

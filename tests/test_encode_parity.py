@@ -196,3 +196,26 @@ def test_encode_block_version_order_invariant(versions):
     np.testing.assert_array_equal(a["dict_version"], b["dict_version"])
     np.testing.assert_allclose(a["code_val"], b["code_val"])
     np.testing.assert_array_equal(a["code_idx"], b["code_idx"])
+
+
+def test_embed_buffer_block_invariance_bit_exact():
+    """Cache-blocked embed accumulation is BIT-identical for any block
+    size: bincount weights are exactly +-1.0 whose float64 partial sums
+    are exact integers, so chunking cannot change the output."""
+    import numpy as np
+
+    from lyssandra_spark.functions.embed import embed_buffer
+
+    rng = np.random.default_rng(7)
+    texts = [
+        "".join(chr(97 + int(c)) for c in rng.integers(0, 26, size=int(ln)))
+        for ln in rng.integers(0, 500, size=3000)
+    ]
+    enc = [t.encode() for t in texts]
+    off = np.zeros(len(enc) + 1, np.int64)
+    np.cumsum([len(e) for e in enc], out=off[1:])
+    data = np.frombuffer(b"".join(enc), np.uint8)
+    ref = embed_buffer(data, off, block=10**9)  # unblocked
+    for blk in (1, 17, 256, 1024, 2999):
+        got = embed_buffer(data, off, block=blk)
+        assert np.array_equal(got, ref), f"block={blk} diverged"
