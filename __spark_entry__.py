@@ -295,6 +295,13 @@ def _ridge_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = spark.read.parquet(POOL_PATH)
     pooled = pool_codes(src, n_atoms=128, part=("conv_id", "session_id"))
+    # route the feature table through the snapshot catalog (B17+B18 inside
+    # a driver row): one overwrite snapshot, probe runs on the read-back
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, os.path.join(ORACLE_CACHE, "probe_wh"))
+    cat.write(pooled, "pooled_sessions", mode="overwrite")
+    pooled = cat.read("pooled_sessions")
     wstar = np.random.default_rng(31).standard_normal(128)
     score = F.aggregate(
         F.zip_with(F.col("pooled"), F.array(*[F.lit(float(v)) for v in wstar]),
