@@ -250,15 +250,11 @@ POOL_ORACLE_SQL = f"""
 """
 
 
-def _session_code_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-session max-pooling of sparse codes (A9 analogue), hash-checked.
-
-    The flagship's coded sessions are materialized once per fingerprint
-    (same pattern as flagship_skeleton) so DuckDB pools the identical
-    CSR arrays; the Spark side runs the real pool_codes operator (dense
-    length-128 output) and re-sparsifies via posexplode + nonzero filter
-    to meet the oracle's sparse shape.
-    """
+def _pooled_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared input for the pooling + probe queries: the flagship's coded
+    sessions materialized once per fingerprint (so DuckDB reads identical
+    CSR bytes), max-pooled to one length-128 vector per session by the
+    real pool_codes operator."""
     from lyssandra_spark.operators.pooling import pool_codes
 
     materialize_once(
@@ -268,7 +264,18 @@ def _session_code_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         POOL_PATH, f"pool-v1|{sf_dir}",
     )
     src = spark.read.parquet(POOL_PATH)
-    pooled = pool_codes(src, n_atoms=128, part=("conv_id", "session_id"))
+    return pool_codes(src, n_atoms=128, part=("conv_id", "session_id"))
+
+
+def _session_code_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session max-pooling of sparse codes (A9 analogue), hash-checked.
+
+    The Spark side runs the real pool_codes operator (dense length-128
+    output) and re-sparsifies via posexplode + nonzero filter to meet the
+    oracle's sparse shape (DuckDB zip-unnest + max groupBy over the same
+    materialized CSR arrays).
+    """
+    pooled = _pooled_sessions(spark, sf_dir)
     return pooled.select(
         "conv_id", "session_id",
         F.posexplode("pooled").alias("atom", "pooled_val"),
@@ -279,27 +286,26 @@ def _session_code_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ridge_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed closed-form ridge probe on pooled session codes (the
     A9 classify analogue), planted-separable: labels come from a seeded
-    linear rule on the pooled features (threshold = median score), so the
-    probe must recover high training accuracy. One output row
+    linear rule on the pooled features (threshold = the EXACT median
+    score, so labels are reproducible across partitionings), so the probe
+    must recover high training accuracy. One output row
     (n_groups, dim, train_acc); the XtX/Xty sufficient statistics and the
     accuracy pass are both distributed (constant driver memory)."""
+    import shutil
+
     import numpy as np
 
-    from lyssandra_spark.operators.pooling import pool_codes, ridge_probe
-
-    materialize_once(
-        lambda: coded_transcripts(spark, sf_dir, algo="bomp", k=5).select(
-            "conv_id", "session_id", "code_idx", "code_val"
-        ),
-        POOL_PATH, f"pool-v1|{sf_dir}",
-    )
-    src = spark.read.parquet(POOL_PATH)
-    pooled = pool_codes(src, n_atoms=128, part=("conv_id", "session_id"))
-    # route the feature table through the snapshot catalog (B17+B18 inside
-    # a driver row): one overwrite snapshot, probe runs on the read-back
+    from lyssandra_spark.operators.pooling import ridge_probe
     from lyssandra_spark.sources.catalog import ParquetCatalog
 
-    cat = ParquetCatalog(spark, os.path.join(ORACLE_CACHE, "probe_wh"))
+    pooled = _pooled_sessions(spark, sf_dir)
+    # route the feature table through the snapshot catalog (B17+B18 inside
+    # a driver row): fresh single-snapshot warehouse each run (the input is
+    # a derived cache, not history worth keeping — rmtree bounds the disk),
+    # probe runs on the read-back
+    wh = os.path.join(ORACLE_CACHE, "probe_wh")
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = ParquetCatalog(spark, wh)
     cat.write(pooled, "pooled_sessions", mode="overwrite")
     pooled = cat.read("pooled_sessions")
     wstar = np.random.default_rng(31).standard_normal(128)
@@ -309,7 +315,9 @@ def _ridge_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, x: acc + x,
     )
     scored = pooled.withColumn("score", score).cache()
-    thr = scored.approxQuantile("score", [0.5], 0.001)[0]
+    # exact median (not approxQuantile): the threshold — hence the labels
+    # and the reported accuracy — must not depend on partition layout
+    thr = scored.agg(F.expr("percentile(score, 0.5)")).collect()[0][0]
     labeled = scored.withColumn(
         "label", F.when(F.col("score") >= thr, 1.0).otherwise(-1.0)
     )
@@ -326,11 +334,13 @@ SIMHASH_PATH = os.path.join(ORACLE_CACHE, "doc_simhashes")
 # Pigeonhole banding has exact recall at hamming <= max_hamming, so the
 # brute-force all-pairs filter IS the oracle (600 rows -> 180k pairs at
 # sf0.01 — trivial for DuckDB; the Spark side never builds that product).
-# xor/bit_count are two's-complement bitwise in both engines.
+# xor/bit_count are two's-complement bitwise in both engines; DuckDB's
+# bit_count returns TINYINT while Spark's returns INT, hence the CAST
+# (same reason SKELETON_ORACLE_SQL casts session_id).
 SIMHASH_ORACLE_SQL = f"""
     WITH s AS (SELECT * FROM read_parquet('{SIMHASH_PATH}/*.parquet'))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """

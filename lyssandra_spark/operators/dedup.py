@@ -332,9 +332,10 @@ def simhash_pairs_from_hashes(
     if not 1 <= max_hamming <= 31:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be in [1, 31]: 0 would build "
-            "a 64-bit chunk mask that overflows a Spark long literal, and "
-            ">= 32 gives zero-width chunks whose all-zero values bucket "
-            "every row with every other row (an all-pairs join)"
+            "a 64-bit chunk mask that overflows a Spark long literal; >= 32 "
+            "gives 1-bit chunks (64 // (h+1) = 1 up to 63, 0 beyond) whose "
+            "two-value buckets put ~half the corpus in each bucket — a "
+            "near-all-pairs join in disguise"
         )
     n_chunks = max_hamming + 1
     width = 64 // n_chunks

@@ -40,11 +40,14 @@ def materialize_once(build, path: str, fingerprint: str) -> None:
     The oracle-cache parquets are pure functions of (sf_dir, generator
     version); rewriting them on every query invocation made the oracle
     read execution-order-coupled (spark had to run strictly before the
-    oracle SQL) and raced under concurrent sessions. A sidecar ``.fp``
-    file records what the parquet holds: matching fingerprint + existing
-    dir => skip the write entirely, so a second invocation — or an
-    oracle-first driver ordering after ANY prior run at the same sf —
-    reads stable bytes.
+    oracle SQL). A sidecar ``.fp`` file records what the parquet holds:
+    matching fingerprint + existing dir => skip the write entirely, so a
+    second invocation — or an oracle-first driver ordering after ANY
+    prior run at the same sf — reads stable bytes. Scope: this removes
+    rewrites of an already-valid cache; it is NOT a cross-process lock —
+    two processes cold-writing the same path concurrently still race
+    (the driver contract is single-process, so that case doesn't arise
+    there).
     """
     fp_file = path + ".fp"
     try:

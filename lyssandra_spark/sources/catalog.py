@@ -63,12 +63,16 @@ class ParquetCatalog:
         name: str,
         mode: str = "append",
         partition_by: dict[str, str] | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Write df as a new snapshot; returns the snapshot id.
 
         partition_by maps derived-column name -> SQL expression over df
         (Iceberg hidden-partitioning analogue), e.g.
         ``{"ts_day": "date_trunc('day', ts)", "conv_bucket": "pmod(hash(conv_id), 16)"}``.
+        ``meta`` is recorded verbatim on the snapshot's manifest entry
+        (e.g. the streaming sink stamps its micro-batch id, so replayed
+        batches are auditable).
         """
         man = self._manifest(name)
         snap_id = (man["snapshots"][-1]["id"] + 1) if man["snapshots"] else 1
@@ -88,6 +92,7 @@ class ParquetCatalog:
                 "partition_by": partition_by or {},
                 "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema],
                 "wall": time.time(),
+                **({"meta": meta} if meta else {}),
             }
         )
         os.makedirs(self._tdir(name), exist_ok=True)

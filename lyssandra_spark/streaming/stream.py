@@ -131,17 +131,20 @@ def stream_to_catalog(
 
     Each micro-batch lands as one append-mode catalog snapshot via
     ``foreachBatch`` — so a streaming ingest gets the same manifest,
-    time-travel, and read-back surface as batch writes, and exactly-once
-    delivery comes from the checkpoint (a replayed batch would re-append;
-    the batch id is recorded in the snapshot manifest entry via the
-    catalog's snapshot list so audits can detect replays). Returns the
-    started StreamingQuery; callers own awaitTermination.
+    time-travel, and read-back surface as batch writes. At-least-once
+    delivery comes from the checkpoint; a batch replayed after a failure
+    between the write and the checkpoint commit WOULD re-append, so the
+    micro-batch id is stamped on each snapshot's manifest entry (``meta``)
+    — a duplicate stream_batch_id in ``catalog.snapshots(table)`` is the
+    audit signal for a replay. Returns the started StreamingQuery;
+    callers own awaitTermination.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        catalog.write(batch_df, table, mode="append")
+        catalog.write(batch_df, table, mode="append",
+                      meta={"stream_batch_id": batch_id})
 
     w = sdf.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
     if trigger_available_now:

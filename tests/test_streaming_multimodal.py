@@ -233,11 +233,14 @@ def test_stream_foreachbatch_catalog_sink(spark, tpath, tmp_path_factory):
         algo="bomp", k=5, drop_text=True,
     )
     q = ST.stream_to_catalog(coded, cat, "turn_codes", str(root / "ckpt"))
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not finish within timeout"
 
     snaps = cat.snapshots("turn_codes")
     assert len(snaps) >= 2, "expected one append snapshot per micro-batch"
     assert all(s["mode"] == "append" for s in snaps)
+    # micro-batch ids stamped for replay audits: all present, all distinct
+    bids = [s["meta"]["stream_batch_id"] for s in snaps]
+    assert len(set(bids)) == len(bids)
 
     got = cat.read("turn_codes").toPandas().sort_values(
         ["conv_id", "turn_idx"]).reset_index(drop=True)
