@@ -115,3 +115,62 @@ def test_minhash_lsh_banded_exchange_excludes_signature(spark, sf_dir):
         header = chunk.splitlines()[0]
         if header.startswith("band"):
             assert "sig" not in header, header
+
+
+def test_embedding_neardup_bucket_exchange_excludes_embedding(spark, sf_dir):
+    """Multi-table bucket candidate generation must not carry the 8*dim-byte
+    embedding through its shuffles: exchanges partitioned on (tbl, bucket)
+    ship (id, tbl, bucket) only; embeddings re-join for deduped survivors."""
+    from lyssandra_spark.operators.dedup import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup_pairs(e, n_planes=8, n_tables=3, min_cosine=0.9)
+    plan = _plan(out)
+    for chunk in plan.split("Exchange hashpartitioning(")[1:]:
+        header = chunk.splitlines()[0]
+        if header.startswith("tbl"):
+            assert "emb" not in header, header
+
+
+def test_pool_codes_partial_aggregation_and_key_shuffles(spark, sf_dir):
+    """pool_codes shuffles only on the group keys (atom stage partitions by
+    (keys, i), group stage by keys) with map-side partial aggregation —
+    never on the exploded pair stream itself."""
+    from lyssandra_spark.operators.pooling import pool_codes
+
+    src = spark.range(2000).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("conv_id"),
+        (F.col("id") % 3).cast("int").alias("session_id"),
+        F.array(F.lit(1), F.lit(2)).alias("code_idx"),
+        F.array(F.lit(0.5), F.lit(1.5)).alias("code_val"),
+    )
+    out = pool_codes(src, n_atoms=8, part=("conv_id", "session_id"))
+    plan = _plan(out)
+    assert "partial_max" in plan or "partial_count" in plan
+    # every exchange keys on conv_id (+ session_id / i) — nothing else
+    for chunk in plan.split("Exchange hashpartitioning(")[1:]:
+        header = chunk.splitlines()[0]
+        assert header.startswith("conv_id"), header
+
+
+def test_ivf_arrow_assignment_single_crossing_no_literal_blowup(spark, emb_np=None):
+    """assign_cells_arrow at a production cell count: exactly one Python
+    crossing, centroids travel as a broadcast (zero centroid literals in
+    the plan), plan size independent of n_cells."""
+    import numpy as np
+
+    from lyssandra_spark.operators.similarity import assign_cells_arrow
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    rng = np.random.default_rng(1)
+    plan_sizes = []
+    for n_cells in (64, 4096):
+        C = rng.standard_normal((n_cells, 64))
+        out = assign_cells_arrow(e, C, "emb", nprobe=4)
+        plan = _plan(out)
+        assert plan.count("PythonMapInArrow") + plan.count("MapInArrow") == 1
+        plan_sizes.append(len(plan))
+    # 64x more centroids must not grow the plan (broadcast, not literals)
+    assert abs(plan_sizes[1] - plan_sizes[0]) < 200, plan_sizes
