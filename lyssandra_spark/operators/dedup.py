@@ -398,33 +398,19 @@ def embedding_neardup_pairs(
     exactly like minhash_lsh_pairs' slim-shuffle fix — and exact cosine
     verification of candidates is JVM-side.
     """
+    from lyssandra_spark.operators.similarity import hyperplane_buckets
+
     if n_tables < 1:
         raise ValueError(f"n_tables ({n_tables}) must be >= 1")
     rng = np.random.default_rng(seed)
     e = df.select(
         F.col(id_col), F.col(emb_col).cast("array<double>").alias("emb")
     )
-
-    def bucket_expr(planes: np.ndarray):
-        # bucket = integer of sign bits of the random projections
-        bucket = F.lit(0).cast("long")
-        for p in range(planes.shape[0]):
-            dot = F.aggregate(
-                F.zip_with(F.array(*[F.lit(float(v)) for v in planes[p]]),
-                           F.col("emb"), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket * 2 + F.when(dot > 0, 1).otherwise(0)
-        return bucket
-
-    tagged = None
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
-        et = e.select(
-            id_col, F.lit(t).alias("tbl"), bucket_expr(planes).alias("bucket")
-        )
-        tagged = et if tagged is None else tagged.unionByName(et)
+    # sign-sketch buckets for all tables in ONE scan (keep only the id:
+    # candidate generation never ships embeddings); stacked draw == the
+    # per-table sequential draws, so buckets match the historical shape
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    tagged = hyperplane_buckets(e, planes, "emb", keep=[id_col])
     a = tagged.alias("a")
     b = tagged.alias("b")
     cand = (

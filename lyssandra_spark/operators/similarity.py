@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cosine_topk_bruteforce", "cosine_topk_vectorized", "cosine_topk_lsh",
-           "ivf_topk", "kmeans_refine", "assign_cells_arrow"]
+           "ivf_topk", "kmeans_refine", "assign_cells_arrow",
+           "hyperplane_buckets"]
 
 
 def _dot(a, b):
@@ -148,6 +149,80 @@ def _plane_bucket(emb_col, planes: np.ndarray):
     return bucket
 
 
+def hyperplane_buckets(
+    df: DataFrame, planes: np.ndarray, emb_col: str,
+    keep: list[str] | None = None,
+    tbl_col: str = "tbl", bucket_col: str = "bucket",
+    max_expr_literals: int = 4096,
+) -> DataFrame:
+    """Tag every row with its sign-sketch bucket for EVERY hyperplane
+    table, in ONE scan: one output row per (input row, table).
+
+    ``planes`` is (n_tables, n_planes, dim). The one-scan shape replaces
+    the union-of-tagged-scans pattern, which reads the corpus n_tables
+    times — at 10^12 rows that multiplier IS the job cost. Two paths:
+
+    - in-plan expressions + posexplode when the total literal budget
+      (n_tables * n_planes * dim) is small — bit-exact with the
+      historical per-table expressions (same rng stream, same
+      bucket = bucket*2 + (dot>0) packing);
+    - broadcast mapInArrow beyond: one GEMM per Arrow batch against all
+      tables' planes at once, plan size O(1) in the plane budget (the
+      same de-literalization as IVF's assign_cells_arrow).
+
+    ``keep`` restricts the carried input columns (the Arrow path pays
+    serialization per output column; candidate generation usually only
+    needs the id).
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    n_tables, n_planes, dim = planes.shape
+    keep = list(df.columns) if keep is None else list(keep)
+    if n_tables * n_planes * dim <= max_expr_literals:
+        arr = F.array(*[_plane_bucket(F.col(emb_col), planes[t])
+                        for t in range(n_tables)])
+        return df.select(*keep, F.posexplode(arr).alias(tbl_col, bucket_col))
+
+    src = df.select(*dict.fromkeys(keep + [emb_col]))  # emb needed to hash
+    emb_pos = src.columns.index(emb_col)
+    keep_pos = [src.columns.index(c) for c in keep]
+    bc = src.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(planes.reshape(n_tables * n_planes, dim))
+    )
+    out_schema = T.StructType(
+        [src.schema[c] for c in keep]
+        + [T.StructField(tbl_col, T.IntegerType(), False),
+           T.StructField(bucket_col, T.LongType(), False)]
+    )
+    # plane p contributes bit (n_planes-1-p): the expression path packs
+    # MSB-first via bucket = bucket*2 + bit
+    weights = (np.int64(1) << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    def gen(it):
+        PL = bc.value
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(emb_pos).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, -1)
+            bits = (X @ PL.T > 0).reshape(n, n_tables, n_planes)
+            buckets = (bits.astype(np.int64) * weights).sum(-1)  # (n, n_tables)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_tables))
+            cols = [batch.column(j).take(idx) for j in keep_pos]
+            yield pa.RecordBatch.from_arrays(
+                cols + [
+                    pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n),
+                             pa.int32()),
+                    pa.array(buckets.reshape(-1), pa.int64()),
+                ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", emb_col: str = "embedding",
@@ -162,20 +237,14 @@ def cosine_topk_lsh(
     rng = np.random.default_rng(seed)
     c = _as_double(corpus, id_col, emb_col, "emb")
     q = _as_double(queries, id_col, emb_col, "qemb").withColumnRenamed(id_col, "qid")
-    c_tagged = None
-    q_tagged = None
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
-        ct = c.select(
-            id_col, "emb", F.lit(t).alias("tbl"),
-            _plane_bucket(F.col("emb"), planes).alias("bucket"),
-        )
-        qt = q.select(
-            "qid", "qemb", F.lit(t).alias("qtbl"),
-            _plane_bucket(F.col("qemb"), planes).alias("qbucket"),
-        )
-        c_tagged = ct if c_tagged is None else c_tagged.unionByName(ct)
-        q_tagged = qt if q_tagged is None else q_tagged.unionByName(qt)
+    # one stacked draw == the historical per-table sequential draws (the
+    # Generator stream is consumed in the same order), so buckets are
+    # unchanged; hyperplane_buckets makes tagging ONE scan of the corpus
+    # instead of n_tables scans
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    c_tagged = hyperplane_buckets(c, planes, "emb", keep=[id_col, "emb"])
+    q_tagged = hyperplane_buckets(q, planes, "qemb", keep=["qid", "qemb"],
+                                  tbl_col="qtbl", bucket_col="qbucket")
     cand = (
         c_tagged.join(
             F.broadcast(q_tagged),

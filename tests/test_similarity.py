@@ -193,3 +193,21 @@ def test_ivf_large_cell_count_bounded_plan(spark, emb, emb_np):
         for qid, grp in got.groupby("qid")
     )
     assert hits / (5 * len(expect)) >= 0.5  # nprobe=32/256 cells probed
+
+
+def test_hyperplane_buckets_arrow_matches_expression(spark, emb):
+    """The broadcast-GEMM bucket path must produce exactly the same
+    (id, tbl, bucket) rows as the in-plan expression path."""
+    src = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                     .alias("emb"))
+    planes = np.random.default_rng(13).standard_normal((5, 8, 64))
+    expr = S.hyperplane_buckets(
+        src, planes, "emb", keep=["vec_id"], max_expr_literals=10**9
+    )
+    arrow = S.hyperplane_buckets(
+        src.repartition(6), planes, "emb", keep=["vec_id"], max_expr_literals=0
+    )
+    got_e = sorted(map(tuple, expr.collect()))
+    got_a = sorted(map(tuple, arrow.collect()))
+    assert got_e == got_a
+    assert len(got_e) == src.count() * 5
