@@ -177,12 +177,17 @@ def minhash_lsh_pairs(
     # re-joined below for surviving pairs only (2 narrow keyed joins beat
     # a bands-x-wider exchange; the signature mapInArrow pass is cheap to
     # recompute relative to the shuffle it avoids).
+    # xxhash64 hashes the array column directly — the earlier
+    # to_json(struct(...)) round-trip built a JSON string per (row, band)
+    # purely to feed the hash; equal slices hash equal either way (so true
+    # candidates are identical) and 2^-64 cross-band collisions are noise
+    # under the est_jaccard>=threshold verification.
     banded = sigs.select(
         id_col,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b AS band, xxhash64(to_json(struct(slice(sig, b*{rows_per_band}+1, {rows_per_band})))) AS bh))"
+                f"struct(b AS band, xxhash64(slice(sig, b*{rows_per_band}+1, {rows_per_band})) AS bh))"
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
