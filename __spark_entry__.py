@@ -116,7 +116,7 @@ def _leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over documents + planted near-dups."""
     from lyssandra_spark.operators.dedup import minhash_lsh_pairs
 
@@ -329,6 +329,55 @@ def _ridge_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_PAIRS_PATH = os.path.join(ORACLE_CACHE, "minhash_pairs")
+
+# Connected components are SQL-expressible as a recursive closure: the
+# DuckDB CTE computes every (vertex, reachable vertex) pair and takes the
+# min — fine at oracle scale (139 edges), while the Spark side runs the
+# distributed O(diameter)-round min-label propagation that works at
+# 10^12 edges. Both read the identical Spark-materialized pair parquet.
+MINHASH_CLUSTERS_ORACLE_SQL = f"""
+    WITH RECURSIVE p AS (
+      SELECT * FROM read_parquet('{MINHASH_PAIRS_PATH}/*.parquet')),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+      SELECT u, u FROM e
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT c.id AS doc_id, c.cluster_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+    FROM comp c
+"""
+
+
+def _minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup DEDUP CLUSTERS, hash-checked: the full
+    shingle -> minhash -> band -> bucket-join pair pipeline runs inside
+    (pairs materialized once per fingerprint), then distributed
+    connected components turn pairs into per-doc cluster labels (the
+    canonical-representative decision every dedup retention policy
+    needs). Oracle = DuckDB recursive-CTE reachability over the same
+    pair parquet."""
+    from pyspark.sql import Window
+
+    from lyssandra_spark.operators.graph import connected_components
+
+    materialize_once(
+        lambda: _minhash_lsh_pairs_df(spark, sf_dir).select("id_a", "id_b"),
+        MINHASH_PAIRS_PATH, f"mhpairs-v1|{sf_dir}",
+    )
+    e = spark.read.parquet(MINHASH_PAIRS_PATH)
+    cc = connected_components(e)
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(F.col("id").alias("doc_id"),
+                  F.col("component").alias("cluster_id"))
+        .withColumn("n_members", F.count("*").over(w))
+    )
+
+
 SIMHASH_PATH = os.path.join(ORACLE_CACHE, "doc_simhashes")
 
 # Pigeonhole banding has exact recall at hamming <= max_hamming, so the
@@ -392,7 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # training-data-pipeline ops (quality gates live in tests/; the simhash
     # operator's driver coverage is the ORACLED simhash_neardup_pairs row,
     # which materializes and verifies the same signatures end-to-end)
-    out["dedup_minhash_lsh"] = _minhash_lsh
+    out["dedup_minhash_clusters"] = _minhash_clusters
     out["simhash_neardup_pairs"] = _simhash_pairs
     out["embedding_neardup_pairs"] = _embedding_neardup
     out["ann_lsh_topk"] = _ann_lsh
@@ -412,4 +461,5 @@ def oracle_sql() -> dict[str, str]:
     out["flagship_skeleton"] = SKELETON_ORACLE_SQL
     out["session_code_pooling"] = POOL_ORACLE_SQL
     out["simhash_neardup_pairs"] = SIMHASH_ORACLE_SQL
+    out["dedup_minhash_clusters"] = MINHASH_CLUSTERS_ORACLE_SQL
     return out

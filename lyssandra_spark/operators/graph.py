@@ -1,0 +1,96 @@
+"""Connected components over near-duplicate pair edges.
+
+The missing last step of every dedup pipeline: pair emitters (MinHash
+LSH, SimHash banding, embedding LSH) produce EDGES, but retention
+decisions need CLUSTERS — "keep one doc per component". This operator
+turns an (id_a, id_b) edge table into (id, component) labels, where the
+component id is the minimum vertex id reachable (a deterministic
+canonical representative).
+
+Algorithm: min-label propagation — every vertex repeatedly takes the
+minimum label among itself and its neighbors until a fixpoint. Each
+iteration is ONE keyed shuffle (join labels to the symmetric edge list +
+groupBy min), so total cost is O(component diameter) shuffles. Near-dup
+components are shallow (dups of dups of one original), so this converges
+in a handful of rounds; for adversarially deep graphs at 10^12 edges the
+published upgrade is the large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014), which
+contracts paths exponentially — same join/groupBy building blocks, same
+driver loop, fewer rounds. The per-iteration convergence check is a
+single scalar aggregate (count of changed labels), never a label
+collect.
+
+Iterative DataFrame loops grow the logical plan without bound;
+``localCheckpoint`` truncates lineage each round (on a real cluster with
+unreliable executors, set a checkpoint dir and use ``checkpoint``
+instead — the loop structure is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex of the (undirected) edge table with the minimum
+    vertex id in its connected component.
+
+    Returns (id, component); only vertices that appear in ``edges`` are
+    labeled (an isolated doc is its own trivial cluster and never needed
+    the graph pass). Raises if ``max_iter`` rounds don't reach the
+    fixpoint — near-dup graphs converge in O(log diameter)-ish rounds,
+    so hitting the cap means the input is not the expected shape.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(
+                labels.select(F.col("id").alias("v"),
+                              F.col("component").alias("vcomp")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min,
+                        labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component"))
+                        ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "unexpectedly deep component chain; raise max_iter or switch to "
+        "the large-star/small-star contraction for this input"
+    )

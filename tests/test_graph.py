@@ -1,0 +1,79 @@
+"""Connected components: vs a python union-find oracle, worst-case chain
+convergence, partition invariance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.graph import connected_components
+
+
+def _uf_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical representative = min id in component
+    comp = {}
+    for v in list(parent):
+        comp[v] = find(v)
+    return comp
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df, **kw).collect()
+    return {r["id"]: r["component"] for r in got}
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 120, 300), rng.integers(0, 120, 300))
+        if a != b
+    ]
+    got = _run(spark, edges)
+    exp = _uf_oracle(edges)
+    assert got == exp
+
+
+def test_cc_chain_worst_case(spark):
+    """A single path graph (maximum diameter for its size): min-label
+    propagation still converges within max_iter because the min label
+    hops one step per round along the chain — 24 edges, default cap."""
+    edges = [(i, i + 1) for i in range(24)]
+    got = _run(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 25
+
+
+def test_cc_components_and_partition_invariance(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r["id"]: r["component"]
+         for r in connected_components(df).collect()}
+    b = {r["id"]: r["component"]
+         for r in connected_components(df.repartition(7)).collect()}
+    assert a == b == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                               "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
