@@ -140,23 +140,29 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_planes=4, n_tables=12)
 
 
-def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k, sample-trained and distributed-refined variants in
-    one result (union, `refined` flag): refined=true runs one full-corpus
-    Lloyd pass (kmeans_refine — constant-size per-partition stats), so the
-    driver row exercises the distributed-training path, not just the
-    2048-row driver sample."""
-    from lyssandra_spark.operators.similarity import ivf_topk
+def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ANN strategies in one result (union, `variant` column):
+
+    - 'ivf': sample-trained IVF, nprobe cell scan;
+    - 'ivf_refined': one FULL-CORPUS distributed Lloyd pass
+      (kmeans_refine — constant-size per-partition stats), exercising the
+      distributed-training path, not just the 2048-row driver sample;
+    - 'pq_adc': product quantization (8 subspaces x 8-bit codes) + ADC
+      lookup-table scan + exact re-rank — the 64x-compressed
+      representation that makes ANN feasible at 100 TB.
+    """
+    from lyssandra_spark.operators.similarity import ivf_topk, pq_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.where(F.col("vec_id") < 10)
     base = ivf_topk(e, q, k=5, n_cells=8, nprobe=4).withColumn(
-        "refined", F.lit(False)
+        "variant", F.lit("ivf")
     )
     ref = ivf_topk(e, q, k=5, n_cells=8, nprobe=4, refine_iters=1).withColumn(
-        "refined", F.lit(True)
+        "variant", F.lit("ivf_refined")
     )
-    return base.unionByName(ref)
+    pq = pq_topk(e, q, k=5).withColumn("variant", F.lit("pq_adc"))
+    return base.unionByName(ref).unionByName(pq)
 
 
 def _dict_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,7 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash_neardup_pairs"] = _simhash_pairs
     out["embedding_neardup_pairs"] = _embedding_neardup
     out["ann_lsh_topk"] = _ann_lsh
-    out["ann_ivf_topk"] = _ann_ivf
+    out["ann_topk_variants"] = _ann_variants  # ivf / ivf_refined / pq_adc
     out["multimodal_decode"] = _multimodal
     out["session_code_pooling"] = _session_code_pooling
     out["ridge_probe_accuracy"] = _ridge_probe_accuracy
