@@ -9,7 +9,16 @@
   join is on (table, bucket) keys — never an all-pairs product — and recall
   is tuned by (n_planes, n_tables).
 - :func:`ivf_topk` — IVF variant: k-means-lite centroids (seeded, one
-  driver-side Lloyd pass over a sample), probe the nprobe nearest cells.
+  driver-side Lloyd pass over a sample), probe the nprobe nearest cells;
+  :func:`kmeans_refine` trains the cells on the FULL corpus (distributed
+  sufficient statistics) and :func:`assign_cells_arrow` keeps the plan
+  O(1) in cell count at production index widths.
+- :func:`pq_topk` — product quantization: 8-bit per-subspace codes (64x
+  smaller than the raw vectors), asymmetric-distance LUT scan, exact
+  re-rank of the candidate set. The representation that makes ANN
+  feasible at 100 TB.
+- :func:`hyperplane_buckets` — multi-table sign-sketch tagging in ONE
+  corpus scan (shared by the LSH operators here and in dedup).
 """
 
 from __future__ import annotations
