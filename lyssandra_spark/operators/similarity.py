@@ -419,13 +419,18 @@ def pq_topk(
         .where(F.col("crk") <= rerank)
         .select("qid", id_col)
     )
-    # exact re-rank of the candidate set only (rerank rows per query)
+    # exact re-rank of the candidate set only (rerank rows per query).
+    # The candidate set is provably tiny (<= rerank * n_queries rows after
+    # the window), so BROADCAST it against the corpus — the corpus side
+    # stays an unshuffled scan; without the hint this join would shuffle
+    # 10^12 corpus rows on id to meet a 640-row table.
     qdf = corpus.sparkSession.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
         f"qid long, qemb array<double>",
     )
     sims = (
-        cand.join(c.select(F.col(id_col), F.col("emb")), id_col)
+        c.select(F.col(id_col), F.col("emb"))
+        .join(F.broadcast(cand), id_col)
         .join(F.broadcast(qdf), "qid")
         .select(
             "qid", id_col,

@@ -174,3 +174,15 @@ def test_ivf_arrow_assignment_single_crossing_no_literal_blowup(spark, emb_np=No
         plan_sizes.append(len(plan))
     # 64x more centroids must not grow the plan (broadcast, not literals)
     assert abs(plan_sizes[1] - plan_sizes[0]) < 200, plan_sizes
+
+
+def test_pq_rerank_broadcasts_candidates_not_corpus(spark):
+    """pq_topk's exact re-rank must broadcast the bounded candidate set;
+    the corpus side stays an unshuffled scan (no Exchange on the corpus
+    id between the parquet scan and the re-rank join)."""
+    from lyssandra_spark.operators.similarity import pq_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_topk(e, e.where(F.col("vec_id") < 4), k=3, rerank=16)
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
