@@ -49,11 +49,13 @@ def connected_components(
     fixpoint — near-dup graphs converge in O(log diameter)-ish rounds,
     so hitting the cap means the input is not the expected shape.
     """
+    # materialize the symmetric edge list once — every iteration joins it,
+    # and without this each round re-reads + re-unions the source edges
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("id")).distinct()
         .withColumn("component", F.col("id"))
