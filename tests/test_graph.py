@@ -77,3 +77,32 @@ def test_cc_nonconvergence_raises(spark):
                                "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+
+def test_dedup_retention_keep_best_per_cluster(spark):
+    """End-to-end retention composition: near-dup pairs -> connected
+    components -> keep the highest-quality doc per cluster (ties by
+    lowest doc_id). This is the full dedup decision a training-data
+    pipeline ships: cluster labels from the graph pass + one
+    dedup_latest window."""
+    from lyssandra_spark.operators.windows import dedup_latest
+
+    docs = spark.createDataFrame(
+        [(1, 0.9), (2, 0.95), (3, 0.2), (10, 0.5), (11, 0.5), (42, 0.7)],
+        "doc_id long, quality double",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = connected_components(edges)
+    labeled = docs.join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).withColumn(
+        # isolated docs (doc 42) are their own cluster
+        "component", F.coalesce("component", "doc_id")
+    )
+    kept = dedup_latest(
+        labeled.withColumn("neg_id", -F.col("doc_id")),
+        ["component"], ["quality", "neg_id"],
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {2, 10, 42}
