@@ -315,6 +315,9 @@ def pq_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization + ADC scan +
     exact re-rank — the representation that makes ANN feasible at 100 TB.
+    (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — public paper; ADC = asymmetric distance
+    computation, Sec. IV.A.)
 
     Rationale at scale: a float64 dim-64 vector is 512 B; its PQ code is
     ``m`` uint8 entries (8 B at m=8) — a 64x storage/bandwidth drop, so
