@@ -146,6 +146,33 @@ def minhash_signatures(
     return src.mapInArrow(gen, out_schema)
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop rows in candidate buckets larger than ``max_bucket``.
+
+    The quadratic LSH pathology: B identical/boilerplate docs share every
+    bucket, so candidate generation emits B*(B-1)/2 pairs — at B=100k
+    that is 5e9 pairs from ONE bucket, the canonical dedup production
+    incident. Oversized buckets carry no near-dup information that
+    ``exact_dedup`` (run first, one cheap hash shuffle) hasn't already
+    resolved, so capped pipelines skip them. The size count rides the
+    same (bucket-key) partitioning the self-join needs — no extra
+    exchange. Default (None) is uncapped: exact parity with the
+    historical output.
+    """
+    if max_bucket is None:
+        return banded
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket ({max_bucket}) must be >= 2")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bsz", F.count("*").over(w))
+        .where(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -155,13 +182,17 @@ def minhash_lsh_pairs(
     ngram_bytes: int = 8,
     threshold: float = 0.5,
     seed: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH + exact-Jaccard-on-
     signature verification.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and
     est_jaccard >= threshold (est = fraction of agreeing minhashes, an
-    unbiased Jaccard estimator).
+    unbiased Jaccard estimator). ``max_bucket`` (see :func:`_cap_buckets`)
+    skips degenerate buckets — the guard against the quadratic
+    identical-boilerplate blowup; run :func:`exact_dedup` first so capped
+    buckets lose nothing.
     """
     if n_perm % bands != 0:
         raise ValueError(
@@ -191,6 +222,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -322,6 +354,7 @@ def simhash_pairs_from_hashes(
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pair precomputed 64-bit simhashes within ``max_hamming`` bits.
 
@@ -358,6 +391,7 @@ def simhash_pairs_from_hashes(
     banded = sh.select(id_col, "simhash", F.explode(chunks).alias("ch")).select(
         id_col, "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv")
     )
+    banded = _cap_buckets(banded, ["ci", "cv"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -387,6 +421,7 @@ def embedding_neardup_pairs(
     min_cosine: float = 0.9,
     seed: int = 11,
     n_tables: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH + exact verification.
 
@@ -416,6 +451,7 @@ def embedding_neardup_pairs(
     # per-table sequential draws, so buckets match the historical shape
     planes = rng.standard_normal((n_tables, n_planes, dim))
     tagged = hyperplane_buckets(e, planes, "emb", keep=[id_col])
+    tagged = _cap_buckets(tagged, ["tbl", "bucket"], max_bucket)
     a = tagged.alias("a")
     b = tagged.alias("b")
     cand = (

@@ -166,3 +166,44 @@ def test_embedding_neardup_multitable_recall_perturbed(spark, sf_dir):
     # verified cosines are exact: every reported planted pair ~= target
     hits = got8[[(a, b) in planted for a, b in zip(got8.id_a, got8.id_b)]]
     assert np.allclose(hits.cosine, target, atol=1e-6)
+
+
+def test_max_bucket_caps_quadratic_blowup(spark, sf_dir):
+    """200 identical boilerplate docs share every band bucket: uncapped,
+    candidate generation emits 200*199/2 = 19,900 pairs from the
+    boilerplate alone; max_bucket skips those buckets while genuinely
+    near-dup pairs in small buckets survive."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").limit(40)
+    boiler = (
+        spark.range(200)
+        .select(
+            (F.col("id") + 900000).alias("doc_id"),
+            F.lit("the same legal boilerplate text repeated everywhere in "
+                  "the corpus for every single document again and again"
+                  ).alias("text"),
+        )
+    )
+    near = (
+        d.where(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 500000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail tweak")))
+    )
+    full = d.unionByName(near).unionByName(boiler)
+
+    uncapped = DD.minhash_lsh_pairs(full, n_perm=32, bands=8, threshold=0.4)
+    capped = DD.minhash_lsh_pairs(full, n_perm=32, bands=8, threshold=0.4,
+                                  max_bucket=50)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    assert n_unc >= 19900          # the blowup is real
+    assert n_cap < n_unc - 19000   # and the cap removes it
+    # the small-bucket near-dup pairs survive the cap
+    planted = {(int(r["doc_id"]), int(r["doc_id"]) + 500000)
+               for r in d.where(F.col("doc_id") % 5 == 0).collect()}
+    got = {(a, b) for a, b in ((r["id_a"], r["id_b"])
+                               for r in capped.collect())}
+    assert len(planted & got) / len(planted) >= 0.8
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_bucket"):
+        DD.minhash_lsh_pairs(full, max_bucket=1)
