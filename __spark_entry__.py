@@ -147,6 +147,9 @@ def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'ivf_refined': one FULL-CORPUS distributed Lloyd pass
       (kmeans_refine — constant-size per-partition stats), exercising the
       distributed-training path, not just the 2048-row driver sample;
+    - 'ivf_wide': n_cells=96 > MAX_EXPR_CELLS, so cell assignment and
+      probe selection run through the broadcast assign_cells_arrow path
+      (the production-index-width plan) instead of in-plan literals;
     - 'pq_adc': product quantization (8 subspaces x 8-bit codes) + ADC
       lookup-table scan + exact re-rank — the 64x-compressed
       representation that makes ANN feasible at 100 TB.
@@ -161,8 +164,11 @@ def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ivf_topk(e, q, k=5, n_cells=8, nprobe=4, refine_iters=1).withColumn(
         "variant", F.lit("ivf_refined")
     )
+    wide = ivf_topk(e, q, k=5, n_cells=96, nprobe=24).withColumn(
+        "variant", F.lit("ivf_wide")
+    )
     pq = pq_topk(e, q, k=5).withColumn("variant", F.lit("pq_adc"))
-    return base.unionByName(ref).unionByName(pq)
+    return base.unionByName(ref).unionByName(wide).unionByName(pq)
 
 
 def _dict_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
