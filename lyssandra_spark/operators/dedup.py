@@ -152,12 +152,15 @@ def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> 
     The quadratic LSH pathology: B identical/boilerplate docs share every
     bucket, so candidate generation emits B*(B-1)/2 pairs — at B=100k
     that is 5e9 pairs from ONE bucket, the canonical dedup production
-    incident. Oversized buckets carry no near-dup information that
-    ``exact_dedup`` (run first, one cheap hash shuffle) hasn't already
-    resolved, so capped pipelines skip them. The size count rides the
-    same (bucket-key) partitioning the self-join needs — no extra
-    exchange. Default (None) is uncapped: exact parity with the
-    historical output.
+    incident. Capping is a RECALL TRADE-OFF, stated plainly: a dropped
+    bucket loses every pair that collides ONLY there, and while exact
+    duplicates (run ``exact_dedup`` first) account for most giant
+    buckets, templated near-dups that share a hot band/chunk value can
+    also exceed the cap — those pairs are silently skipped. Use the cap
+    to bound worst-case cost, not when completeness is the contract.
+    The size count rides the same (bucket-key) partitioning the
+    self-join needs — no extra exchange. Default (None) is uncapped:
+    exact parity with the historical output.
     """
     if max_bucket is None:
         return banded
@@ -363,9 +366,11 @@ def simhash_pairs_from_hashes(
     other MUST agree exactly on at least one chunk, so candidates are a
     bucket-join on (chunk_idx, chunk_value), never all-pairs; exact
     Hamming verification (bit_count(xor), JVM-side) filters the bucket
-    collisions. Exact recall by construction: the output set equals the
-    brute-force all-pairs Hamming filter. Output: (id_a, id_b, hamming)
-    with id_a < id_b.
+    collisions. Exact recall by construction WHEN UNCAPPED: the output
+    set equals the brute-force all-pairs Hamming filter. Setting
+    ``max_bucket`` trades that guarantee for bounded cost (see
+    :func:`_cap_buckets` — pairs colliding only in a dropped bucket are
+    skipped). Output: (id_a, id_b, hamming) with id_a < id_b.
     """
     if not 1 <= max_hamming <= 31:
         raise ValueError(

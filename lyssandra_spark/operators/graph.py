@@ -71,24 +71,23 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vcomp").alias("nmin"))
         )
-        new_labels = (
+        # carry the previous label through the select so the convergence
+        # probe is a filter+count on the checkpointed result — not an
+        # extra labels-vs-new_labels shuffle join per round
+        stepped = (
             labels.join(neighbor_min,
                         labels["id"] == neighbor_min["u"], "left")
             .select(
                 "id",
+                F.col("component").alias("prev"),
                 F.least(F.col("component"),
                         F.coalesce(F.col("nmin"), F.col("component"))
                         ).alias("component"),
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("component") != F.col("prev")).count()
+        labels = stepped.drop("prev")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -387,11 +387,16 @@ def pq_topk(
             X = flat.reshape(n, -1)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             S = Xn.reshape(n, m, dsub)
-            # quantize: per subspace, nearest codebook entry
+            # quantize: per subspace, nearest codebook entry — expanded
+            # form |s|^2 - 2 s.c + |c|^2 (one GEMM, an (n, n_codes) temp)
+            # instead of the broadcast-subtract cube, whose
+            # (n, n_codes, dsub) float64 temporary is ~160 MB per
+            # subspace at a 10k-row batch with 256 codes
             codes = np.empty((n, m), dtype=np.int64)
             for j in range(m):
-                d2 = ((S[:, j, None, :] - books_[None, j]) ** 2).sum(-1)
-                codes[:, j] = d2.argmin(1)
+                Cj = books_[j]
+                d2 = -2.0 * (S[:, j, :] @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+                codes[:, j] = d2.argmin(1)  # |s|^2 is constant per row
             # ADC: approx inner product = sum_j lut[q, j, codes[:, j]]
             approx = np.zeros((n, nq))
             for j in range(m):

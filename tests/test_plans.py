@@ -153,7 +153,7 @@ def test_pool_codes_partial_aggregation_and_key_shuffles(spark, sf_dir):
         assert header.startswith("conv_id"), header
 
 
-def test_ivf_arrow_assignment_single_crossing_no_literal_blowup(spark, emb_np=None):
+def test_ivf_arrow_assignment_single_crossing_no_literal_blowup(spark, sf_dir):
     """assign_cells_arrow at a production cell count: exactly one Python
     crossing, centroids travel as a broadcast (zero centroid literals in
     the plan), plan size independent of n_cells."""
@@ -161,7 +161,7 @@ def test_ivf_arrow_assignment_single_crossing_no_literal_blowup(spark, emb_np=No
 
     from lyssandra_spark.operators.similarity import assign_cells_arrow
 
-    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     rng = np.random.default_rng(1)
