@@ -225,7 +225,14 @@ def scaling():
     ftp32 = results[("fista", hi)]["turns_per_sec"]
     feff = (ftp32 / ftp8) / 4.0
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BENCH/BASELINE.md is hand-curated across rounds (rep history,
+    # component tables); never clobber it — new raw runs land in
+    # LATEST_SCALING.md for manual merge.
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(target):
+        target = os.path.join(REPO, "BENCH", "LATEST_SCALING.md")
+        print(f"BENCH/BASELINE.md exists (curated) -> writing {target}")
+    with open(target, "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence (measured)
 
 No real cluster exists in this sandbox; the two-cluster-size criterion
@@ -298,7 +305,7 @@ SPARK_GRAFT_BENCH_MULT / SPARK_GRAFT_BENCH_FISTA_MULT).
 Per-round driver bench: `python bench.py` -> one JSON line.
 """)
     print(f"scaling efficiency N->4N: headline {eff:.3f}, "
-          f"compute-bound {feff:.3f} -> BENCH/BASELINE.md")
+          f"compute-bound {feff:.3f} -> {target}")
 
 
 if __name__ == "__main__":
