@@ -209,3 +209,22 @@ class TestDictLearning:
         D2 = K.init_dict(X, ATOMS, seed=5)
         assert np.array_equal(D1, D2)
         assert np.allclose(np.linalg.norm(D1, axis=0), 1.0, atol=1e-10)
+
+
+def test_batch_omp_block_invariance_support_and_values():
+    """The docstring contract pinned precisely: across block sizes the
+    selected SUPPORT is identical and coefficient values agree to ~1e-12
+    (BLAS takes shape-dependent GEMM paths, so bit-equality is NOT
+    promised — see kernels.batch_omp docstring)."""
+    import numpy as np
+
+    from lyssandra_spark.functions import kernels as K
+
+    rng = np.random.default_rng(55)
+    D = K.init_dict(rng.standard_normal((64, 400)), 128, seed=3)
+    X = rng.standard_normal((64, 700))
+    ref = K.batch_omp(D, X, k=5, block=10**9)
+    for blk in (16, 100, 256, 699, 700):
+        got = K.batch_omp(D, X, k=5, block=blk)
+        assert np.array_equal(got != 0, ref != 0), f"support differs at {blk}"
+        assert np.max(np.abs(got - ref)) < 1e-12, blk
