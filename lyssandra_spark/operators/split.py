@@ -1,0 +1,75 @@
+"""Deterministic, leakage-safe dataset splitting (train/val/test).
+
+The split decision every training-data pipeline ships last: assign each
+GROUP (conversation, document, user — whatever the leakage unit is) to
+exactly one named split, such that
+
+- the same key always lands in the same split — across runs, partition
+  layouts, cluster sizes, and data growth (new rows of an old
+  conversation join its existing split: no train/val contamination when
+  the corpus is re-snapshotted);
+- fractions are honored in expectation via a salted 64-bit hash mapped
+  to [0, 1) — no RNG state, no shuffle, no driver coordination: the
+  assignment is a pure JVM expression that pipelines into the scan.
+
+``sample()``/``randomSplit`` cannot give this: they are seed- and
+partitioning-sensitive and split ROWS, not leakage units.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_split", "split_column"]
+
+_DENOM = float(1 << 63)
+
+
+def split_column(
+    key_cols, fractions: dict[str, float], salt: str = "split-v1"
+) -> Column:
+    """Column expression assigning a split name from hashed key columns.
+
+    ``fractions`` maps split name -> fraction; must sum to 1 (1e-9
+    tolerance). The unit interval is carved in the dict's insertion
+    order; ``salt`` namespaces independent splits of the same table
+    (bump it to re-deal).
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    if any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # xxhash64 -> [0, 1): shift the signed 64-bit hash into [0, 2^63)
+    # via the unsigned >> 1 (drops one bit; 2^-63 granularity is far
+    # below any practical fraction)
+    u = F.shiftrightunsigned(
+        F.xxhash64(*[F.col(k) for k in keys], F.lit(salt)), 1
+    ).cast("double") / F.lit(_DENOM)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic ``split`` column (default 98/1/1
+    train/val/test) keyed on ``key_cols`` — see :func:`split_column`."""
+    if fractions is None:  # explicit None check: {} must reach validation
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    return df.withColumn(out_col, split_column(key_cols, fractions, salt))

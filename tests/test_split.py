@@ -1,0 +1,71 @@
+"""Deterministic hash splitting: key-consistency, partition invariance,
+fraction accuracy, disjoint+exhaustive coverage, salt independence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.split import hash_split
+from lyssandra_spark.sources import synth
+
+
+def test_split_is_keyed_and_partition_invariant(spark, sf_dir):
+    t = synth.transcripts(spark, sf_dir)
+    s1 = hash_split(t, "conv_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # every row of a conversation gets the SAME split (the leakage unit)
+    per_conv = s1.groupBy("conv_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_conv.where(F.col("n_splits") != 1).count() == 0
+    # identical assignment under a different partitioning
+    s2 = hash_split(t.repartition(13), "conv_id",
+                    {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["conv_id"]: r["split"]
+         for r in s1.select("conv_id", "split").distinct().collect()}
+    b = {r["conv_id"]: r["split"]
+         for r in s2.select("conv_id", "split").distinct().collect()}
+    assert a == b
+
+
+def test_split_fractions_and_exhaustiveness(spark):
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"]
+              for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # exhaustive, disjoint
+    assert sum(counts.values()) == 20000
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+
+
+def test_split_growth_stability(spark):
+    """New keys joining the corpus never move old keys between splits —
+    the property that keeps train/val uncontaminated across snapshots."""
+    small = spark.range(5000).select(F.col("id").alias("k"))
+    grown = spark.range(15000).select(F.col("id").alias("k"))
+    fr = {"train": 0.9, "holdout": 0.1}
+    a = {r["k"]: r["split"] for r in hash_split(small, "k", fr).collect()}
+    b = {r["k"]: r["split"] for r in hash_split(grown, "k", fr).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_split_salt_independence_and_validation(spark):
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    fr = {"a": 0.5, "b": 0.5}
+    s1 = {r["k"]: r["split"] for r in hash_split(df, "k", fr, salt="s1").collect()}
+    s2 = {r["k"]: r["split"] for r in hash_split(df, "k", fr, salt="s2").collect()}
+    flipped = sum(1 for k in s1 if s1[k] != s2[k])
+    assert 0.3 < flipped / len(s1) < 0.7  # independent re-deal
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "k", {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(df, "k", {})
+
+
+def test_split_plan_is_scan_pipelined(spark, sf_dir):
+    """The split is a pure expression: no Exchange, no Python crossing."""
+    t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(t, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
