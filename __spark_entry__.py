@@ -152,7 +152,10 @@ def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the production-index-width plan) instead of in-plan literals;
     - 'pq_adc': product quantization (8 subspaces x 8-bit codes) + ADC
       lookup-table scan + exact re-rank — the 64x-compressed
-      representation that makes ANN feasible at 100 TB.
+      representation that makes ANN feasible at 100 TB;
+    - 'pq_refined': same PQ pipeline with one FULL-CORPUS distributed
+      per-subspace Lloyd pass (pq_refine — constant-size stats), so
+      codebook quality is not bounded by the 2048-row driver sample.
     """
     from lyssandra_spark.operators.similarity import ivf_topk, pq_topk
 
@@ -168,7 +171,13 @@ def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant", F.lit("ivf_wide")
     )
     pq = pq_topk(e, q, k=5).withColumn("variant", F.lit("pq_adc"))
-    return base.unionByName(ref).unionByName(wide).unionByName(pq)
+    pqr = pq_topk(e, q, k=5, refine_iters=1).withColumn(
+        "variant", F.lit("pq_refined")
+    )
+    return (
+        base.unionByName(ref).unionByName(wide).unionByName(pq)
+        .unionByName(pqr)
+    )
 
 
 def _dict_learn(spark: SparkSession, sf_dir: str) -> DataFrame:

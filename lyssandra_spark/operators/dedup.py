@@ -49,21 +49,28 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 def exact_dedup(df: DataFrame, text_col: str = "text", keys=("doc_id",)) -> DataFrame:
     """Keep one row per exact text (lowest key wins); adds n_copies.
 
-    Single pass: ONE shuffle on the text hash, row_number + count over the
-    same window partitioning (the old groupBy + join-back re-scanned and
-    re-shuffled df a second time).
+    Skew-proof single pass: hash the text, then ONE groupBy on the hash
+    with ``min_by(struct(all cols), struct(keys))`` + ``count(*)``. Both
+    aggregates PARTIAL-MERGE map-side, so a pathological duplicate class
+    (the 10^7-copy boilerplate page — the exact input this operator exists
+    for) is reduced to one candidate row per input partition BEFORE the
+    shuffle; no task ever sees more rows of a hot hash than its own input
+    partition holds. (The previous row_number()/count() window form put
+    ALL copies of one text on one task — a sort-then-scan serialization at
+    adversarial skew; tested equal in tests/test_dedup.py, including the
+    planted mega-duplicate class.)
     """
-    from pyspark.sql import Window
-
     keys = list(keys)
-    w = Window.partitionBy("__h").orderBy(*keys)
-    cw = Window.partitionBy("__h")
+    cols = df.columns
+    winner = F.min_by(
+        F.struct(*[F.col(c) for c in cols]),
+        F.struct(*[F.col(k) for k in keys]),
+    ).alias("__row")
     return (
         df.withColumn("__h", F.md5(F.col(text_col)))
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count("*").over(cw))
-        .where(F.col("__rn") == 1)
-        .drop("__h", "__rn")
+        .groupBy("__h")
+        .agg(winner, F.count("*").alias("n_copies"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols], "n_copies")
     )
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["cosine_topk_bruteforce", "cosine_topk_vectorized", "cosine_topk_lsh",
            "ivf_topk", "kmeans_refine", "assign_cells_arrow",
-           "hyperplane_buckets", "pq_train", "pq_topk"]
+           "hyperplane_buckets", "pq_train", "pq_refine", "pq_topk"]
 
 
 def _dot(a, b):
@@ -307,11 +307,89 @@ def pq_train(
     return books
 
 
+def pq_refine(
+    corpus: DataFrame, books: np.ndarray,
+    emb_col: str = "embedding", n_iter: int = 1,
+) -> np.ndarray:
+    """Refine PQ codebooks over the FULL corpus, distributed.
+
+    ``pq_train`` sees only a bounded driver sample; at 100 TB a
+    head-of-table sample can misrepresent the distribution and recall
+    silently drops. This is the same constant-size-sufficient-statistics
+    pattern as :func:`kmeans_refine`, run for ALL ``m`` subspaces in one
+    pass per Lloyd iteration: each partition emits per-(subspace, code)
+    vector sums and counts (m * n_codes * dsub doubles — ~128 KB at
+    8x256x8, constant in corpus size), the driver merges them and moves
+    each non-empty code to its assigned-subvector mean (empty codes keep
+    their old centroid). Vectors are L2-normalized before assignment,
+    matching exactly what :func:`pq_topk`'s ADC scan quantizes.
+
+    Note: float summation order varies with partitioning, so refined
+    codebooks are deterministic only up to ulps across repartitionings
+    (same caveat as kmeans_refine).
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    m, n_codes, dsub = books.shape
+    schema = T.StructType([
+        T.StructField("sums", T.ArrayType(T.DoubleType()), False),
+        T.StructField("counts", T.ArrayType(T.LongType()), False),
+    ])
+    for _ in range(n_iter):
+        bc = corpus.sparkSession.sparkContext.broadcast(
+            np.ascontiguousarray(books)
+        )
+
+        def stats(it):
+            B = bc.value
+            sums = np.zeros((m, n_codes, dsub))
+            counts = np.zeros((m, n_codes), dtype=np.int64)
+            for batch in it:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+                X = flat.reshape(n, -1)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                    1e-300)
+                S = Xn.reshape(n, m, dsub)
+                for j in range(m):
+                    Cj = B[j]
+                    d2 = -2.0 * (S[:, j, :] @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+                    a = d2.argmin(1)
+                    np.add.at(sums[j], a, S[:, j, :])
+                    np.add.at(counts[j], a, 1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([sums.ravel()], pa.list_(pa.float64())),
+                    pa.array([counts.ravel()], pa.list_(pa.int64())),
+                ],
+                names=["sums", "counts"],
+            )
+
+        pdf = (
+            corpus.select(F.col(emb_col).cast("array<double>"))
+            .mapInArrow(stats, schema)
+            .toPandas()
+        )
+        S = np.add.reduce(
+            [np.asarray(s).reshape(m, n_codes, dsub) for s in pdf["sums"]]
+        )
+        N = np.add.reduce(
+            [np.asarray(c).reshape(m, n_codes) for c in pdf["counts"]]
+        )
+        books = books.copy()
+        nz = N > 0
+        books[nz] = S[nz] / N[nz][:, None]
+    return books
+
+
 def pq_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", emb_col: str = "embedding",
     m: int = 8, n_codes: int = 256, rerank: int = 64,
-    sample_rows: int = 2048, seed: int = 29,
+    sample_rows: int = 2048, seed: int = 29, refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization + ADC scan +
     exact re-rank — the representation that makes ANN feasible at 100 TB.
@@ -325,6 +403,9 @@ def pq_topk(
     map-only until the final tiny top-k window):
 
     1. train codebooks on a deterministic ordered sample (driver, tiny);
+       ``refine_iters > 0`` then runs distributed per-subspace Lloyd
+       passes over the FULL corpus (:func:`pq_refine`) so codebook
+       quality is not bounded by the head-of-table sample;
     2. ONE mapInArrow scan quantizes each (L2-normalized) corpus vector
        and scores ALL queries against it via asymmetric distance — each
        query's (m, n_codes) inner-product lookup table is broadcast, so
@@ -347,9 +428,15 @@ def pq_topk(
         [r["emb"] for r in c.orderBy(id_col).limit(sample_rows).collect()],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        raise ValueError("pq_topk requires a non-empty corpus")
     nrm = np.linalg.norm(sample, axis=1, keepdims=True)
     books = pq_train(sample / np.maximum(nrm, 1e-300), m=m, n_codes=n_codes,
                      seed=seed)
+    if refine_iters > 0:
+        # full-corpus per-subspace Lloyd refinement (see pq_refine): index
+        # quality reflects all rows, not the head-of-table driver sample
+        books = pq_refine(c, books, emb_col="emb", n_iter=refine_iters)
     q = queries.select(
         F.col(id_col).cast("long"), F.col(emb_col).cast("array<double>")
     ).collect()

@@ -91,14 +91,60 @@ def test_salted_agg_spreads_hot_key(spark, sf_dir):
     assert "hashpartitioning(conv_id" in plan and "salt" in plan
 
 
-def test_exact_dedup_single_shuffle(spark, sf_dir):
-    """exact_dedup is one pass: a single Exchange on the text hash (the old
-    groupBy + join-back shape shuffled the input twice)."""
+def test_exact_dedup_single_shuffle_partial_agg(spark, sf_dir):
+    """exact_dedup is one pass — a single Exchange on the text hash — AND
+    the winner/count aggregates partial-merge map-side (two aggregate
+    stages around the exchange), so a 10^7-copy duplicate class is reduced
+    per input partition before the shuffle instead of serializing one task
+    (the old row_number window put every copy of a hot text on one task)."""
     from lyssandra_spark.operators.dedup import exact_dedup
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     out = exact_dedup(d)
-    assert _n_shuffles(out) == 1, _plan(out)[:2000]
+    plan = _plan(out)
+    assert _n_shuffles(out) == 1, plan[:2000]
+    # partial + final aggregate stages (min_by's struct buffer routes
+    # through ObjectHashAggregate; count alone would be HashAggregate)
+    assert plan.count("Aggregate") >= 2 and "partial" in plan.lower(), plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+
+
+def test_exact_dedup_mega_duplicate_class(spark):
+    """Equality gate for the skew-proof form: a planted mega-duplicate
+    class (one text repeated 20k times across many partitions) must
+    produce exactly the window-form answer — one winner row (lowest key)
+    with the full copy count — and the plan must stay window-free."""
+    from pyspark.sql import Window
+
+    from lyssandra_spark.operators.dedup import exact_dedup
+
+    n_copies = 20000
+    base = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique text "), F.col("id")).alias("text"),
+    )
+    mega = spark.range(n_copies).select(
+        (F.col("id") + 10000).alias("doc_id"),
+        F.lit("the boilerplate page everyone copies").alias("text"),
+    )
+    df = base.unionByName(mega).repartition(16)
+    out = exact_dedup(df).cache()
+    # reference: the historical window form, computed inline
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    ref = (
+        df.withColumn("__h", F.md5("text"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy("__h")))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in ref.collect()}
+    assert got == want
+    hot = out.where(F.col("text").startswith("the boilerplate")).collect()
+    assert len(hot) == 1 and hot[0]["doc_id"] == 10000
+    assert hot[0]["n_copies"] == n_copies
+    out.unpersist()
 
 
 def test_minhash_lsh_banded_exchange_excludes_signature(spark, sf_dir):

@@ -249,3 +249,79 @@ def test_pq_train_shapes_and_determinism():
     import pytest as _pt
     with _pt.raises(ValueError, match="divisible"):
         S.pq_train(X, m=7)
+
+
+def test_pq_refine_beats_sample_training_on_skewed_corpus(spark):
+    """pq_refine closes the sample-bias gap: the ordered 2048-row driver
+    sample (ids 0..2047) is a TIGHT cluster, the tail (ids 2048..) is a
+    different, wide distribution — so sample-trained codebooks
+    misrepresent the tail and refined ones must (a) differ, (b) lower
+    full-corpus quantization distortion, and (c) not lose recall on
+    tail queries."""
+    rng = np.random.default_rng(41)
+    head = rng.standard_normal((2048, 64)) * 0.05 + rng.standard_normal(64)
+    # tail: 256 well-separated clusters x 8 near-dup members — each tail
+    # vector's true top-5 are its cluster siblings (cosine ~0.99), which a
+    # tail-representative codebook finds and a head-only codebook cannot
+    centers = rng.standard_normal((256, 64)) * 3.0
+    tail = (np.repeat(centers, 8, axis=0)
+            + rng.standard_normal((2048, 64)) * 0.05)
+    # shuffle the tail so cluster siblings are NOT id-adjacent (otherwise
+    # the approx-score id-ascending tie-break finds siblings by accident
+    # even with a useless codebook)
+    tail = tail[rng.permutation(2048)]
+    X = np.concatenate([head, tail])
+    ids = np.arange(len(X))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x]) for i, x in zip(ids, X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8).cache()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def distortion(books):
+        m, n_codes, dsub = books.shape
+        S = Xn.reshape(len(Xn), m, dsub)
+        tot = 0.0
+        for j in range(m):
+            Cj = books[j]
+            d2 = ((S[:, j, :, None] - Cj.T[None, :, :]) ** 2).sum(1)
+            tot += d2.min(1).sum()
+        return tot / len(Xn)
+
+    sample_books = S.pq_train(
+        Xn[:2048], m=8, n_codes=16, seed=29
+    )
+    refined_books = S.pq_refine(
+        df.select("vec_id", F.col("embedding").alias("emb")),
+        sample_books, emb_col="emb", n_iter=2,
+    )
+    assert not np.array_equal(sample_books, refined_books)
+    assert distortion(refined_books) < distortion(sample_books)
+
+    # end-to-end: recall@5 on tail queries, refined >= sample-trained
+    qids = [2048, 2300, 2600, 3000, 3500]
+    q = df.where(F.col("vec_id").isin(qids))
+    expect = _numpy_topk(ids, X, qids, k=5)
+
+    def recall(res):
+        hits = sum(
+            len(set(grp["vec_id"]) & set(expect[qid]))
+            for qid, grp in res.groupby("qid")
+        )
+        return hits / (5 * len(qids))
+
+    kw = dict(k=5, m=8, n_codes=16, rerank=8, sample_rows=2048, seed=29)
+    r_sample = recall(S.pq_topk(df, q, **kw).toPandas())
+    r_refined = recall(S.pq_topk(df, q, refine_iters=2, **kw).toPandas())
+    assert r_refined >= r_sample, (r_refined, r_sample)
+    assert r_refined >= 0.5, r_refined
+    df.unpersist()
+
+
+def test_pq_topk_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        S.pq_topk(empty, q, k=5)
