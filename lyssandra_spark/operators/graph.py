@@ -12,13 +12,19 @@ minimum label among itself and its neighbors until a fixpoint. Each
 iteration is ONE keyed shuffle (join labels to the symmetric edge list +
 groupBy min), so total cost is O(component diameter) shuffles. Near-dup
 components are shallow (dups of dups of one original), so this converges
-in a handful of rounds; for adversarially deep graphs at 10^12 edges the
-published upgrade is the large-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC 2014), which
-contracts paths exponentially — same join/groupBy building blocks, same
-driver loop, fewer rounds. The per-iteration convergence check is a
-single scalar aggregate (count of changed labels), never a label
-collect.
+in a handful of rounds. For adversarially deep graphs (the long-chain
+duplicate structure) the operator now FALLS BACK, after ``max_iter``
+stalled rounds, to the large-star/small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014):
+alternating rounds where every vertex hangs its larger neighbors
+(large-star) / its smaller neighbors and itself (small-star) onto its
+minimum neighbor. Both operations preserve connectivity, every
+component contracts to a star centered at its minimum id in
+O(log^2 n) rounds regardless of diameter, and each round is a constant
+number of keyed shuffles over a (shrinking) edge set — so a 10^12-edge
+chain completes instead of raising. The per-iteration convergence
+checks are scalar aggregates (changed-label count; edge-set
+count + hash-sum), never a label collect.
 
 Iterative DataFrame loops grow the logical plan without bound;
 ``localCheckpoint`` truncates lineage each round (on a real cluster with
@@ -34,21 +40,106 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components"]
 
 
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u, v) with u < v, distinct."""
+    return (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_components(sym: DataFrame, labels: DataFrame,
+                     max_rounds: int = 50) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., SoCC 2014).
+
+    Seeded with the min-label progress: each (id, component) label is an
+    edge to an already-known reachable vertex, so prior rounds' work
+    shortcuts chains here too. Every component contracts to a star
+    centered at its minimum id in O(log^2 n) alternating rounds; the
+    fixpoint test is two scalar aggregates (edge count + xxhash64 sum)
+    per round — a star graph is a fixpoint of both operations.
+    """
+    def _digest(edge_df: DataFrame):
+        # order-free edge-set fingerprint; the hash sum rides decimal(38,0)
+        # so it cannot overflow under ANSI mode at any edge count
+        row = edge_df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    verts = labels.select("id")
+    e = _canon(
+        sym.unionByName(
+            labels.select(F.col("id").alias("u"), F.col("component").alias("v"))
+        )
+    ).localCheckpoint(eager=True)
+    before = _digest(e)
+    for _ in range(max_rounds):
+        # large-star: every vertex u connects its LARGER neighbors to
+        # m(u) = min(neighbors(u) + {u})
+        s = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = s.groupBy("u").agg(F.min("v").alias("__mn"))
+        m = m.select("u", F.least("u", "__mn").alias("m"))
+        ls = (
+            s.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = _canon(ls).localCheckpoint(eager=True)
+        # small-star: orient edges larger -> smaller; every vertex u
+        # connects its smaller neighbors AND itself to their minimum
+        o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            o.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+        )
+        e = _canon(ss).localCheckpoint(eager=True)
+        after = _digest(e)
+        if before == after:
+            # at the star fixpoint each non-center vertex has exactly one
+            # (smaller) neighbor: the component center
+            nbrs = e.select(F.col("u").alias("id"), F.col("v").alias("nbr")) \
+                .unionByName(
+                    e.select(F.col("v").alias("id"), F.col("u").alias("nbr"))
+                )
+            lab = nbrs.groupBy("id").agg(F.min("nbr").alias("__mn"))
+            lab = lab.select("id", F.least("id", "__mn").alias("component"))
+            # vertices whose component fully contracted away keep self-label
+            return verts.join(lab, "id", "left").select(
+                "id", F.coalesce("component", F.col("id")).alias("component")
+            )
+        before = after
+    raise RuntimeError(
+        f"star contraction did not reach a fixpoint in {max_rounds} rounds"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    fallback: str = "star",
 ) -> DataFrame:
     """Label every vertex of the (undirected) edge table with the minimum
     vertex id in its connected component.
 
     Returns (id, component); only vertices that appear in ``edges`` are
     labeled (an isolated doc is its own trivial cluster and never needed
-    the graph pass). Raises if ``max_iter`` rounds don't reach the
-    fixpoint — near-dup graphs converge in O(log diameter)-ish rounds,
-    so hitting the cap means the input is not the expected shape.
+    the graph pass). If ``max_iter`` min-label rounds don't reach the
+    fixpoint (an adversarially deep component — near-dup graphs normally
+    converge in a handful of rounds), ``fallback='star'`` (default)
+    switches to the large-star/small-star contraction, which finishes in
+    O(log^2 n) further rounds regardless of diameter;
+    ``fallback='raise'`` restores the historical fail-loudly behaviour.
+    ``max_iter=0`` with the default fallback runs pure star contraction.
     """
+    if fallback not in ("star", "raise"):
+        raise ValueError(f"fallback {fallback!r}")
     # materialize the symmetric edge list once — every iteration joins it,
     # and without this each round re-reads + re-unions the source edges
     sym = edges.select(
@@ -90,8 +181,10 @@ def connected_components(
         labels = stepped.drop("prev")
         if changed == 0:
             return labels
+    if fallback == "star":
+        return _star_components(sym, labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "unexpectedly deep component chain; raise max_iter or switch to "
-        "the large-star/small-star contraction for this input"
+        "unexpectedly deep component chain; raise max_iter or use the "
+        "default fallback='star' (large-star/small-star contraction)"
     )

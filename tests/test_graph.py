@@ -57,6 +57,36 @@ def test_cc_chain_worst_case(spark):
     assert len(got) == 25
 
 
+def test_cc_deep_chain_star_fallback(spark):
+    """A chain DEEPER than the min-label round cap: min-label alone would
+    raise at max_iter, but the large-star/small-star fallback contracts
+    the remaining path in O(log^2 n) rounds and converges to the same
+    min-id labels (this used to be the documented failure mode)."""
+    edges = [(i, i + 1) for i in range(80)]
+    got = _run(spark, edges, max_iter=5)
+    assert set(got.values()) == {0}
+    assert len(got) == 81
+
+
+def test_cc_pure_star_matches_union_find(spark):
+    """max_iter=0 runs pure star contraction — must equal the union-find
+    oracle on random multi-component graphs, including isolated chains
+    and partition invariance."""
+    rng = np.random.default_rng(17)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 150, 260), rng.integers(0, 150, 260))
+        if a != b
+    ] + [(1000 + i, 1001 + i) for i in range(30)]  # planted deep chain
+    exp = _uf_oracle(edges)
+    got = _run(spark, edges, max_iter=0)
+    assert got == exp
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(7)
+    got_r = {r["id"]: r["component"]
+             for r in connected_components(df, max_iter=0).collect()}
+    assert got_r == exp
+
+
 def test_cc_components_and_partition_invariance(spark):
     edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 1)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
@@ -76,7 +106,7 @@ def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(10)],
                                "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, fallback="raise")
 
 
 def test_dedup_retention_keep_best_per_cluster(spark):
