@@ -292,16 +292,25 @@ def _session_code_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session max-pooling of sparse codes (A9 analogue), hash-checked.
 
     The Spark side runs the real pool_codes operator (dense length-128
-    output) and re-sparsifies via posexplode + nonzero filter to meet the
-    oracle's sparse shape (DuckDB zip-unnest + max groupBy over the same
-    materialized CSR arrays).
+    output) and re-sparsifies via posexplode + a semi-join against the
+    group's CSR support set — the EXACT atom set the oracle's zip-unnest
+    emits. (A `pooled_val != 0.0` filter would be equivalent only while
+    the encoder never stores an exact-zero coefficient; FISTA
+    soft-thresholding could, so the support semi-join mirrors the oracle
+    by construction instead of by assumption.)
     """
     pooled = _pooled_sessions(spark, sf_dir)
+    support = (
+        spark.read.parquet(POOL_PATH)
+        .select("conv_id", "session_id",
+                F.explode("code_idx").alias("atom"))
+        .distinct()
+    )
     return pooled.select(
         "conv_id", "session_id",
         F.posexplode("pooled").alias("atom", "pooled_val"),
         "n_pooled",
-    ).where(F.col("pooled_val") != 0.0)
+    ).join(support, ["conv_id", "session_id", "atom"], "left_semi")
 
 
 def _ridge_probe_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:

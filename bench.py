@@ -229,11 +229,14 @@ def scaling():
     # component tables); never clobber it — new raw runs land in
     # LATEST_SCALING.md for manual merge.
     target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    heading = "# BENCH/BASELINE — two-cluster-size scaling evidence (measured)"
     if os.path.exists(target):
         target = os.path.join(REPO, "BENCH", "LATEST_SCALING.md")
+        heading = ("# BENCH/LATEST_SCALING — raw scaling run "
+                   "(merge into BENCH/BASELINE.md)")
         print(f"BENCH/BASELINE.md exists (curated) -> writing {target}")
     with open(target, "w") as f:
-        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence (measured)
+        f.write(f"""{heading}
 
 No real cluster exists in this sandbox; the two-cluster-size criterion
 (N vs 4N executors, BASELINE.json) is evidenced by running the IDENTICAL

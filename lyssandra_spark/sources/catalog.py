@@ -73,8 +73,35 @@ class ParquetCatalog:
         ``meta`` is recorded verbatim on the snapshot's manifest entry
         (e.g. the streaming sink stamps its micro-batch id, so replayed
         batches are auditable).
+
+        Append-time schema guard: an ``append`` onto an existing chain is
+        checked against the chain head's recorded schema — every existing
+        column must be present with the identical type (NEW columns are
+        allowed; old snapshots read them back as null via mergeSchema,
+        Iceberg's add-column evolution policy). A drifted append fails HERE
+        with a named-column error instead of surfacing later as a confusing
+        parquet-union error inside ``read``. ``overwrite`` resets the chain
+        and may change schema freely.
         """
         man = self._manifest(name)
+        if mode == "append" and man["snapshots"]:
+            # schema of the current chain head (last snapshot since the
+            # last overwrite — appends must stay compatible with it)
+            head = man["snapshots"][-1]
+            prior = dict(s.split(":", 1) for s in head["schema"])
+            new = {f.name: f.dataType.simpleString() for f in df.schema}
+            missing = sorted(set(prior) - set(new))
+            drifted = sorted(
+                c for c in set(prior) & set(new) if prior[c] != new[c]
+            )
+            if missing or drifted:
+                raise ValueError(
+                    f"append to {name!r} is schema-incompatible with snapshot "
+                    f"{head['id']}: missing columns {missing}, type drift "
+                    f"{[f'{c}: {prior[c]} -> {new[c]}' for c in drifted]} "
+                    "(new columns are allowed; drops/retypes need "
+                    "mode='overwrite')"
+                )
         snap_id = (man["snapshots"][-1]["id"] + 1) if man["snapshots"] else 1
         snap_dir = os.path.join(self._tdir(name), f"snap={snap_id}")
         out = df
@@ -125,7 +152,13 @@ class ParquetCatalog:
         dirs = [
             os.path.join(self._tdir(name), f"snap={s['id']}") for s in snaps[start:]
         ]
-        df = self.spark.read.parquet(*dirs)
+        reader = self.spark.read
+        # appends may have ADDED nullable columns (see write's schema
+        # guard); only pay the mergeSchema footer pass when the chain's
+        # recorded schemas actually differ
+        if len({tuple(s["schema"]) for s in snaps[start:]}) > 1:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*dirs)
         pcols = set()
         for s in snaps[start:]:
             pcols |= set(s["partition_by"].keys())

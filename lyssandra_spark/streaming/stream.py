@@ -131,18 +131,26 @@ def stream_to_catalog(
 
     Each micro-batch lands as one append-mode catalog snapshot via
     ``foreachBatch`` — so a streaming ingest gets the same manifest,
-    time-travel, and read-back surface as batch writes. At-least-once
-    delivery comes from the checkpoint; a batch replayed after a failure
-    between the write and the checkpoint commit WOULD re-append, so the
-    micro-batch id is stamped on each snapshot's manifest entry (``meta``)
-    — a duplicate stream_batch_id in ``catalog.snapshots(table)`` is the
-    audit signal for a replay. Returns the started StreamingQuery;
-    callers own awaitTermination.
+    time-travel, and read-back surface as batch writes. Delivery is
+    exactly-once into the catalog: the micro-batch id is stamped on each
+    snapshot's manifest entry (``meta``), and the sink SKIPS a batch whose
+    stream_batch_id already appears in ``catalog.snapshots(table)`` — the
+    standard idempotent-foreachBatch transaction pattern, so an
+    at-least-once replay after a failure between the write and the
+    checkpoint commit cannot double-append (the manifest scan is a tiny
+    driver-side JSON read, not a data read). Returns the started
+    StreamingQuery; callers own awaitTermination.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        seen = {
+            s.get("meta", {}).get("stream_batch_id")
+            for s in catalog.snapshots(table)
+        }
+        if batch_id in seen:
+            return  # replayed micro-batch: already committed, skip
         catalog.write(batch_df, table, mode="append",
                       meta={"stream_batch_id": batch_id})
 

@@ -49,6 +49,41 @@ def test_snapshot_time_travel_append(spark, cat, sf_dir):
     assert "ev" in cat.tables()
 
 
+def test_append_schema_guard(spark, cat):
+    """Append-time schema evolution policy: adding a column is allowed
+    (old rows read back null via mergeSchema); dropping or retyping a
+    column fails AT WRITE with a named-column error; overwrite resets."""
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    cat.write(base, "t", mode="overwrite")
+
+    # type drift rejected, column named
+    drift = spark.createDataFrame(pd.DataFrame({"k": [3], "v": [9.5]}))
+    with pytest.raises(ValueError, match="v: string -> double"):
+        cat.write(drift, "t", mode="append")
+    # dropped column rejected
+    narrow = spark.createDataFrame(pd.DataFrame({"k": [3]}))
+    with pytest.raises(ValueError, match=r"missing columns \['v'\]"):
+        cat.write(narrow, "t", mode="append")
+    # failed writes must not burn snapshot ids or leave orphan dirs
+    assert [s["id"] for s in cat.snapshots("t")] == [1]
+
+    # add-column evolution allowed; old rows surface null
+    wide = spark.createDataFrame(
+        pd.DataFrame({"k": [3], "v": ["c"], "extra": [7]}))
+    cat.write(wide, "t", mode="append")
+    back = cat.read("t").toPandas().sort_values("k").reset_index(drop=True)
+    assert list(back.columns.sort_values()) == ["extra", "k", "v"]
+    assert back["extra"].isna().tolist() == [True, True, False]
+
+    # the next append is guarded against the NEW chain head (extra now required)
+    with pytest.raises(ValueError, match=r"missing columns \['extra'\]"):
+        cat.write(base, "t", mode="append")
+    # overwrite resets the chain: any schema goes again
+    cat.write(narrow, "t", mode="overwrite")
+    assert cat.read("t").columns == ["k"]
+
+
 def test_dictionary_versions_roundtrip_catalog(spark, cat, sf_dir):
     """The SCD-2 dictionary dimension lives as DATA: write it through the
     catalog, time-travel it, rebuild the broadcast list, and get identical

@@ -255,3 +255,13 @@ def test_stream_foreachbatch_catalog_sink(spark, tpath, tmp_path_factory):
     # time-travel still works on streamed snapshots: snapshot 1 is a prefix
     first = cat.read("turn_codes", as_of=1).count()
     assert 0 < first < len(got)
+
+    # exactly-once sink: wipe the checkpoint and replay the WHOLE stream —
+    # every micro-batch re-fires with its original batch_id, and the
+    # idempotent foreachBatch skip must leave the catalog untouched
+    import shutil
+    shutil.rmtree(str(root / "ckpt"))
+    q2 = ST.stream_to_catalog(coded, cat, "turn_codes", str(root / "ckpt"))
+    assert q2.awaitTermination(180)
+    assert cat.snapshots("turn_codes") == snaps, "replayed batches re-appended"
+    assert cat.read("turn_codes").count() == len(got)
