@@ -35,6 +35,7 @@ __all__ = [
     "ffill_bucketed",
     "bfill",
     "rolling",
+    "rolling_range",
     "dedup_latest",
     "topk",
     "with_salt",
@@ -112,6 +113,37 @@ def rolling(df: DataFrame, col: str, n: int, part="conv_id", order="turn_idx",
     w = _w(part, order).rowsBetween(-(n - 1), 0)
     for a in aggs:
         df = df.withColumn(f"{a}_{col}_{n}", getattr(F, a)(col).over(w))
+    return df
+
+
+def rolling_range(df: DataFrame, col: str, seconds: float, part="conv_id",
+                  order: str = "ts", aggs=("avg", "sum", "count")) -> DataFrame:
+    """Time-based rolling aggregates: every row in the trailing
+    ``seconds``-wide window ending at the current row's timestamp,
+    inclusive, per key (B6 RANGE frame) — "the last 30 minutes", not "the
+    last 5 rows".
+
+    The frame runs on exact integer microseconds (``unix_micros``), never
+    float epoch seconds, so the window boundary is bit-deterministic and
+    engine-portable (a double epoch at 2024 magnitudes cannot represent
+    microseconds exactly, and boundary rows would flicker across engines).
+    Per SQL RANGE semantics, rows tied on ``order`` are peers and all fall
+    inside each other's frame. Output columns ``{agg}_{col}_{seconds}s``.
+    Single keyed shuffle, fully JVM-side; like all value-range frames this
+    puts each key on one task — for hot keys compose with the bucketing
+    strategy of :func:`rolling_bucketed` (the context overlap is
+    ``seconds`` of rows instead of n rows).
+    """
+    part = [part] if isinstance(part, str) else list(part)
+    us = int(round(seconds * 1_000_000))
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.unix_micros(F.col(order).cast("timestamp")))
+        .rangeBetween(-us, 0)
+    )
+    label = f"{seconds:g}s"
+    for a in aggs:
+        df = df.withColumn(f"{a}_{col}_{label}", getattr(F, a)(col).over(w))
     return df
 
 

@@ -131,19 +131,29 @@ def dedup_latest_event_per_user(spark, sf_dir):
            lead(value) OVER w AS lead1_value,
            round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
              AS roll_avg5,
-           count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_n5
+           count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_n5,
+           round(avg(value) OVER wr, 4) AS roll_avg_30m,
+           count(value)     OVER wr     AS roll_n_30m
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_lag_lead_rolling(spark, sf_dir):
-    """B3 lag/lead + B6 rolling in one pass (single shuffle+sort: all four
-    window functions share the same partitioning and ordering)."""
+    """B3 lag/lead + B6 rolling (row frame + time-RANGE frame) in one pass:
+    all six window functions share one user_id hash partitioning (single
+    Exchange; the range frame adds only a second local sort on the
+    microsecond epoch)."""
     e = _t(spark, sf_dir, "events")
     out = W.with_lag(e, "value", part="user_id", order=["ts", "event_id"])
     out = W.with_lead(out, "value", part="user_id", order=["ts", "event_id"])
     out = W.rolling(out, "value", 5, part="user_id", order=["ts", "event_id"],
                     aggs=("avg",))
+    # "last 30 minutes" time-based frame (B6 RANGE): exact integer
+    # microseconds on both engines, so the boundary cannot flicker
+    out = W.rolling_range(out, "value", 1800, part="user_id", order="ts",
+                          aggs=("avg", "count"))
     # roll_n5 is a ROW count (count(*), matching the oracle), not a
     # non-null count of `value` — W.rolling's count aggregates the column
     wf = (
@@ -155,6 +165,8 @@ def window_lag_lead_rolling(spark, sf_dir):
         "event_id", "lag1_value", "lead1_value",
         F.round("avg_value_5", 4).alias("roll_avg5"),
         F.count("*").over(wf).alias("roll_n5"),
+        F.round("avg_value_1800s", 4).alias("roll_avg_30m"),
+        F.col("count_value_1800s").alias("roll_n_30m"),
     )
 
 
@@ -330,12 +342,16 @@ def asof_union_strategy_equivalence(spark, sf_dir):
 )
 def asof_tolerance_30d(spark, sf_dir):
     """Backward as-of with a tolerance: matches older than ~30y are nulled
-    (events are 2024, orders 1995-2001, so the tolerance has bite)."""
+    (events are 2024, orders 1995-2001, so the tolerance has bite).
+    Routed through strategy='auto' so the probe-and-choose planner path
+    (dim fits the broadcast row limit here -> broadcast) has driver
+    coverage; `tests/test_asof.py` pins that auto flips to union past the
+    limit."""
     e = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "o_custkey")
     dim = _asof_dim(spark, sf_dir)
     out = asof_join(
         e, dim, on="o_custkey", ts_col="ts", valid_col="o_orderdate",
-        direction="backward", strategy="broadcast",
+        direction="backward", strategy="auto",
         tolerance=F.expr("INTERVAL 10950 DAYS"),
     )
     return out.select("event_id", "o_orderkey")

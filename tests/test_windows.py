@@ -58,6 +58,30 @@ def test_rolling_oracle(spark):
     assert out["count_v_3"].tolist() == [1, 2, 3, 3, 3, 3, 3, 3, 3, 3]
 
 
+def test_rolling_range_oracle(spark):
+    """Time-RANGE frame vs brute force: the trailing 30s window is by
+    timestamp VALUE — boundary-inclusive at exactly -30s, ts-tied rows are
+    peers (both see each other regardless of input order), and row
+    position is irrelevant. Partition-invariant."""
+    offs = [0, 10, 30, 31, 100, 100]  # 30 hits the boundary; two ties at 100
+    rows = [("c1", i, T0 + dt.timedelta(seconds=o), float(i))
+            for i, o in enumerate(offs)] + [("c2", 0, T0, 5.0)]
+    df = _df(spark, rows, ["conv_id", "turn_idx", "ts", "v"]).repartition(3)
+    out = W.rolling_range(df, "v", 30, aggs=("sum", "count")).toPandas()
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "v"])
+    for _, r in out.iterrows():
+        lo = r["ts"] - dt.timedelta(seconds=30)
+        sel = pdf[(pdf.conv_id == r["conv_id"])
+                  & (pdf.ts >= lo) & (pdf.ts <= r["ts"])]
+        assert r["sum_v_30s"] == sel["v"].sum(), (r["conv_id"], r["turn_idx"])
+        assert r["count_v_30s"] == len(sel)
+    # the boundary row (+30) must include the t=0 row; +31 must not
+    byidx = out[out.conv_id == "c1"].set_index("turn_idx")
+    assert byidx.loc[2, "count_v_30s"] == 3 and byidx.loc[3, "count_v_30s"] == 3
+    # tied peers both see each other
+    assert byidx.loc[4, "count_v_30s"] == 2 and byidx.loc[5, "count_v_30s"] == 2
+
+
 def test_dedup_and_topk(spark):
     rows = [
         ("c1", 0, T0, "old"), ("c1", 0, T0 + dt.timedelta(seconds=1), "new"),
