@@ -35,6 +35,7 @@ from lyssandra_spark.functions.embed import arrow_string_buffer, rolling_hashes
 __all__ = [
     "exact_dedup",
     "minhash_signatures",
+    "band_signatures",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_neardup_pairs",
@@ -183,6 +184,30 @@ def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> 
     )
 
 
+def band_signatures(
+    sigs: DataFrame, id_col: str, n_perm: int, bands: int
+) -> DataFrame:
+    """Project (id, sig) -> exploded (id, band, bh) LSH bucket keys.
+
+    Pure JVM expression (transform + xxhash64 over signature slices) — no
+    Python crossing, so deriving bands from a PERSISTED signature table is
+    a projection over the parquet scan. Shared by the one-shot
+    :func:`minhash_lsh_pairs` and the incremental
+    :func:`~lyssandra_spark.operators.incremental.dedup_new_batch` (both
+    sides must band identically or buckets would never collide).
+    """
+    rows_per_band = n_perm // bands
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band, xxhash64(slice(sig, b*{rows_per_band}+1, {rows_per_band})) AS bh))"
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -210,7 +235,6 @@ def minhash_lsh_pairs(
             "remainder would silently exclude the trailing minhash values "
             "from every band while est_jaccard still divides by n_perm"
         )
-    rows_per_band = n_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, n_perm, ngram_bytes, seed)
     # Candidate generation explodes ONLY (id, band, bh): carrying the full
     # sig array (n_perm x 8 B) through the banded self-join would multiply
@@ -223,15 +247,7 @@ def minhash_lsh_pairs(
     # purely to feed the hash; equal slices hash equal either way (so true
     # candidates are identical) and 2^-64 cross-band collisions are noise
     # under the est_jaccard>=threshold verification.
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b AS band, xxhash64(slice(sig, b*{rows_per_band}+1, {rows_per_band})) AS bh))"
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = band_signatures(sigs, id_col, n_perm, bands)
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")

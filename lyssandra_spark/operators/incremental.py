@@ -1,0 +1,170 @@
+"""Incremental near-duplicate detection over a persisted signature index.
+
+A production training-data pipeline does NOT recompute 100 TB of minhash
+signatures every day: the daily job dedups a NEW shard against the
+already-indexed corpus. This module composes the signature operators
+(:mod:`~lyssandra_spark.operators.dedup`) with the snapshot catalog
+(:mod:`~lyssandra_spark.sources.catalog`):
+
+- the index is ONE catalog table of ``(doc_id, sig)`` rows — band bucket
+  keys are a pure-JVM projection of the signature
+  (:func:`~lyssandra_spark.operators.dedup.band_signatures`), so they are
+  derived on read instead of persisted ``bands``-times over;
+- each batch computes signatures ONLY for the new shard (one vectorized
+  mapInArrow pass), appends them as a new catalog snapshot, and
+  bucket-joins the new shard's bands against the indexed bands
+  (new-vs-indexed) plus itself (new-vs-new). The indexed corpus never
+  crosses Python again and its text is never re-read;
+- the incremental invariant (pinned in ``tests/test_dedup.py``): the
+  UNION of every batch's returned pairs equals
+  :func:`~lyssandra_spark.operators.dedup.minhash_lsh_pairs` run once over
+  the full corpus. It holds because signatures are deterministic in
+  (n_perm, ngram_bytes, seed) and every unordered pair {a, b} is emitted
+  exactly once — by whichever batch indexed the LATER of the two docs.
+
+LSH parameters are part of the index's identity: they are recorded in the
+snapshot manifest ``meta`` on every write and validated against the chain
+head on every subsequent batch — mixing signature spaces would silently
+produce buckets that never collide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.dedup import (
+    band_signatures,
+    minhash_signatures,
+)
+
+__all__ = ["dedup_new_batch"]
+
+
+def _est_jaccard(n_perm: int):
+    return (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(n_perm)
+    )
+
+
+def dedup_new_batch(
+    catalog,
+    table: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 32,
+    bands: int = 8,
+    ngram_bytes: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Dedup ``new_docs`` against the signature index in ``catalog[table]``
+    (plus within the new shard itself), append the new signatures as a new
+    snapshot, and return ``(pairs, snapshot_id)``.
+
+    ``pairs`` is (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard >= threshold — every near-dup pair with at least one end
+    in the new shard. The first call on an empty table is the bootstrap:
+    it returns exactly ``minhash_lsh_pairs(new_docs)``.
+
+    Scale shape: the new shard's signatures are computed once, WRITTEN
+    first, and both sides of every join read persisted parquet — the
+    pairs plan never re-runs the Python signature pass, and the indexed
+    side is a (doc_id, sig) projection with band keys derived JVM-side.
+    The new-vs-indexed join keys on (band, bh); a small daily shard
+    against a huge index is exactly the broadcast/AQE-friendly shape.
+    ``max_bucket`` (optional) drops candidate buckets whose COMBINED
+    (indexed + new) size exceeds the cap — same recall trade-off as
+    :func:`~lyssandra_spark.operators.dedup._cap_buckets`, measured on
+    the true bucket population rather than per side.
+    """
+    if n_perm % bands != 0:
+        raise ValueError(f"n_perm ({n_perm}) must be divisible by bands ({bands})")
+    params = {
+        "n_perm": n_perm, "bands": bands,
+        "ngram_bytes": ngram_bytes, "seed": seed, "id_col": id_col,
+    }
+    prior = catalog.snapshots(table)
+    if prior:
+        head = prior[-1].get("meta", {}).get("lsh_params")
+        if head != params:
+            raise ValueError(
+                f"LSH params {params} do not match the index's {head}: "
+                "signatures from different parameter spaces never collide — "
+                "rebuild the index or reuse its parameters"
+            )
+    prior_as_of = prior[-1]["id"] if prior else None
+
+    sigs_new = minhash_signatures(
+        new_docs, id_col, text_col, n_perm, ngram_bytes, seed
+    )
+    snap_id = catalog.write(
+        sigs_new, table, mode="append" if prior else "overwrite",
+        meta={"lsh_params": params},
+    )
+    # both join sides read what was just persisted — the mapInArrow
+    # signature pass runs exactly once per document, ever
+    new = catalog.read_snapshot(table, snap_id)
+    banded_new = band_signatures(new, id_col, n_perm, bands)
+    banded_old = None
+    if prior_as_of is not None:
+        old = catalog.read(table, as_of=prior_as_of)
+        banded_old = band_signatures(old, id_col, n_perm, bands)
+
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket ({max_bucket}) must be >= 2")
+        pop = banded_new.select("band", "bh")
+        if banded_old is not None:
+            pop = pop.unionByName(banded_old.select("band", "bh"))
+        keep = (
+            pop.groupBy("band", "bh").count()
+            .where(F.col("count") <= max_bucket)
+            .select("band", "bh")
+        )
+        banded_new = banded_new.join(keep, ["band", "bh"], "left_semi")
+        if banded_old is not None:
+            banded_old = banded_old.join(keep, ["band", "bh"], "left_semi")
+
+    def _pair(a: DataFrame, b: DataFrame, ordered: bool) -> DataFrame:
+        aj, bj = a.alias("a"), b.alias("b")
+        cond = (F.col("a.band") == F.col("b.band")) & (
+            F.col("a.bh") == F.col("b.bh")
+        )
+        ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+        if ordered:
+            cond = cond & (ida < idb)
+            sel = [ida.alias("id_a"), idb.alias("id_b")]
+        else:
+            # new-vs-indexed: sides are disjoint sets, canonicalize order
+            cond = cond & (ida != idb)
+            sel = [F.least(ida, idb).alias("id_a"),
+                   F.greatest(ida, idb).alias("id_b")]
+        return aj.join(bj, cond).select(*sel)
+
+    cand = _pair(banded_new, banded_new, ordered=True)
+    if banded_old is not None:
+        cand = cand.unionByName(_pair(banded_new, banded_old, ordered=False))
+    # signature lookup for verification = the full chain incl. this batch
+    sig_lookup = catalog.read(table, as_of=snap_id)
+    cand = (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .join(sig_lookup.select(F.col(id_col).alias("id_a"),
+                                F.col("sig").alias("sig_a")), "id_a")
+        .join(sig_lookup.select(F.col(id_col).alias("id_b"),
+                                F.col("sig").alias("sig_b")), "id_b")
+    )
+    pairs = (
+        cand.withColumn("est_jaccard", _est_jaccard(n_perm))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return pairs, snap_id

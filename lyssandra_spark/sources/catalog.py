@@ -166,6 +166,19 @@ class ParquetCatalog:
             df = df.drop(*pcols)
         return df
 
+    def read_snapshot(self, name: str, snap_id: int) -> DataFrame:
+        """Read EXACTLY one snapshot's rows (not the cumulative chain) —
+        the Iceberg incremental-scan analogue. This is what lets an
+        incremental job process only the delta a given write appended."""
+        man = self._manifest(name)
+        if not any(s["id"] == snap_id for s in man["snapshots"]):
+            raise FileNotFoundError(f"no snapshot {snap_id} for {name!r}")
+        entry = next(s for s in man["snapshots"] if s["id"] == snap_id)
+        df = self.spark.read.parquet(
+            os.path.join(self._tdir(name), f"snap={snap_id}")
+        )
+        return df.drop(*entry["partition_by"].keys())
+
     def snapshots(self, name: str) -> list[dict]:
         return self._manifest(name)["snapshots"]
 

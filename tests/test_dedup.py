@@ -207,3 +207,41 @@ def test_max_bucket_caps_quadratic_blowup(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_bucket"):
         DD.minhash_lsh_pairs(full, max_bucket=1)
+
+
+def test_incremental_dedup_matches_full_recompute(spark, docs, tmp_path_factory):
+    """Three sequential dedup_new_batch calls over doc_id-sharded slices:
+    the UNION of each batch's pairs equals one full-corpus
+    minhash_lsh_pairs run (same params), no pair is emitted twice, and
+    the signature index time-travels through the catalog (snapshot k
+    holds exactly shards 1..k; read_snapshot returns only the delta)."""
+    from lyssandra_spark.operators.incremental import dedup_new_batch
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path_factory.mktemp("inc_wh")))
+    kw = dict(n_perm=64, bands=16, threshold=0.3, ngram_bytes=8)
+    shards = [docs.where(F.col("doc_id") % 3 == r) for r in range(3)]
+    got, snaps = [], []
+    for sh in shards:
+        pairs, sid = dedup_new_batch(cat, "sig_index", sh, **kw)
+        got.append(pairs.toPandas())
+        snaps.append(sid)
+    inc = pd.concat(got, ignore_index=True)
+    full = DD.minhash_lsh_pairs(docs, **kw).toPandas()
+
+    def key(df):
+        return set(zip(df.id_a, df.id_b, df.est_jaccard.round(9)))
+
+    assert key(inc) == key(full)
+    assert len(inc) and not inc.duplicated(["id_a", "id_b"]).any()
+
+    # index round-trip + time travel
+    assert cat.read("sig_index", as_of=snaps[0]).count() == shards[0].count()
+    assert cat.read_snapshot("sig_index", snaps[1]).count() == shards[1].count()
+    assert cat.read("sig_index").count() == docs.count()
+    sig_cols = set(cat.read("sig_index").columns)
+    assert sig_cols == {"doc_id", "sig"}  # text is never persisted
+
+    # a later batch with different LSH params must be rejected loudly
+    with pytest.raises(ValueError, match="do not match the index"):
+        dedup_new_batch(cat, "sig_index", shards[0], n_perm=32, bands=8)
