@@ -1,0 +1,135 @@
+"""Text-quality statistics for training-data curation (SURVEY.md §2 LLM ops).
+
+Two pipeline staples beyond the basic length/punct/stopword scores:
+
+- :func:`repetition_features` — Gopher-style repetition filters
+  (duplicate-word ratio, most-frequent-token fraction, duplicate-2-gram
+  ratio). Deliberately MAP-ONLY: every feature is a higher-order array
+  expression over the tokenized text, so the plan is a projection over
+  the parquet scan — zero shuffles, embarrassingly parallel at 10^12
+  docs. (An explode + groupBy formulation would be asymptotically kinder
+  per-document but costs two exchanges; per-doc token counts are bounded
+  by document length, so the O(distinct x n_tokens) JVM loop per row is
+  the faster plan at any corpus scale.)
+- :func:`ngram_contamination` — benchmark decontamination: for each
+  document, the fraction of its distinct word n-grams that appear in a
+  benchmark/eval set. The benchmark gram set is DISTINCT + broadcast
+  (eval suites are tiny next to a training corpus); the corpus side is
+  one explode + broadcast-hash-join + groupBy(doc) — the corpus shuffles
+  once, on doc_id, with the gram column already dropped.
+
+All expressions are pure JVM (no Python crossing anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_tokens", "repetition_features", "ngram_contamination"]
+
+
+def word_tokens(text_col: str = "text") -> Column:
+    """Lowercased alnum word tokens (the tokenizer every text op shares)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition scores (the Gopher/MassiveText-style
+    filters a curation pipeline thresholds on):
+
+    - ``dup_word_ratio``: 1 - distinct/total tokens — high for pages that
+      loop a small vocabulary;
+    - ``max_tok_frac``: occurrences of the single most frequent token over
+      total tokens — catches keyword-stuffed spam;
+    - ``dup_2gram_ratio``: 1 - distinct/total word 2-grams — catches
+      copy-pasted phrase loops that unigram stats miss.
+
+    Map-only (see module docstring); empty documents emit 0 for every
+    ratio.
+    """
+    toks = word_tokens(text_col)
+    out = df.select(id_col, toks.alias("__toks"))
+    n = F.size("__toks")
+    safe_n = F.greatest(n, F.lit(1))
+    max_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("__toks"),
+            lambda t: F.size(F.filter("__toks", lambda x: x == t)),
+        )
+    )
+    g2 = F.expr(
+        "CASE WHEN size(__toks) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(__toks) - 2), "
+        "i -> concat_ws(' ', __toks[i], __toks[i+1])) END"
+    )
+    out = out.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            (n - F.size(F.array_distinct("__toks"))) / safe_n, 4
+        ).alias("dup_word_ratio"),
+        F.round(F.coalesce(max_cnt, F.lit(0)) / safe_n, 4).alias("max_tok_frac"),
+        F.round(
+            (F.size(g2) - F.size(F.array_distinct(g2)))
+            / F.greatest(F.size(g2), F.lit(1)),
+            4,
+        ).alias("dup_2gram_ratio"),
+    )
+    return out
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination scan: per document, how many of its
+    distinct word ``n``-grams appear in the benchmark set.
+
+    Returns (id, n_grams, n_contaminated, contamination_rate) for every
+    document with at least one n-gram. ``bench`` is any DataFrame with
+    ``text_col``; its distinct gram set is broadcast (an eval suite is
+    MBs against a 100 TB corpus), so the corpus-side plan is
+    scan -> explode -> broadcast-hash-join -> groupBy(id): exactly one
+    shuffle, carrying only (id, hit) rows.
+    """
+    if n < 1:
+        raise ValueError(f"n ({n}) must be >= 1")
+
+    def grams(col: Column) -> Column:
+        return F.array_distinct(
+            F.expr(
+                f"CASE WHEN size(__toks) < {n} THEN array() "
+                f"ELSE transform(sequence(0, size(__toks) - {n}), "
+                f"i -> concat_ws(' ', slice(__toks, i + 1, {n}))) END"
+            )
+        )
+
+    d = docs.select(id_col, word_tokens(text_col).alias("__toks"))
+    dg = d.select(id_col, F.explode(grams(F.col("__toks"))).alias("gram"))
+    bg = (
+        bench.select(word_tokens(text_col).alias("__toks"))
+        .select(F.explode(grams(F.col("__toks"))).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        dg.join(F.broadcast(bg), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4),
+        )
+    )

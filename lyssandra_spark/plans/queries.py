@@ -973,7 +973,7 @@ def dedup_exact_documents(spark, sf_dir):
     "text_token_quality",
     r"""
     WITH t AS (
-      SELECT doc_id, text, length(text) AS n_chars,
+      SELECT doc_id, text, lang, length(text) AS n_chars,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          x -> x <> '') AS toks
       FROM documents)
@@ -985,13 +985,20 @@ def dedup_exact_documents(spark, sf_dir):
            round(len(list_filter(toks,
                  x -> x IN ('the','a','of','and','to','in','is')))
                  / greatest(len(toks), 1), 4) AS stop_ratio,
-           round(least(1.0, len(toks) / 100.0), 4) AS length_score
+           round(least(1.0, len(toks) / 100.0), 4) AS length_score,
+           lang,
+           CASE WHEN len(list_filter(toks, x -> x IN ('the','and','of','a','to'))) >= 1
+                THEN 'en' ELSE 'other' END AS pred_lang,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
     FROM t
     """,
 )
 def text_token_quality(spark, sf_dir):
-    """Token counting + quality scoring (length/punct/stopword ratios) over
-    the documents table, one projection — all JVM-side expressions."""
+    """Token counting + quality scoring (length/punct/stopword ratios) +
+    n-gram language-ID heuristic + whitespace-normalized fingerprint over
+    the documents table, one projection — all JVM-side expressions (the
+    three historical rows text_token_quality / text_lang_id /
+    text_fingerprint merged; same operators, one scan)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
@@ -1000,6 +1007,7 @@ def text_token_quality(spark, sf_dir):
         toks,
         lambda x: x.isin("the", "a", "of", "and", "to", "in", "is"),
     )
+    en = F.filter(toks, lambda x: x.isin("the", "and", "of", "a", "to"))
     punct_removed = F.regexp_replace(F.col("text"), "[.,;:!?]", "")
     return d.select(
         "doc_id",
@@ -1012,50 +1020,81 @@ def text_token_quality(spark, sf_dir):
         ).alias("punct_ratio"),
         F.round(F.size(stop) / F.greatest(F.size(toks), F.lit(1)), 4).alias("stop_ratio"),
         F.round(F.least(F.lit(1.0), F.size(toks) / F.lit(100.0)), 4).alias("length_score"),
-    )
-
-
-@q(
-    "text_lang_id",
-    r"""
-    WITH t AS (
-      SELECT doc_id, lang,
-             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS toks
-      FROM documents)
-    SELECT doc_id, lang,
-           CASE WHEN len(list_filter(toks, x -> x IN ('the','and','of','a','to'))) >= 1
-                THEN 'en' ELSE 'other' END AS pred_lang
-    FROM t
-    """,
-)
-def text_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
-    )
-    en = F.filter(toks, lambda x: x.isin("the", "and", "of", "a", "to"))
-    return d.select(
-        "doc_id",
         "lang",
         F.when(F.size(en) >= 1, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
     )
 
 
 @q(
-    "text_fingerprint",
+    "quality_repetition_filters",
     r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+             CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(len(toks) - 1),
+                                      i -> toks[i+1] || ' ' || toks[i+2]) END AS g2
+      FROM t)
     SELECT doc_id,
-           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
-    FROM documents
+           n_tokens,
+           round((n_tokens - len(list_distinct(toks))) / greatest(n_tokens, 1), 4)
+             AS dup_word_ratio,
+           round(coalesce(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))), 0)
+                 / greatest(n_tokens, 1), 4) AS max_tok_frac,
+           round((len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1), 4)
+             AS dup_2gram_ratio
+    FROM f
     """,
 )
-def text_fingerprint(spark, sf_dir):
+def quality_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition quality filters (duplicate-word ratio,
+    most-frequent-token fraction, duplicate-2-gram ratio) — map-only
+    array expressions, zero shuffles (see functions/textstats.py)."""
+    from lyssandra_spark.functions.textstats import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "decontamination_overlap",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(len(toks) - 7),
+               i -> array_to_string(toks[i+1:i+8], ' ')))) AS gram
+      FROM t WHERE len(toks) >= 8),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS contamination_rate
+    FROM g GROUP BY doc_id
+    """,
+)
+def decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination: per-document fraction of distinct word
+    8-grams appearing in the eval set (every 20th doc stands in as the
+    benchmark). Corpus side: scan -> explode -> broadcast-hash-join ->
+    groupBy(doc) — one shuffle, grams dropped before it."""
+    from lyssandra_spark.functions.textstats import ngram_contamination
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
-    )
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    return ngram_contamination(d, bench, n=8)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""Repetition quality filters + benchmark decontamination (textstats)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.functions.textstats import (
+    ngram_contamination,
+    repetition_features,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_repetition_features_known_values(spark):
+    texts = [
+        "spam spam spam spam",            # one token repeated 4x
+        "a b c d",                        # all distinct
+        "x y x y x y",                    # 2-gram loop
+        "",                               # empty: all ratios 0
+        "word",                           # single token: no 2-grams
+    ]
+    out = (
+        repetition_features(_docs(spark, texts))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "n_tokens"] == 4
+    assert out.loc[0, "dup_word_ratio"] == 0.75   # 1 - 1/4
+    assert out.loc[0, "max_tok_frac"] == 1.0
+    assert out.loc[0, "dup_2gram_ratio"] == 0.6667  # round(1 - 1/3, 4)
+
+    assert out.loc[1, "dup_word_ratio"] == 0.0
+    assert out.loc[1, "max_tok_frac"] == 0.25
+    assert out.loc[1, "dup_2gram_ratio"] == 0.0
+
+    # x y x y x y: 6 tokens 2 distinct; 5 bigrams, 2 distinct (xy, yx)
+    assert out.loc[2, "dup_word_ratio"] == 0.6667  # round(1 - 2/6, 4)
+    assert out.loc[2, "max_tok_frac"] == 0.5
+    assert out.loc[2, "dup_2gram_ratio"] == 0.6  # 1 - 2/5
+
+    assert (out.loc[3, ["dup_word_ratio", "max_tok_frac", "dup_2gram_ratio"]]
+            == 0.0).all()
+    assert out.loc[4, "max_tok_frac"] == 1.0
+    assert out.loc[4, "dup_2gram_ratio"] == 0.0
+
+
+def test_repetition_features_map_only_plan(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        repetition_features(d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # per-doc filters must not shuffle
+
+
+def test_ngram_contamination_planted(spark):
+    bench_text = "one two three four five six seven eight nine ten"
+    texts = [
+        bench_text,                                    # the benchmark doc
+        "one two three four five six seven eight tail words here now",
+        "zz yy xx ww vv uu tt ss rr qq pp oo",          # disjoint vocab
+        "short doc",                                    # < n tokens: no row
+    ]
+    docs = _docs(spark, texts)
+    out = ngram_contamination(
+        docs, docs.where(F.col("doc_id") == 0), n=8
+    ).toPandas().set_index("doc_id").sort_index()
+
+    assert 3 not in out.index                   # too short for any 8-gram
+    assert out.loc[0, "contamination_rate"] == 1.0
+    # doc 1 shares exactly the 8-gram 'one..eight' (its first gram)
+    assert out.loc[1, "n_contaminated"] == 1
+    assert out.loc[1, "n_grams"] == 5
+    assert out.loc[1, "contamination_rate"] == 0.2
+    assert out.loc[2, "n_contaminated"] == 0
+    assert out.loc[2, "contamination_rate"] == 0.0
+
+
+def test_ngram_contamination_broadcasts_bench(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = ngram_contamination(d, d.where(F.col("doc_id") % 20 == 0), n=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="n \\(0\\)"):
+        ngram_contamination(d, d, n=0)
