@@ -14,7 +14,7 @@ preparation ops beyond the reference surface; SURVEY.md §2 LLM table).
   to ~budget tokens instead of padding). Packing is inherently
   sequential, so the distributed shape is SHARDED independence: each doc
   is hash-routed to one of ``n_shards`` independent shards (pure JVM
-  expression, one shuffle on the shard key), and first-fit-decreasing
+  expression, one shuffle on the shard key), and best-fit-decreasing
   runs per shard inside ``applyInPandas``. Shards never coordinate, so
   the job is one keyed shuffle + embarrassingly parallel pandas groups;
   at 100 TB you pick ``n_shards`` so a shard's (id, n_tokens) pairs fit
@@ -26,7 +26,7 @@ preparation ops beyond the reference surface; SURVEY.md §2 LLM table).
 
 from __future__ import annotations
 
-from typing import Iterator
+import bisect
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -98,17 +98,22 @@ def pack_sequences(
     budget: int = 2048,
     n_shards: int = 64,
 ) -> DataFrame:
-    """First-fit-decreasing sequence packing under a token budget.
+    """Best-fit-decreasing sequence packing under a token budget.
 
     Returns one row per input doc: (id, n_tokens, shard, bin_idx, bin_id,
     oversize). All docs sharing a ``bin_id`` form one training sequence;
     their token counts sum to <= ``budget`` unless the doc alone exceeds
     the budget, in which case it gets a dedicated bin with
     ``oversize=true`` (caller chooses truncate/split policy — this
-    operator never silently drops tokens). FFD sorts each shard by
-    (n_tokens desc, id), so the assignment is a pure function of the
-    shard's contents: stable across input partitioning, repartitioning,
-    and executor counts.
+    operator never silently drops tokens). BFD sorts each shard by
+    (n_tokens desc, id) and places each doc in the fullest bin that still
+    fits (ties broken by lowest bin index), so the assignment is a pure
+    function of the shard's contents: stable across input partitioning,
+    repartitioning, and executor counts. Best-fit-decreasing carries the
+    same (11/9)·OPT + 1 bin guarantee as first-fit-decreasing but needs only
+    O(log n_bins) comparisons per doc via a bisect-indexed capacity list —
+    no O(n_docs x n_bins) scan, so even a single giant shard degrades
+    gracefully.
     """
     if budget < 1:
         raise ValueError(f"budget ({budget}) must be >= 1")
@@ -128,30 +133,32 @@ def pack_sequences(
             ["__nt", id_col], ascending=[False, True], kind="mergesort"
         )
         shard = int(pdf["__shard"].iloc[0])
-        # Plain first-fit over bins in creation order: O(n_docs * n_bins)
-        # worst case WITHIN a shard — pick n_shards so shards stay small
-        # (the operator only ever sees (id, n_tokens), never text, so
-        # shard size is a row-count concern, not a bytes concern).
-        room: list[int] = []  # remaining capacity per bin
+        # Best fit via a sorted (remaining_capacity, bin_idx) list:
+        # bisect finds the tightest bin that fits in O(log n_bins)
+        # comparisons per doc (inserts are C-level memmoves), so a single
+        # giant shard degrades gracefully instead of O(n_docs * n_bins).
+        # The operator only ever sees (id, n_tokens), never text, so
+        # shard size is a row-count concern, not a bytes concern.
+        caps: list[tuple[int, int]] = []  # sorted (remaining, bin_idx)
+        n_bins = 0
         assign: list[int] = []
         oversize: list[bool] = []
         for nt in pdf["__nt"].to_numpy():
             nt = int(nt)
             if nt > budget:
-                room.append(0)
-                assign.append(len(room) - 1)
+                assign.append(n_bins)  # dedicated bin, never reopened
                 oversize.append(True)
+                n_bins += 1
                 continue
-            placed = -1
-            for b in range(len(room)):  # first fit (bins in creation order)
-                if room[b] >= nt:
-                    placed = b
-                    break
-            if placed < 0:
-                room.append(budget)
-                placed = len(room) - 1
-            room[placed] -= nt
-            assign.append(placed)
+            i = bisect.bisect_left(caps, (nt, -1))
+            if i < len(caps):  # tightest fit; capacity ties -> lowest idx
+                cap, b = caps.pop(i)
+            else:
+                cap, b = budget, n_bins
+                n_bins += 1
+            if cap - nt > 0:
+                bisect.insort(caps, (cap - nt, b))
+            assign.append(b)
             oversize.append(False)
         return pd.DataFrame(
             {

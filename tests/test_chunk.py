@@ -123,7 +123,7 @@ def test_pack_budget_and_oversize(spark):
     if len(norm):
         n_bins = norm.bin_id.nunique()
         lower_bound = norm.n_tokens.sum() / budget
-        assert n_bins <= 2 * lower_bound + 8 * 1  # FFD <= ~1.7 OPT (+1/shard)
+        assert n_bins <= 2 * lower_bound + 8 * 1  # BFD <= (11/9)OPT (+1/shard)
 
 
 def test_pack_deterministic_across_partitioning(spark):
