@@ -475,7 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash_neardup_pairs"] = _simhash_pairs
     out["embedding_neardup_pairs"] = _embedding_neardup
     out["ann_lsh_topk"] = _ann_lsh
-    out["ann_topk_variants"] = _ann_variants  # ivf / ivf_refined / ivf_wide / pq_adc
+    out["ann_topk_variants"] = _ann_variants  # ivf / ivf_refined / ivf_wide / pq_adc / pq_refined
     out["multimodal_decode"] = _multimodal
     out["session_code_pooling"] = _session_code_pooling
     out["ridge_probe_accuracy"] = _ridge_probe_accuracy

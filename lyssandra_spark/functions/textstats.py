@@ -103,7 +103,9 @@ def ngram_contamination(
     if n < 1:
         raise ValueError(f"n ({n}) must be >= 1")
 
-    def grams(col: Column) -> Column:
+    def grams() -> Column:
+        # operates on the frame's `__toks` column (both sides below
+        # project their tokens under that name before calling this)
         return F.array_distinct(
             F.expr(
                 f"CASE WHEN size(__toks) < {n} THEN array() "
@@ -113,10 +115,10 @@ def ngram_contamination(
         )
 
     d = docs.select(id_col, word_tokens(text_col).alias("__toks"))
-    dg = d.select(id_col, F.explode(grams(F.col("__toks"))).alias("gram"))
+    dg = d.select(id_col, F.explode(grams()).alias("gram"))
     bg = (
         bench.select(word_tokens(text_col).alias("__toks"))
-        .select(F.explode(grams(F.col("__toks"))).alias("gram"))
+        .select(F.explode(grams()).alias("gram"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

@@ -129,6 +129,12 @@ def pack_sequences(
     )
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["__nt"].isna().any():
+            bad = pdf.loc[pdf["__nt"].isna(), id_col].iloc[0]
+            raise ValueError(
+                f"pack_sequences: null {ntok_col} (e.g. {id_col}={bad!r}) — "
+                "filter or impute token counts before packing"
+            )
         pdf = pdf.sort_values(
             ["__nt", id_col], ascending=[False, True], kind="mergesort"
         )

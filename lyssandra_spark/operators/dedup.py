@@ -36,6 +36,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "band_signatures",
+    "est_jaccard",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_neardup_pairs",
@@ -268,7 +269,20 @@ def minhash_lsh_pairs(
         .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
               "id_b")
     )
-    est = (
+    return (
+        cand.withColumn("est_jaccard", est_jaccard(n_perm))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def est_jaccard(n_perm: int):
+    """Column expr: fraction of agreeing minhash positions between
+    ``sig_a`` and ``sig_b`` — the unbiased Jaccard estimate. Shared by
+    the full-corpus and incremental paths: both MUST estimate
+    identically or the incremental-equals-full invariant silently breaks
+    (same reason :func:`band_signatures` is shared)."""
+    return (
         F.size(
             F.filter(
                 F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -276,11 +290,6 @@ def minhash_lsh_pairs(
             )
         )
         / F.lit(n_perm)
-    )
-    return (
-        cand.withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
     )
 
 

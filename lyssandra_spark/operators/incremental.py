@@ -35,22 +35,11 @@ from pyspark.sql import functions as F
 
 from lyssandra_spark.operators.dedup import (
     band_signatures,
+    est_jaccard,
     minhash_signatures,
 )
 
 __all__ = ["dedup_new_batch"]
-
-
-def _est_jaccard(n_perm: int):
-    return (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        )
-        / F.lit(n_perm)
-    )
 
 
 def dedup_new_batch(
@@ -65,6 +54,7 @@ def dedup_new_batch(
     threshold: float = 0.5,
     seed: int = 7,
     max_bucket: int | None = None,
+    batch_id: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Dedup ``new_docs`` against the signature index in ``catalog[table]``
     (plus within the new shard itself), append the new signatures as a new
@@ -85,6 +75,16 @@ def dedup_new_batch(
     (indexed + new) size exceeds the cap — same recall trade-off as
     :func:`~lyssandra_spark.operators.dedup._cap_buckets`, measured on
     the true bucket population rather than per side.
+
+    **Retry safety**: the signature append is EAGER but the returned
+    ``pairs`` plan is lazy — a job that dies between the two leaves the
+    index holding this batch's signatures. Pass a stable ``batch_id``
+    (e.g. the orchestrator's run date) and a retried call finds the
+    half-done snapshot by its stamped id, SKIPS the re-append, and pairs
+    against the chain as it stood before it — byte-identical output to a
+    first-attempt success instead of a permanently doubled signature set.
+    Without a ``batch_id`` (ad-hoc use) a retry duplicates signatures,
+    which fans out every future batch's verification join.
     """
     if n_perm % bands != 0:
         raise ValueError(f"n_perm ({n_perm}) must be divisible by bands ({bands})")
@@ -101,15 +101,33 @@ def dedup_new_batch(
                 "signatures from different parameter spaces never collide — "
                 "rebuild the index or reuse its parameters"
             )
-    prior_as_of = prior[-1]["id"] if prior else None
+    replay = None
+    if batch_id is not None:
+        hits = [s for s in prior if s.get("meta", {}).get("batch_id") == batch_id]
+        if len(hits) > 1:
+            raise ValueError(
+                f"batch_id {batch_id!r} appears on {len(hits)} snapshots — "
+                "the index predates the retry guard or ids were reused"
+            )
+        replay = hits[0] if hits else None
 
-    sigs_new = minhash_signatures(
-        new_docs, id_col, text_col, n_perm, ngram_bytes, seed
-    )
-    snap_id = catalog.write(
-        sigs_new, table, mode="append" if prior else "overwrite",
-        meta={"lsh_params": params},
-    )
+    if replay is not None:
+        # retried batch: its signatures are already indexed — skip the
+        # append and pair against the chain as it stood just before it
+        snap_id = replay["id"]
+        before = [s for s in prior if s["id"] < snap_id]
+        prior_as_of = before[-1]["id"] if before else None
+    else:
+        prior_as_of = prior[-1]["id"] if prior else None
+        sigs_new = minhash_signatures(
+            new_docs, id_col, text_col, n_perm, ngram_bytes, seed
+        )
+        meta = {"lsh_params": params}
+        if batch_id is not None:
+            meta["batch_id"] = batch_id
+        snap_id = catalog.write(
+            sigs_new, table, mode="append" if prior else "overwrite", meta=meta,
+        )
     # both join sides read what was just persisted — the mapInArrow
     # signature pass runs exactly once per document, ever
     new = catalog.read_snapshot(table, snap_id)
@@ -163,7 +181,7 @@ def dedup_new_batch(
                                 F.col("sig").alias("sig_b")), "id_b")
     )
     pairs = (
-        cand.withColumn("est_jaccard", _est_jaccard(n_perm))
+        cand.withColumn("est_jaccard", est_jaccard(n_perm))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

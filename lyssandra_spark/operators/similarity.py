@@ -382,6 +382,9 @@ def pq_refine(
         books = books.copy()
         nz = N > 0
         books[nz] = S[nz] / N[nz][:, None]
+        # the action above consumed this iteration's broadcast; release
+        # it now, or n_iter codebook copies accumulate for the app's life
+        bc.destroy()
     return books
 
 

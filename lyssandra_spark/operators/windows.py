@@ -23,6 +23,8 @@ bucket_size rows even at 10^12-turn scale.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,8 +130,10 @@ def rolling_range(df: DataFrame, col: str, seconds: float, part="conv_id",
     engine-portable (a double epoch at 2024 magnitudes cannot represent
     microseconds exactly, and boundary rows would flicker across engines).
     Per SQL RANGE semantics, rows tied on ``order`` are peers and all fall
-    inside each other's frame. Output columns ``{agg}_{col}_{seconds}s``.
-    Single keyed shuffle, fully JVM-side; like all value-range frames this
+    inside each other's frame. Output columns ``{agg}_{col}_{seconds}s``,
+    with non-identifier characters in the seconds label mapped to ``_``
+    (0.5 -> ``avg_v_0_5s``) so the names stay dot-free and safely
+    referencable without backticks. Single keyed shuffle, fully JVM-side; like all value-range frames this
     puts each key on one task — for hot keys compose with the bucketing
     strategy of :func:`rolling_bucketed` (the context overlap is
     ``seconds`` of rows instead of n rows).
@@ -141,7 +145,7 @@ def rolling_range(df: DataFrame, col: str, seconds: float, part="conv_id",
         .orderBy(F.unix_micros(F.col(order).cast("timestamp")))
         .rangeBetween(-us, 0)
     )
-    label = f"{seconds:g}s"
+    label = re.sub(r"[^0-9a-zA-Z]", "_", f"{seconds:g}") + "s"
     for a in aggs:
         df = df.withColumn(f"{a}_{col}_{label}", getattr(F, a)(col).over(w))
     return df

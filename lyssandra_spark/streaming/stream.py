@@ -132,13 +132,19 @@ def stream_to_catalog(
     Each micro-batch lands as one append-mode catalog snapshot via
     ``foreachBatch`` — so a streaming ingest gets the same manifest,
     time-travel, and read-back surface as batch writes. Delivery is
-    exactly-once into the catalog: the micro-batch id is stamped on each
-    snapshot's manifest entry (``meta``), and the sink SKIPS a batch whose
-    stream_batch_id already appears in ``catalog.snapshots(table)`` — the
+    exactly-once into the catalog: each snapshot's manifest entry stamps
+    the (checkpoint, micro-batch id) pair, and the sink SKIPS a batch
+    whose pair already appears in ``catalog.snapshots(table)`` — the
     standard idempotent-foreachBatch transaction pattern, so an
     at-least-once replay after a failure between the write and the
     checkpoint commit cannot double-append (the manifest scan is a tiny
-    driver-side JSON read, not a data read). Returns the started
+    driver-side JSON read, not a data read). The key is the PAIR, not the
+    batch id alone: Structured Streaming numbers batches per checkpoint,
+    so a new query (fresh checkpoint) into an existing table starts at
+    batch 0 again — keying on the id alone would silently drop its data,
+    and two queries sharing a table would collide. Corollary: replay
+    detection only spans restarts from the SAME checkpoint path (which is
+    the only case the engine itself replays). Returns the started
     StreamingQuery; callers own awaitTermination.
     """
 
@@ -146,13 +152,15 @@ def stream_to_catalog(
         if batch_df.isEmpty():
             return
         seen = {
-            s.get("meta", {}).get("stream_batch_id")
+            (s.get("meta", {}).get("stream_checkpoint"),
+             s.get("meta", {}).get("stream_batch_id"))
             for s in catalog.snapshots(table)
         }
-        if batch_id in seen:
+        if (checkpoint, batch_id) in seen:
             return  # replayed micro-batch: already committed, skip
         catalog.write(batch_df, table, mode="append",
-                      meta={"stream_batch_id": batch_id})
+                      meta={"stream_batch_id": batch_id,
+                            "stream_checkpoint": checkpoint})
 
     w = sdf.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
     if trigger_available_now:

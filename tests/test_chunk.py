@@ -135,6 +135,14 @@ def test_pack_deterministic_across_partitioning(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_pack_null_token_counts_fail_loudly(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "n_tokens": [5.0, None]})
+    )
+    with pytest.raises(Exception, match="null n_tokens"):
+        pack_sequences(docs, budget=10, n_shards=1).collect()
+
+
 def test_pack_validation_and_empty(spark):
     docs = _pack_input(spark, n=0)
     assert pack_sequences(docs, budget=10).count() == 0

@@ -245,3 +245,35 @@ def test_incremental_dedup_matches_full_recompute(spark, docs, tmp_path_factory)
     # a later batch with different LSH params must be rejected loudly
     with pytest.raises(ValueError, match="do not match the index"):
         dedup_new_batch(cat, "sig_index", shards[0], n_perm=32, bands=8)
+
+
+def test_incremental_dedup_retry_is_idempotent(spark, docs, tmp_path_factory):
+    """The signature append is eager but the pairs plan is lazy: a job
+    dying between them leaves the index holding the batch's signatures.
+    A retry with the same batch_id must find that snapshot, skip the
+    re-append, and return byte-identical pairs — not double the index."""
+    from lyssandra_spark.operators.incremental import dedup_new_batch
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path_factory.mktemp("inc_retry")))
+    kw = dict(n_perm=64, bands=16, threshold=0.3, ngram_bytes=8)
+    shard0 = docs.where(F.col("doc_id") % 3 == 0)
+    shard1 = docs.where(F.col("doc_id") % 3 == 1)
+
+    _, s0 = dedup_new_batch(cat, "sig", shard0, batch_id="d0", **kw)
+    # first attempt at d1 "dies" after the append: pairs never touched
+    p1, s1 = dedup_new_batch(cat, "sig", shard1, batch_id="d1", **kw)
+    n_snaps = len(cat.snapshots("sig"))
+    n_sigs = cat.read("sig").count()
+
+    # retry: same snapshot id back, no new snapshot, identical pairs
+    p1r, s1r = dedup_new_batch(cat, "sig", shard1, batch_id="d1", **kw)
+    assert s1r == s1
+    assert len(cat.snapshots("sig")) == n_snaps
+    assert cat.read("sig").count() == n_sigs
+    a = p1.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = p1r.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # retrying the FIRST (bootstrap) batch is equally stable
+    _, s0r = dedup_new_batch(cat, "sig", shard0, batch_id="d0", **kw)
+    assert s0r == s0 and len(cat.snapshots("sig")) == n_snaps

@@ -265,3 +265,13 @@ def test_stream_foreachbatch_catalog_sink(spark, tpath, tmp_path_factory):
     assert q2.awaitTermination(180)
     assert cat.snapshots("turn_codes") == snaps, "replayed batches re-appended"
     assert cat.read("turn_codes").count() == len(got)
+
+    # ...but the skip key is the (checkpoint, batch_id) PAIR: a brand-new
+    # query (fresh checkpoint path) into the same table restarts batch
+    # numbering at 0, and ITS batches are new data that must be appended —
+    # keying on batch_id alone would silently drop them
+    q3 = ST.stream_to_catalog(coded, cat, "turn_codes", str(root / "ckpt2"))
+    assert q3.awaitTermination(180)
+    snaps3 = cat.snapshots("turn_codes")
+    assert len(snaps3) == 2 * len(snaps), "fresh-checkpoint query was dropped"
+    assert cat.read("turn_codes").count() == 2 * len(got)

@@ -78,6 +78,12 @@ def test_rolling_range_oracle(spark):
     # the boundary row (+30) must include the t=0 row; +31 must not
     byidx = out[out.conv_id == "c1"].set_index("turn_idx")
     assert byidx.loc[2, "count_v_30s"] == 3 and byidx.loc[3, "count_v_30s"] == 3
+
+    # fractional windows must not produce dotted column names (a '.' in
+    # an unquoted reference parses as nested-field access downstream)
+    frac = W.rolling_range(df, "v", 0.5, aggs=("count",))
+    assert "count_v_0_5s" in frac.columns
+    assert frac.select("count_v_0_5s").count() == len(rows)
     # tied peers both see each other
     assert byidx.loc[4, "count_v_30s"] == 2 and byidx.loc[5, "count_v_30s"] == 2
 
