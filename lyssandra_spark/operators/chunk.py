@@ -51,9 +51,12 @@ def chunk_documents(
     ``stride = chunk_tokens - overlap``; the last chunk may be shorter but
     always reaches the final token (``n_chunks = 1 + ceil((n - chunk_tokens)
     / stride)`` for ``n > chunk_tokens``, else 1). Documents with zero
-    tokens produce no rows. Output: (id, chunk_idx, n_chunk_tokens,
-    chunk_text) where chunk_text re-joins tokens with single spaces
-    (tokenizer-normalized text, same convention as every textstats op).
+    tokens produce no rows. Output: (id, chunk_idx, start_tok,
+    n_chunk_tokens, chunk_text) where ``start_tok`` is the chunk's first
+    token's 0-based position in the document's token stream (the offset a
+    retrieval index needs to map a hit back into the source) and
+    chunk_text re-joins tokens with single spaces (tokenizer-normalized
+    text, same convention as every textstats op).
     """
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens ({chunk_tokens}) must be >= 1")
@@ -77,6 +80,7 @@ def chunk_documents(
         .select(
             id_col,
             "chunk_idx",
+            (F.col("chunk_idx").cast("long") * stride).alias("start_tok"),
             F.size("__chunk").cast("long").alias("n_chunk_tokens"),
             F.concat_ws(" ", "__chunk").alias("chunk_text"),
         )
@@ -134,6 +138,11 @@ def pack_sequences(
             raise ValueError(
                 f"pack_sequences: null {ntok_col} (e.g. {id_col}={bad!r}) — "
                 "filter or impute token counts before packing"
+            )
+        if (pdf["__nt"] < 0).any():
+            bad = pdf.loc[pdf["__nt"] < 0, id_col].iloc[0]
+            raise ValueError(
+                f"pack_sequences: negative {ntok_col} (e.g. {id_col}={bad!r})"
             )
         pdf = pdf.sort_values(
             ["__nt", id_col], ascending=[False, True], kind="mergesort"

@@ -43,6 +43,7 @@ def test_chunk_tail_shorter_but_complete(spark):
     )
     # stride 2, n=7: starts 0,2,4 (ceil((7-4)/2)=2) -> last window [4:7) len 3
     assert list(out.chunk_text) == ["a b c d", "c d e f", "e f g"]
+    assert list(out.start_tok) == [0, 2, 4]
     # every token position is covered through the final token
     assert out.chunk_text.iloc[-1].split()[-1] == "g"
 
@@ -89,6 +90,7 @@ def test_chunk_duckdb_oracle_parity(spark, sf_dir):
                 END AS n_chunks FROM n),
         e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM c)
         SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+               CAST(i * {stride} AS BIGINT) AS start_tok,
                CAST(len(toks[i*{stride}+1 : i*{stride}+{ct}]) AS BIGINT)
                  AS n_chunk_tokens,
                array_to_string(toks[i*{stride}+1 : i*{stride}+{ct}], ' ')
@@ -141,6 +143,11 @@ def test_pack_null_token_counts_fail_loudly(spark):
     )
     with pytest.raises(Exception, match="null n_tokens"):
         pack_sequences(docs, budget=10, n_shards=1).collect()
+    neg = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "n_tokens": [-3]})
+    )
+    with pytest.raises(Exception, match="negative n_tokens"):
+        pack_sequences(neg, budget=10, n_shards=1).collect()
 
 
 def test_pack_validation_and_empty(spark):
