@@ -1,9 +1,12 @@
 """Chunking + sequence packing: known values, DuckDB oracle parity,
-map-only plan, exactly-once / budget / determinism invariants."""
+map-only plan, exactly-once / budget / determinism invariants, and
+hypothesis coverage/reconstruction properties."""
 
 import duckdb
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from lyssandra_spark.operators.chunk import chunk_documents, pack_sequences
@@ -98,6 +101,68 @@ def test_chunk_duckdb_oracle_parity(spark, sf_dir):
         FROM e ORDER BY doc_id, chunk_idx
     """).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_toks=st.integers(0, 60),
+    chunk_tokens=st.integers(1, 12),
+    overlap_frac=st.floats(0.0, 0.99),
+)
+def test_chunk_coverage_and_reconstruction_property(
+    spark, n_toks, chunk_tokens, overlap_frac
+):
+    """For ANY (n, chunk_tokens, overlap): every token position is covered,
+    chunk i starts at i*stride, consecutive chunks agree on their overlap,
+    and dropping each chunk's first `overlap` tokens (except chunk 0)
+    reconstructs the exact token stream."""
+    overlap = int(overlap_frac * chunk_tokens)  # 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = [f"w{i}" for i in range(n_toks)]
+    out = (
+        chunk_documents(
+            _docs(spark, [" ".join(toks)]),
+            chunk_tokens=chunk_tokens, overlap=overlap,
+        )
+        .toPandas().sort_values("chunk_idx")
+    )
+    if n_toks == 0:
+        assert len(out) == 0
+        return
+    covered = set()
+    rebuilt = []
+    for _, r in out.iterrows():
+        got = r.chunk_text.split()
+        s = int(r.start_tok)
+        assert s == int(r.chunk_idx) * stride
+        assert got == toks[s:s + chunk_tokens]
+        covered.update(range(s, s + len(got)))
+        rebuilt.extend(got if r.chunk_idx == 0 else got[overlap:])
+    assert covered == set(range(n_toks))
+    assert rebuilt == toks
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=60),
+    budget=st.integers(1, 50),
+)
+def test_pack_invariants_property(spark, sizes, budget):
+    """For ANY token-count multiset and budget: every doc packed exactly
+    once, every non-oversize bin within budget, every oversize doc alone
+    and truly over budget."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(sizes))],
+                      "n_tokens": sizes})
+    )
+    out = pack_sequences(docs, budget=budget, n_shards=3).toPandas()
+    assert len(out) == len(sizes) and out.doc_id.is_unique
+    norm = out[~out.oversize]
+    if len(norm):
+        assert (norm.groupby("bin_id").n_tokens.sum() <= budget).all()
+    over = out[out.oversize]
+    assert (over.n_tokens > budget).all() and over.bin_id.is_unique
+    assert set(out[out.n_tokens > budget].index) == set(over.index)
 
 
 def _pack_input(spark, n=400, seed_mod=97):
