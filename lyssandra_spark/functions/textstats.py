@@ -2,9 +2,11 @@
 
 Two pipeline staples beyond the basic length/punct/stopword scores:
 
-- :func:`repetition_features` — Gopher-style repetition filters
-  (duplicate-word ratio, most-frequent-token fraction, duplicate-2-gram
-  ratio). Deliberately MAP-ONLY: every feature is a higher-order array
+- :func:`repetition_features` — Gopher/MassiveText-style repetition
+  filters (duplicate-word ratio, most-frequent-token fraction,
+  duplicate-2-gram ratio; Rae et al. 2021, "Scaling Language Models:
+  Methods, Analysis & Insights from Training Gopher", Table A1's
+  repetition thresholds). Deliberately MAP-ONLY: every feature is a higher-order array
   expression over the tokenized text, so the plan is a projection over
   the parquet scan — zero shuffles, embarrassingly parallel at 10^12
   docs. (An explode + groupBy formulation would be asymptotically kinder
@@ -13,7 +15,9 @@ Two pipeline staples beyond the basic length/punct/stopword scores:
   the faster plan at any corpus scale.)
 - :func:`ngram_contamination` — benchmark decontamination: for each
   document, the fraction of its distinct word n-grams that appear in a
-  benchmark/eval set. The benchmark gram set is DISTINCT + broadcast
+  benchmark/eval set (the n-gram-overlap scan of Brown et al. 2020,
+  "Language Models are Few-Shot Learners", Appendix C, which uses
+  13-grams; n is a parameter here). The benchmark gram set is DISTINCT + broadcast
   (eval suites are tiny next to a training corpus); the corpus side is
   one explode + broadcast-hash-join + groupBy(doc) — the corpus shuffles
   once, on doc_id, with the gram column already dropped.

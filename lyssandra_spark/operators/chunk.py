@@ -11,7 +11,10 @@ preparation ops beyond the reference surface; SURVEY.md §2 LLM table).
 
 - :func:`pack_sequences` — bin-pack documents into training sequences
   under a token budget (sequence packing: filling each training example
-  to ~budget tokens instead of padding). Packing is inherently
+  to ~budget tokens instead of padding; Krell et al. 2021, "Efficient
+  Sequence Packing without Cross-contamination", which also uses
+  shortest-pack-first/best-fit histogram packing — the same family as
+  the best-fit-decreasing used here). Packing is inherently
   sequential, so the distributed shape is SHARDED independence: each doc
   is hash-routed to one of ``n_shards`` independent shards (pure JVM
   expression, one shuffle on the shard key), and best-fit-decreasing
