@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_column"]
+__all__ = ["hash_split", "split_column", "stratified_sample"]
 
 _DENOM = float(1 << 63)
 
@@ -73,3 +73,46 @@ def hash_split(
     if fractions is None:  # explicit None check: {} must reach validation
         fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
     return df.withColumn(out_col, split_column(key_cols, fractions, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_cols,
+    default: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (quality-band / language
+    rebalancing — the curation step after scoring: keep 100% of high
+    quality, 10% of mid, 1% of boilerplate).
+
+    ``fractions`` maps a ``strata_col`` VALUE to its keep-fraction in
+    [0, 1]; strata not listed keep ``default``. Same leakage-key
+    guarantees as :func:`split_column` — the sampling unit is the KEY
+    (all rows of a conversation/doc survive or drop together, stable
+    across runs, partitionings, and corpus growth), the decision is a
+    pure JVM expression pipelined into the scan (no shuffle, no RNG
+    state), and ``salt`` namespaces it: by default it differs from the
+    split salt, so sampling is independent of train/val/test assignment
+    (the same hash would correlate "kept" with "train").
+
+    ``df.sampleBy`` cannot give this: it is seed/partitioning-sensitive
+    and samples rows, not leakage units.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= float(v) <= 1.0}
+    if bad or not 0.0 <= default <= 1.0:
+        raise ValueError(
+            f"keep-fractions must be in [0, 1]: {bad or {'default': default}}"
+        )
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    u = F.shiftrightunsigned(
+        F.xxhash64(*[F.col(k) for k in keys], F.lit(salt)), 1
+    ).cast("double") / F.lit(_DENOM)
+    pairs = [c for k, v in fractions.items() for c in (F.lit(k), F.lit(float(v)))]
+    thresh = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)], F.lit(float(default))
+    )
+    return df.where(u < thresh)

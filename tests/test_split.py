@@ -69,3 +69,58 @@ def test_split_plan_is_scan_pipelined(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_stratified_sample_fractions_and_key_consistency(spark):
+    from lyssandra_spark.operators.split import stratified_sample
+
+    # 3 rows per key so key-consistency is observable; stratum is a
+    # property of the key (as in real curation: quality band per doc)
+    n_keys = 6000
+    df = (
+        spark.range(n_keys)
+        .select(F.col("id").alias("k"),
+                (F.pmod("id", F.lit(3))).cast("string").alias("band"))
+        .crossJoin(spark.range(3).select(F.col("id").alias("row_idx")))
+    )
+    fr = {"0": 1.0, "1": 0.3, "2": 0.0}
+    kept = stratified_sample(df, "band", fr, "k").toPandas()
+
+    per_key = kept.groupby("k").size()
+    assert (per_key == 3).all()  # whole key survives or drops together
+
+    kept_keys = kept.drop_duplicates("k")
+    counts = kept_keys.groupby("band").size()
+    assert counts.get("0", 0) == n_keys / 3          # keep-all stratum exact
+    assert "2" not in counts.index                   # keep-none stratum empty
+    frac1 = counts.get("1", 0) / (n_keys / 3)
+    assert 0.25 < frac1 < 0.35                       # binomial tolerance
+
+    # unlisted strata use `default` (drop by default)
+    assert stratified_sample(df, "band", {"0": 1.0}, "k").toPandas()[
+        "band"].unique().tolist() == ["0"]
+
+    # deterministic across partitionings
+    a = set(stratified_sample(df, "band", fr, "k").toPandas().k)
+    b = set(stratified_sample(df.repartition(17), "band", fr, "k").toPandas().k)
+    assert a == b
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match=r"\[0, 1\]"):
+        stratified_sample(df, "band", {"0": 1.5}, "k")
+
+
+def test_stratified_sample_plan_and_split_independence(spark, sf_dir):
+    from lyssandra_spark.operators.split import stratified_sample
+
+    t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(t, "lang", {"en": 0.5}, "doc_id", default=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    # sampling must not correlate with the train/test split: among kept
+    # docs, the train fraction stays ~the split fraction
+    kept = hash_split(out, "doc_id", {"train": 0.5, "test": 0.5}).toPandas()
+    if len(kept) > 100:
+        tr = (kept.split == "train").mean()
+        assert 0.4 < tr < 0.6
