@@ -1,6 +1,6 @@
 """Text-quality statistics for training-data curation (SURVEY.md §2 LLM ops).
 
-Two pipeline staples beyond the basic length/punct/stopword scores:
+Pipeline staples beyond the basic length/punct/stopword scores:
 
 - :func:`repetition_features` — Gopher/MassiveText-style repetition
   filters (duplicate-word ratio, most-frequent-token fraction,
@@ -21,6 +21,8 @@ Two pipeline staples beyond the basic length/punct/stopword scores:
   (eval suites are tiny next to a training corpus); the corpus side is
   one explode + broadcast-hash-join + groupBy(doc) — the corpus shuffles
   once, on doc_id, with the gram column already dropped.
+- :func:`token_frequencies` — corpus vocabulary statistics; one shuffle
+  with map-side partial counts absorbing natural-language token skew.
 
 All expressions are pure JVM (no Python crossing anywhere).
 """
@@ -30,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_tokens", "repetition_features", "ngram_contamination"]
+__all__ = [
+    "word_tokens",
+    "repetition_features",
+    "ngram_contamination",
+    "token_frequencies",
+]
 
 
 def word_tokens(text_col: str = "text") -> Column:
@@ -139,3 +146,32 @@ def ngram_contamination(
             F.round(F.col("n_contaminated") / F.col("n_grams"), 4),
         )
     )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide token frequencies (the vocabulary builder's first
+    pass): (token, count), most frequent first.
+
+    Plan at 100 TB: tokenize map-only, explode, then ONE shuffle keyed on
+    token — and the inevitable skew of natural language ("the" is a
+    billion-row key) is absorbed by map-side partial aggregation: every
+    task pre-counts its own tokens, so the hot token crosses the wire as
+    at most one row PER TASK, not one row per occurrence. ``k`` caps the
+    result via TakeOrderedAndProject (per-partition top-k, k rows to the
+    driver-side merge — never a full sort of the vocabulary).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count ({min_count}) must be >= 1")
+    freqs = (
+        df.select(F.explode(word_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    ordered = freqs.orderBy(F.col("count").desc(), F.col("token"))
+    return ordered.limit(k) if k is not None else ordered

@@ -87,3 +87,35 @@ def test_ngram_contamination_broadcasts_bench(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     with pytest.raises(ValueError, match="n \\(0\\)"):
         ngram_contamination(d, d, n=0)
+
+
+def test_token_frequencies_duckdb_parity_and_plan(spark, sf_dir):
+    import duckdb
+
+    from lyssandra_spark.functions.textstats import token_frequencies
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = token_frequencies(d, k=50, min_count=2).toPandas()
+    want = duckdb.connect().execute(f"""
+        WITH t AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS token
+          FROM read_parquet('{sf_dir}/documents.parquet'))
+        SELECT token, count(*) AS count FROM t
+        GROUP BY token HAVING count(*) >= 2
+        ORDER BY count DESC, token LIMIT 50
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # plan: partial count before the exchange (hot tokens cross the wire
+    # once per task), and top-k never sorts the full vocabulary
+    plan = (
+        token_frequencies(d, k=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+
+    with pytest.raises(ValueError, match="min_count"):
+        token_frequencies(d, min_count=0)
