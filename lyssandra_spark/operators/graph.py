@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "retain_best_per_cluster"]
 
 
 def _canon(e: DataFrame) -> DataFrame:
@@ -188,3 +188,38 @@ def connected_components(
         "unexpectedly deep component chain; raise max_iter or use the "
         "default fallback='star' (large-star/small-star contraction)"
     )
+
+
+def retain_best_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    src: str = "id_a",
+    dst: str = "id_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """The full near-dup retention decision a training pipeline ships:
+    pairs -> connected components -> keep the best-scoring doc per
+    cluster (ties broken by lowest id, deterministically; the id tie-break
+    negates the column, so ids must be numeric — pass a numeric surrogate
+    for string ids).
+
+    Docs absent from ``pairs`` are their own singleton cluster and always
+    survive. Returns ``docs``' rows (all columns) plus a ``component``
+    label, one row per retained cluster. Scale shape: the graph pass
+    touches only ids (never text/scores), then ONE keyed window over the
+    cluster label — and near-dup clusters are small by construction
+    (max_bucket-capped candidate generation upstream), so the window's
+    per-key row count is bounded.
+    """
+    from lyssandra_spark.operators.windows import dedup_latest
+
+    cc = connected_components(pairs, src=src, dst=dst, **cc_kwargs)
+    labeled = docs.join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    ranked = labeled.withColumn("__neg_id", -F.col(id_col))
+    return dedup_latest(
+        ranked, ["component"], [score_col, "__neg_id"]
+    ).drop("__neg_id")

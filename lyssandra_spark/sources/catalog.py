@@ -166,6 +166,65 @@ class ParquetCatalog:
             df = df.drop(*pcols)
         return df
 
+    def merge(
+        self,
+        df: DataFrame,
+        name: str,
+        keys,
+        partition_by: dict[str, str] | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Keyed upsert — the ``MERGE INTO ... ON keys WHEN MATCHED THEN
+        UPDATE WHEN NOT MATCHED THEN INSERT`` of this catalog (late
+        transcript corrections, re-scored documents).
+
+        Copy-on-write: current rows whose key appears in ``df`` are
+        replaced by ``df``'s row, everything else is carried forward, and
+        the result lands as ONE ``overwrite`` snapshot — so time-travel
+        still sees the pre-merge state and the post-merge chain is a
+        single self-contained snapshot. The anti-join keys on ``keys``
+        only (small shuffle); ``df`` may ADD columns (carried-forward
+        rows read them as null) but may not retype existing ones. A
+        missing table bootstraps. ``partition_by`` defaults to the chain
+        head's layout so a merge never silently changes partitioning.
+
+        Honest scale note: this sandbox adapter rewrites the WHOLE table
+        per merge; real Iceberg copy-on-write rewrites only the data
+        files containing matched keys (partition-pruned), and that is
+        what ``MERGE INTO`` maps to on a cluster. The interface —
+        keyed upsert as one atomic snapshot — is the part the engine
+        codes against.
+        """
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(f"merge keys {missing} not in df columns")
+        man = self._manifest(name)
+        if not man["snapshots"]:
+            return self.write(df, name, mode="overwrite",
+                              partition_by=partition_by, meta=meta)
+        current = self.read(name)
+        cur_types = {f.name: f.dataType.simpleString() for f in current.schema}
+        new_types = {f.name: f.dataType.simpleString() for f in df.schema}
+        drifted = sorted(
+            c for c in set(cur_types) & set(new_types)
+            if cur_types[c] != new_types[c]
+        )
+        if drifted:
+            raise ValueError(
+                f"merge into {name!r} retypes columns "
+                f"{[f'{c}: {cur_types[c]} -> {new_types[c]}' for c in drifted]}"
+                " (adds are allowed; retypes need mode='overwrite' via write)"
+            )
+        kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
+        out = kept.unionByName(df, allowMissingColumns=True)
+        if partition_by is None:
+            partition_by = man["snapshots"][-1]["partition_by"] or None
+        return self.write(
+            out, name, mode="overwrite", partition_by=partition_by,
+            meta={**(meta or {}), "merge_keys": keys},
+        )
+
     def read_snapshot(self, name: str, snap_id: int) -> DataFrame:
         """Read EXACTLY one snapshot's rows (not the cumulative chain) —
         the Iceberg incremental-scan analogue. This is what lets an

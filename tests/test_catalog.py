@@ -119,3 +119,54 @@ def test_dictionary_versions_roundtrip_catalog(spark, cat, sf_dir):
     exp = sparse_code(df, vers, k=3).toPandas().sort_values("turn_idx")
     assert got["recon_err"].tolist() == exp["recon_err"].tolist()
     assert got["dict_version"].tolist() == exp["dict_version"].tolist()
+
+
+def test_merge_upsert_semantics(spark, cat):
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0]})
+    )
+    s1 = cat.merge(base, "scores", keys="k")  # bootstrap on empty table
+    # update k=2,3; insert k=5; add a NEW column only present on the delta
+    delta = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 3, 5], "v": [21.0, 31.0, 50.0],
+                      "src": ["re", "re", "new"]})
+    )
+    s2 = cat.merge(delta, "scores", keys="k")
+    got = cat.read("scores").toPandas().sort_values("k").reset_index(drop=True)
+    assert list(got.k) == [1, 2, 3, 4, 5]
+    assert list(got.v) == [10.0, 21.0, 31.0, 40.0, 50.0]
+    # carried-forward rows read the added column as null
+    assert got.src.isna().tolist() == [True, False, False, True, False]
+
+    # time travel still sees the pre-merge state
+    pre = cat.read("scores", as_of=s1).toPandas().sort_values("k")
+    assert list(pre.v) == [10.0, 20.0, 30.0, 40.0]
+    # post-merge chain is a single overwrite snapshot
+    snaps = cat.snapshots("scores")
+    assert snaps[-1]["id"] == s2 and snaps[-1]["mode"] == "overwrite"
+    assert snaps[-1]["meta"]["merge_keys"] == ["k"]
+
+
+def test_merge_guards_and_layout(spark, cat):
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "grp": ["a", "b"], "v": [1.0, 2.0]})
+    )
+    cat.write(base, "t", mode="overwrite",
+              partition_by={"p": "upper(grp)"})
+    delta = spark.createDataFrame(
+        pd.DataFrame({"k": [2], "grp": ["b"], "v": [9.0]})
+    )
+    cat.merge(delta, "t", keys="k")
+    # merge inherited the chain head's hidden-partitioning layout
+    assert cat.snapshots("t")[-1]["partition_by"] == {"p": "upper(grp)"}
+    layout = cat.read("t", keep_partition_cols=True)
+    assert "p" in layout.columns
+    assert cat.read("t").count() == 2
+
+    with pytest.raises(ValueError, match="not in df columns"):
+        cat.merge(delta.drop("k"), "t", keys="k")
+    retype = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "grp": ["a"], "v": ["oops"]})
+    )
+    with pytest.raises(ValueError, match="retypes"):
+        cat.merge(retype, "t", keys="k")

@@ -124,15 +124,22 @@ def test_dedup_retention_keep_best_per_cluster(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
+    from lyssandra_spark.operators.graph import retain_best_per_cluster
+
+    kept = retain_best_per_cluster(docs, edges)
+    rows = kept.collect()
+    # doc 42 is isolated -> survives as its own cluster; {10, 11} tie on
+    # quality -> lowest id wins; {1,2,3} -> highest quality (2) wins
+    assert {r["doc_id"] for r in rows} == {2, 10, 42}
+    assert set(kept.columns) == {"doc_id", "quality", "component"}
+    # the inlined historical composition (dedup_latest over cc labels)
+    # stays equivalent
     cc = connected_components(edges)
     labeled = docs.join(
         cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
-    ).withColumn(
-        # isolated docs (doc 42) are their own cluster
-        "component", F.coalesce("component", "doc_id")
-    )
-    kept = dedup_latest(
+    ).withColumn("component", F.coalesce("component", "doc_id"))
+    manual = dedup_latest(
         labeled.withColumn("neg_id", -F.col("doc_id")),
         ["component"], ["quality", "neg_id"],
     )
-    assert {r["doc_id"] for r in kept.collect()} == {2, 10, 42}
+    assert {r["doc_id"] for r in manual.collect()} == {2, 10, 42}
