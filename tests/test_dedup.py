@@ -4,6 +4,8 @@ embedding near-dup (LSH recall vs brute force)."""
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as hst
 from pyspark.sql import functions as F
 
 from lyssandra_spark.operators import dedup as DD
@@ -277,3 +279,41 @@ def test_incremental_dedup_retry_is_idempotent(spark, docs, tmp_path_factory):
     # retrying the FIRST (bootstrap) batch is equally stable
     _, s0r = dedup_new_batch(cat, "sig", shard0, batch_id="d0", **kw)
     assert s0r == s0 and len(cat.snapshots("sig")) == n_snaps
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n_shards=hst.integers(2, 4),
+    route_salt=hst.integers(0, 1000),
+)
+def test_incremental_dedup_random_sharding_property(
+    spark, docs, tmp_path_factory, n_shards, route_salt
+):
+    """Incremental == full recompute for ANY document-to-batch routing,
+    not just the doc_id%3 split: route docs to n_shards batches by a
+    salted hash, run the batches sequentially, and the union of returned
+    pairs must equal one full-corpus run exactly."""
+    from lyssandra_spark.operators.incremental import dedup_new_batch
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    small = docs.where(F.col("doc_id") % 4 == 0)  # keep each example fast
+    cat = ParquetCatalog(
+        spark, str(tmp_path_factory.mktemp(f"inc_prop_{route_salt}"))
+    )
+    kw = dict(n_perm=32, bands=8, threshold=0.3, ngram_bytes=8)
+    route = F.pmod(F.xxhash64("doc_id", F.lit(route_salt)), F.lit(n_shards))
+    got = []
+    for r in range(n_shards):
+        shard = small.where(route == r)
+        if shard.rdd.isEmpty():
+            continue
+        pairs, _ = dedup_new_batch(cat, "sig_prop", shard, **kw)
+        got.append(pairs.toPandas())
+    inc = pd.concat(got, ignore_index=True)
+    full = DD.minhash_lsh_pairs(small, **kw).toPandas()
+
+    def key(df):
+        return set(zip(df.id_a, df.id_b, df.est_jaccard.round(9)))
+
+    assert key(inc) == key(full)
+    assert not inc.duplicated(["id_a", "id_b"]).any()
