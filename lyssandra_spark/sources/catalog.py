@@ -64,12 +64,19 @@ class ParquetCatalog:
         mode: str = "append",
         partition_by: dict[str, str] | None = None,
         meta: dict | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Write df as a new snapshot; returns the snapshot id.
 
         partition_by maps derived-column name -> SQL expression over df
         (Iceberg hidden-partitioning analogue), e.g.
         ``{"ts_day": "date_trunc('day', ts)", "conv_bucket": "pmod(hash(conv_id), 16)"}``.
+        ``sort_by`` (Iceberg SORT ORDER analogue) sorts rows WITHIN each
+        task/partition before writing — no extra shuffle — so parquet
+        row-group min/max stats become tight on those columns and
+        point/range scans prune inside files, not just across them. The
+        order is recorded in the manifest so readers know what pruning
+        to expect.
         ``meta`` is recorded verbatim on the snapshot's manifest entry
         (e.g. the streaming sink stamps its micro-batch id, so replayed
         batches are auditable).
@@ -108,6 +115,11 @@ class ParquetCatalog:
         pcols = list((partition_by or {}).keys())
         for col, expr in (partition_by or {}).items():
             out = out.withColumn(col, F.expr(expr))
+        if sort_by:
+            missing_sort = [c for c in sort_by if c not in out.columns]
+            if missing_sort:
+                raise ValueError(f"sort_by columns {missing_sort} not in df")
+            out = out.sortWithinPartitions(*sort_by)
         w = out.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
@@ -117,6 +129,7 @@ class ParquetCatalog:
                 "id": snap_id,
                 "mode": mode,
                 "partition_by": partition_by or {},
+                **({"sort_by": sort_by} if sort_by else {}),
                 "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema],
                 "wall": time.time(),
                 **({"meta": meta} if meta else {}),

@@ -1,0 +1,75 @@
+"""One-pass table profiler + catalog sort-order layout."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.profile import profile_table
+
+
+def test_profile_table_known_values(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 4, None],
+                "name": ["a", "b", "b", None, None],
+            }
+        ).astype({"k": "Int64"})
+    )
+    prof = profile_table(df).toPandas()
+    m = {(r.column, r.metric): r.value for r in prof.itertuples()}
+    assert m[("*", "rows")] == "5"
+    assert m[("k", "nulls")] == "1" and m[("k", "non_null")] == "4"
+    assert m[("name", "nulls")] == "2"
+    assert m[("k", "min")] == "1" and m[("k", "max")] == "4"
+    assert m[("name", "min")] == "a" and m[("name", "max")] == "b"
+    assert float(m[("k", "mean")]) == pytest.approx(2.5)
+    assert float(m[("k", "p50")]) in (2.0, 3.0)  # approx median of 1..4
+    assert ("name", "mean") not in m  # non-numeric: no moments
+    assert int(m[("name", "approx_distinct")]) == 2
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, columns=["nope"])
+
+
+def test_profile_single_pass_plan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    prof = profile_table(li, columns=cols).toPandas()
+    # every column profiled, exact null counts vs direct computation
+    want_nulls = {
+        c: li.where(F.col(c).isNull()).count() for c in cols
+    }
+    got_nulls = {
+        r.column: int(r.value)
+        for r in prof.itertuples() if r.metric == "nulls"
+    }
+    assert got_nulls == want_nulls
+    rows = int(prof[(prof.column == "*")].value.iloc[0])
+    assert rows == li.count()
+
+
+def test_catalog_sort_by_layout(spark, tmp_path):
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    e = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 7919 % 1000).alias("shuffled")
+    ).repartition(4)
+    cat.write(e, "t", mode="overwrite", sort_by=["shuffled"])
+    assert cat.snapshots("t")[-1]["sort_by"] == ["shuffled"]
+    # rows come back complete, and within every parquet file the sort
+    # column is monotone (tight row-group min/max stats)
+    back = cat.read("t")
+    assert back.count() == 1000
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(str(tmp_path / "wh"), "t", "snap=1", "*.parquet"))
+    assert files
+    for f in files:
+        vals = pd.read_parquet(f)["shuffled"].tolist()
+        assert vals == sorted(vals)
+
+    with pytest.raises(ValueError, match="sort_by columns"):
+        cat.write(e, "t2", sort_by=["missing"])
