@@ -49,23 +49,30 @@ def redact_pii(
 
     Map-only expression chain; ``out_col`` defaults to replacing
     ``text_col`` in place. Also appends ``pii_redactions`` — the total
-    number of placeholders inserted — so a curation pipeline can filter
-    or audit PII-dense documents without a second scan.
+    number of placeholders INSERTED (placeholder occurrences after minus
+    before, so text that already mentions a literal tag like "<EMAIL>"
+    doesn't inflate the count) — so a curation pipeline can filter or
+    audit PII-dense documents without a second scan. An explicit empty
+    ``patterns`` list is a no-op (0 redactions), not a fallback to the
+    defaults.
     """
     out_col = out_col or text_col
-    col = F.col(text_col)
-    for _, pat, repl in patterns or PII_PATTERNS:
+    if patterns is None:
+        patterns = PII_PATTERNS
+    orig = F.col(text_col)
+    col = orig
+    for _, pat, repl in patterns:
         col = F.regexp_replace(col, pat, repl)
-    placeholders = [repl for _, _, repl in (patterns or PII_PATTERNS)]
-    n_redacted = None
-    for p in placeholders:
-        # count placeholder occurrences in the redacted text; they are
-        # literal tags (angle brackets never survive the patterns above)
-        cnt = (F.length(col) - F.length(F.replace(col, F.lit(p), F.lit("")))) / len(p)
-        n_redacted = cnt if n_redacted is None else n_redacted + cnt
-    return df.withColumn(out_col, col).withColumn(
+    n_redacted = F.lit(0)
+    for p in {repl for _, _, repl in patterns}:
+        def occurrences(c):
+            return (F.length(c) - F.length(F.replace(c, F.lit(p), F.lit("")))) / len(p)
+        n_redacted = n_redacted + occurrences(col) - occurrences(orig)
+    # count FIRST: both expressions reference the original text column,
+    # so the redacted text must not shadow it before the count resolves
+    return df.withColumn(
         "pii_redactions", n_redacted.cast("long")
-    )
+    ).withColumn(out_col, col)
 
 
 def normalize_text(

@@ -29,21 +29,32 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["char_ngrams", "train_char_lm", "score_char_lm"]
+__all__ = ["char_ngrams", "normalize_for_lm", "train_char_lm", "score_char_lm"]
 
 
-def char_ngrams(text_col: str = "text", n: int = 3) -> Column:
-    """Column expr: all overlapping character ``n``-grams of the
-    lowercased text (whitespace runs collapsed so formatting doesn't
-    shift the distribution). Documents shorter than ``n`` chars yield an
-    empty array."""
+def normalize_for_lm(text_col: str = "text") -> Column:
+    """Lowercase + collapse whitespace runs — the text the LM sees."""
+    return F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+
+def char_ngrams(norm_col: str, n: int = 3) -> Column:
+    """Column expr: all overlapping character ``n``-grams of an ALREADY
+    normalized text column (see :func:`normalize_for_lm`). Documents
+    shorter than ``n`` chars yield an empty array.
+
+    ``norm_col`` must be a plain column REFERENCE, not an expression:
+    Spark does not common-subexpression-eliminate inside higher-order
+    lambdas, so embedding the normalization here would re-run it once
+    per character position — measured O(len^2): a 20 KB document took
+    21 s. Callers project the normalization once (one extra column in
+    the scan) and pass its name; the transform is then O(len * n).
+    """
     if n < 1:
         raise ValueError(f"n ({n}) must be >= 1")
-    norm = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
     return F.expr(
-        f"CASE WHEN length({norm}) < {n} THEN array() "
-        f"ELSE transform(sequence(1, length({norm}) - {n} + 1), "
-        f"i -> substring({norm}, i, {n})) END"
+        f"CASE WHEN length({norm_col}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, length({norm_col}) - {n} + 1), "
+        f"i -> substring({norm_col}, i, {n})) END"
     )
 
 
@@ -60,19 +71,30 @@ def train_char_lm(
     ``top_k`` most frequent n-grams with add-``alpha`` smoothing over an
     open vocabulary, ``oov_logp`` the shared log-prob of any unseen
     n-gram (``log(alpha / (total + alpha * (top_k + 1)))``).
-    The count aggregation is the one shuffle; everything after operates
-    on at most ``top_k`` rows (and one scalar total to the driver).
+    The corpus is aggregated EXACTLY once: the n-gram counts are
+    persisted for the two bounded reads (grand total + top-K), both are
+    collected to the driver (at most ``top_k`` rows + one scalar), the
+    cache is released, and the returned model is a small LOCAL DataFrame
+    — scoring never re-touches the training corpus.
     """
     if alpha <= 0:
         raise ValueError(f"alpha ({alpha}) must be > 0")
-    grams = df.select(F.explode(char_ngrams(text_col, n)).alias("ngram"))
-    counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
-    top = counts.orderBy(F.col("cnt").desc(), F.col("ngram")).limit(top_k)
-    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    grams = df.select(
+        normalize_for_lm(text_col).alias("__norm")
+    ).select(F.explode(char_ngrams("__norm", n)).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt")).persist()
+    try:
+        total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+        top = (
+            counts.orderBy(F.col("cnt").desc(), F.col("ngram"))
+            .limit(top_k).collect()
+        )
+    finally:
+        counts.unpersist()
     denom = float(total) + alpha * (top_k + 1)
-    model = top.select(
-        "ngram",
-        F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom)).alias("logp"),
+    model = df.sparkSession.createDataFrame(
+        [(r["ngram"], math.log((r["cnt"] + alpha) / denom)) for r in top],
+        "ngram string, logp double",
     )
     oov_logp = math.log(alpha / denom)
     return model, oov_logp
@@ -94,7 +116,9 @@ def score_char_lm(
 
     Plan: explode -> broadcast-hash-join(model) -> groupBy(id) — one
     shuffle carrying (id, logp)."""
-    g = df.select(id_col, F.explode(char_ngrams(text_col, n)).alias("ngram"))
+    g = df.select(
+        id_col, normalize_for_lm(text_col).alias("__norm")
+    ).select(id_col, F.explode(char_ngrams("__norm", n)).alias("ngram"))
     return (
         g.join(F.broadcast(model), "ngram", "left")
         .groupBy(id_col)

@@ -20,6 +20,7 @@ vectorized paths.
 from __future__ import annotations
 
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
@@ -37,9 +38,10 @@ class ParseTranscript:
     Text between consecutive role markers belongs to the earlier marker's
     turn; whitespace is trimmed; empty turns (marker immediately followed
     by another marker) are kept with text '' so turn indices stay aligned
-    with the marker sequence. A non-empty blob with NO markers yields one
-    (0, 'unknown', blob) row — ingestion never silently drops text; a
-    null or blank blob yields nothing.
+    with the marker sequence. Ingestion never silently drops text: a
+    non-empty blob with NO markers yields one (0, 'unknown', blob) row,
+    and non-blank text BEFORE the first marker becomes a leading
+    (0, 'unknown', preamble) turn. A null or blank blob yields nothing.
     """
 
     def eval(self, raw: str):
@@ -49,9 +51,15 @@ class ParseTranscript:
         if not marks:
             yield 0, "unknown", raw.strip()
             return
+        idx = 0
+        preamble = raw[: marks[0].start()].strip()
+        if preamble:
+            yield idx, "unknown", preamble
+            idx += 1
         for i, m in enumerate(marks):
             end = marks[i + 1].start() if i + 1 < len(marks) else len(raw)
-            yield i, m.group(1).lower(), raw[m.end():end].strip()
+            yield idx, m.group(1).lower(), raw[m.end():end].strip()
+            idx += 1
 
 
 def parse_transcripts(
@@ -59,10 +67,22 @@ def parse_transcripts(
     id_col: str = "conv_id",
 ) -> DataFrame:
     """LATERAL-join :class:`ParseTranscript` over ``df``: one row per
-    parsed turn, keyed by ``id_col`` — (id, turn_idx, role, text)."""
+    parsed turn, keyed by ``id_col`` — (id, turn_idx, role, text).
+
+    The temp-view name is unique per call (two pipelines sharing a
+    SparkSession must not clobber each other's registration between the
+    view create and the query analysis) and identifiers are
+    backtick-quoted so non-simple column names survive the SQL round
+    trip. The query plan holds the view by resolved reference, so
+    dropping it immediately after analysis is safe.
+    """
+    view = f"__raw_transcripts_{uuid.uuid4().hex}"
     spark.udtf.register("parse_transcript", ParseTranscript)
-    df.createOrReplaceTempView("__raw_transcripts")
-    return spark.sql(
-        f"SELECT t.{id_col}, p.turn_idx, p.role, p.text "
-        f"FROM __raw_transcripts t, LATERAL parse_transcript(t.{raw_col}) p"
-    )
+    df.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"SELECT t.`{id_col}`, p.turn_idx, p.role, p.text "
+            f"FROM {view} t, LATERAL parse_transcript(t.`{raw_col}`) p"
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -38,8 +38,10 @@ def rms_udf(v: pd.Series) -> float:
 
     Algebraic — exists as a parity/contract subject; production code
     should prefer ``sqrt(avg(v * v))`` which partial-aggregates map-side
-    (the pytest pins exact agreement between the two)."""
-    a = v.to_numpy(dtype=np.float64)
+    (the pytest pins exact agreement between the two). Nulls are skipped,
+    matching built-in aggregate semantics (a NaN-poisoning UDF would
+    silently diverge from the builtin on any group with a null)."""
+    a = v.dropna().to_numpy(dtype=np.float64)
     return float(np.sqrt(np.mean(a * a))) if len(a) else None
 
 
@@ -48,8 +50,9 @@ def gini_udf(v: pd.Series) -> float:
     """Grouped-agg pandas UDF (B20-iv): Gini coefficient of the group's
     non-negative values — a genuinely non-algebraic per-group scalar (it
     needs the full sorted group, so no map-side partial exists; this IS
-    the honest use case for a grouped-agg UDF)."""
-    a = np.sort(v.to_numpy(dtype=np.float64))
+    the honest use case for a grouped-agg UDF). Nulls are skipped,
+    matching built-in aggregate semantics."""
+    a = np.sort(v.dropna().to_numpy(dtype=np.float64))
     n = len(a)
     if n == 0:
         return None
@@ -62,7 +65,7 @@ def gini_udf(v: pd.Series) -> float:
 
 @pandas_udf(LongType())
 def _count_udf(v: pd.Series) -> int:
-    return int(len(v))
+    return int(v.count())  # non-null count, matching builtin count(col)
 
 
 @pandas_udf(DoubleType())

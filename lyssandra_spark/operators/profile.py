@@ -48,8 +48,13 @@ def profile_table(
 
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
+        aggs.append(F.count(c).alias(f"{c}::non_null"))
+        if isinstance(fields[c], T.MapType):
+            # maps are neither orderable (min/max) nor hashable
+            # (approx_count_distinct) in Spark SQL — count/nulls only,
+            # instead of crashing the whole one-pass profile
+            continue
         aggs += [
-            F.count(c).alias(f"{c}::non_null"),
             F.approx_count_distinct(c, rsd).alias(f"{c}::approx_distinct"),
             F.min(c).cast("string").alias(f"{c}::min"),
             F.max(c).cast("string").alias(f"{c}::max"),

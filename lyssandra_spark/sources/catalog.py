@@ -197,9 +197,15 @@ class ParquetCatalog:
         still sees the pre-merge state and the post-merge chain is a
         single self-contained snapshot. The anti-join keys on ``keys``
         only (small shuffle); ``df`` may ADD columns (carried-forward
-        rows read them as null) but may not retype existing ones. A
-        missing table bootstraps. ``partition_by`` defaults to the chain
-        head's layout so a merge never silently changes partitioning.
+        rows read them as null) but must carry EVERY existing column
+        (copy-on-write replaces whole rows — a partial-column delta
+        would silently null the omitted fields on matched rows, so it is
+        rejected loudly, same policy as write()'s append guard) and may
+        not retype any. Duplicate keys in the delta are rejected (SQL
+        MERGE's multiple-source-match error): letting them through would
+        write a table with duplicate key rows. A missing table
+        bootstraps. ``partition_by`` defaults to the chain head's layout
+        so a merge never silently changes partitioning.
 
         Honest scale note: this sandbox adapter rewrites the WHOLE table
         per merge; real Iceberg copy-on-write rewrites only the data
@@ -212,6 +218,15 @@ class ParquetCatalog:
         missing = [k for k in keys if k not in df.columns]
         if missing:
             raise ValueError(f"merge keys {missing} not in df columns")
+        dup = (
+            df.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge delta has duplicate keys (e.g. "
+                f"{[dup[0][k] for k in keys]}) — a keyed upsert needs one "
+                "source row per key (SQL MERGE's multiple-match error)"
+            )
         man = self._manifest(name)
         if not man["snapshots"]:
             return self.write(df, name, mode="overwrite",
@@ -219,15 +234,17 @@ class ParquetCatalog:
         current = self.read(name)
         cur_types = {f.name: f.dataType.simpleString() for f in current.schema}
         new_types = {f.name: f.dataType.simpleString() for f in df.schema}
+        absent = sorted(set(cur_types) - set(new_types))
         drifted = sorted(
             c for c in set(cur_types) & set(new_types)
             if cur_types[c] != new_types[c]
         )
-        if drifted:
+        if absent or drifted:
             raise ValueError(
-                f"merge into {name!r} retypes columns "
+                f"merge into {name!r} is schema-incompatible: missing columns "
+                f"{absent} (whole rows are replaced — a partial delta would "
+                f"silently null them), type drift "
                 f"{[f'{c}: {cur_types[c]} -> {new_types[c]}' for c in drifted]}"
-                " (adds are allowed; retypes need mode='overwrite' via write)"
             )
         kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
         out = kept.unionByName(df, allowMissingColumns=True)

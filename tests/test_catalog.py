@@ -168,5 +168,23 @@ def test_merge_guards_and_layout(spark, cat):
     retype = spark.createDataFrame(
         pd.DataFrame({"k": [1], "grp": ["a"], "v": ["oops"]})
     )
-    with pytest.raises(ValueError, match="retypes"):
+    with pytest.raises(ValueError, match="type drift"):
         cat.merge(retype, "t", keys="k")
+
+
+def test_merge_rejects_duplicate_and_partial_deltas(spark, cat):
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0], "src": ["a", "b"]})
+    )
+    cat.merge(base, "m", keys="k")
+    dup = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 2], "v": [9.0, 8.0], "src": ["x", "y"]})
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.merge(dup, "m", keys="k")
+    partial = spark.createDataFrame(pd.DataFrame({"k": [2], "v": [9.0]}))
+    with pytest.raises(ValueError, match="missing columns"):
+        cat.merge(partial, "m", keys="k")
+    # table unchanged after both rejections
+    got = cat.read("m").toPandas().sort_values("k")
+    assert list(got.v) == [1.0, 2.0] and list(got.src) == ["a", "b"]

@@ -114,3 +114,30 @@ def test_char_lm_separates_gibberish(spark, sf_dir):
 
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the model must broadcast
+
+
+def test_redact_pii_placeholder_in_input_and_empty_patterns(spark):
+    texts = ["wrap addresses in an <EMAIL> tag", "x@y.io plus <EMAIL> literal"]
+    out = redact_pii(_docs(spark, texts)).toPandas().set_index("doc_id")
+    # pre-existing literal tags don't count; only real insertions do
+    assert out.loc[0, "pii_redactions"] == 0
+    assert out.loc[1, "pii_redactions"] == 1
+    # explicit empty pattern list is a no-op, not a default fallback
+    noop = redact_pii(_docs(spark, texts), patterns=[]).toPandas()
+    assert list(noop.text) == texts
+    assert list(noop.pii_redactions) == [0, 0]
+
+
+def test_char_lm_long_document_is_linear(spark):
+    # the normalization is projected ONCE, not re-evaluated per char
+    # position — a 30k-char doc must extract n-grams in seconds, not
+    # minutes (the O(len^2) formulation took 21s at 20k chars)
+    import time
+
+    long_doc = ("the quick brown fox jumps over the lazy dog " * 700)[:30000]
+    docs = _docs(spark, [long_doc])
+    t0 = time.time()
+    model, oov = train_char_lm(docs, n=3, top_k=1000)
+    n = score_char_lm(docs, model, oov, n=3).collect()[0]["n_ngrams"]
+    assert n == len(" ".join(long_doc.split())) - 2
+    assert time.time() - t0 < 30

@@ -96,3 +96,30 @@ def test_parse_transcript_udtf(spark):
     assert list(c3.role) == ["unknown"]
     assert list(c3.text) == ["no markers at all here"]
     assert (out.conv_id == "c4").sum() == 0  # null blob yields nothing
+
+
+def test_grouped_agg_udfs_skip_nulls_like_builtins(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "a"], "v": [3.0, None, 4.0]})
+    )
+    got = session_signal_stats(df, value_col="v", keys="k").collect()[0]
+    assert got["n"] == 2                      # non-null count
+    assert got["mean_v"] == pytest.approx(3.5)
+    assert got["rms_v"] == pytest.approx((12.5) ** 0.5)  # sqrt((9+16)/2)
+    assert got["gini_v"] is not None and not np.isnan(got["gini_v"])
+
+
+def test_parse_transcript_preamble_never_dropped(spark):
+    from lyssandra_spark.functions.transcripts import parse_transcripts
+
+    raws = pd.DataFrame(
+        {"conv_id": ["c1"],
+         "raw": ["imported context here user: question assistant: answer"]}
+    )
+    out = (
+        parse_transcripts(spark, spark.createDataFrame(raws))
+        .toPandas().sort_values("turn_idx")
+    )
+    assert list(out.role) == ["unknown", "user", "assistant"]
+    assert list(out.text) == ["imported context here", "question", "answer"]
+    assert list(out.turn_idx) == [0, 1, 2]

@@ -73,3 +73,15 @@ def test_catalog_sort_by_layout(spark, tmp_path):
 
     with pytest.raises(ValueError, match="sort_by columns"):
         cat.write(e, "t2", sort_by=["missing"])
+
+
+def test_profile_map_columns_dont_crash(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1.0}), (2, None)], "k long, m map<string,double>"
+    )
+    prof = profile_table(df).toPandas()
+    m = {(r.column, r.metric): r.value for r in prof.itertuples()}
+    assert m[("m", "nulls")] == "1" and m[("m", "non_null")] == "1"
+    # unorderable/unhashable metrics are skipped for maps, present for k
+    assert ("m", "min") not in m and ("m", "approx_distinct") not in m
+    assert ("k", "min") in m
