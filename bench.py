@@ -161,12 +161,81 @@ def run_bench(spark, sf_dir: str) -> dict:
     }
 
 
+def llm_bench(spark, sf_dir: str) -> dict:
+    """Throughput of the LLM-curation operators over the documents table
+    (`python bench.py --llm`; separate from the driver's headline JSON).
+    Each op is timed end-to-end with a noop sink, best of 2."""
+    from pyspark.sql import functions as F
+
+    from lyssandra_spark.functions.lm import score_char_lm, train_char_lm
+    from lyssandra_spark.functions.textstats import (
+        repetition_features,
+        token_frequencies,
+    )
+    from lyssandra_spark.operators.chunk import chunk_documents, pack_sequences
+    from lyssandra_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from lyssandra_spark.operators.graph import connected_components
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn, reps: int = 2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    ).cache()
+    n_docs = d.count()
+
+    timed("exact_dedup", lambda: _force(exact_dedup(d)))
+    timed("minhash_pairs", lambda: _force(
+        minhash_lsh_pairs(d, n_perm=64, bands=16, threshold=0.5)))
+    timed("neardup_clusters", lambda: _force(connected_components(
+        minhash_lsh_pairs(d, n_perm=64, bands=16, threshold=0.5)
+        .select(F.col("id_a"), F.col("id_b")))))
+    timed("repetition_filters", lambda: _force(repetition_features(d)))
+    timed("token_frequencies", lambda: _force(
+        token_frequencies(d, k=50_000)))
+
+    def lm_round():
+        model, oov = train_char_lm(d, n=3, top_k=50_000)
+        _force(score_char_lm(d, model, oov, n=3))
+    timed("lm_train_plus_score", lm_round)
+
+    timed("chunk_512_64", lambda: _force(
+        chunk_documents(d, chunk_tokens=512, overlap=64)))
+    counts = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+    )
+    timed("pack_2048", lambda: _force(
+        pack_sequences(counts, budget=2048, n_shards=64)))
+
+    d.unpersist()
+    total = round(sum(timings.values()), 3)
+    slowest = max(timings.values())
+    return {
+        "metric": "LLM-curation ops wall sec over documents (best of 2 each)",
+        "value": total, "unit": "sec", "queries": timings, "sf": sf_dir,
+        "n_docs": n_docs, "cores": CPUS,
+        "docs_per_sec_slowest_op": round(n_docs / slowest, 1),
+    }
+
+
 def main():
     from lyssandra_spark.session import get_spark
 
     spark = get_spark(app="lyssandra-bench", cores=CPUS)
     try:
-        result = run_bench(spark, SF_DIR)
+        if "--llm" in sys.argv:
+            result = llm_bench(spark, SF_DIR)
+        else:
+            result = run_bench(spark, SF_DIR)
     finally:
         spark.stop()
     print(json.dumps(result))
