@@ -275,3 +275,41 @@ def test_stream_foreachbatch_catalog_sink(spark, tpath, tmp_path_factory):
     snaps3 = cat.snapshots("turn_codes")
     assert len(snaps3) == 2 * len(snaps), "fresh-checkpoint query was dropped"
     assert cat.read("turn_codes").count() == 2 * len(got)
+
+
+def test_streaming_text_quality_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The stateless curation projections (repetition filters) and the
+    broadcast-join LM scorer lift to Structured Streaming UNCHANGED —
+    same operator call, stream in, batch-identical rows out (B21)."""
+    from lyssandra_spark.functions.lm import score_char_lm, train_char_lm
+    from lyssandra_spark.functions.textstats import repetition_features
+
+    src = str(tmp_path_factory.mktemp("txtq") / "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).repartition(3).write.parquet(src)  # file stream needs a DIRECTORY
+    batch = spark.read.parquet(src)
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", "text")
+    )
+
+    got_rep = _run_stream(spark, repetition_features(sdf), "rep_stream")
+    exp_rep = repetition_features(batch).toPandas()
+    g = got_rep.toPandas().sort_values("doc_id").reset_index(drop=True)
+    e = exp_rep.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+
+    # model trained on the batch table (static local DF) scores the
+    # stream through the identical broadcast-join operator
+    model, oov = train_char_lm(batch, n=3, top_k=2000)
+    got_lm = _run_stream(spark, score_char_lm(sdf, model, oov, n=3),
+                         "lm_stream")
+    g2 = got_lm.toPandas().sort_values("doc_id").reset_index(drop=True)
+    e2 = (
+        score_char_lm(batch, model, oov, n=3)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(g2, e2)
