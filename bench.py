@@ -43,6 +43,20 @@ def _force(df) -> int:
     return 0
 
 
+def _timed(timings: dict, name: str, fn, reps: int = 1):
+    """Best-of-``reps`` wall time into ``timings[name]``; returns the
+    last call's result. Shared by every bench mode so they all measure
+    the same way."""
+    best = out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    timings[name] = round(best, 3)
+    return out
+
+
 def run_bench(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -54,14 +68,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
 
     def timed(name, fn, reps: int = 1):
-        best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        return out
+        return _timed(timings, name, fn, reps)
 
     # materialize transcripts once (generation excluded from encode timing)
     t = synth.transcripts(spark, sf_dir)
@@ -179,13 +186,7 @@ def llm_bench(spark, sf_dir: str) -> dict:
     timings: dict[str, float] = {}
 
     def timed(name, fn, reps: int = 2):
-        best = None
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+        return _timed(timings, name, fn, reps)
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
@@ -196,8 +197,7 @@ def llm_bench(spark, sf_dir: str) -> dict:
     timed("minhash_pairs", lambda: _force(
         minhash_lsh_pairs(d, n_perm=64, bands=16, threshold=0.5)))
     timed("neardup_clusters", lambda: _force(connected_components(
-        minhash_lsh_pairs(d, n_perm=64, bands=16, threshold=0.5)
-        .select(F.col("id_a"), F.col("id_b")))))
+        minhash_lsh_pairs(d, n_perm=64, bands=16, threshold=0.5))))
     timed("repetition_filters", lambda: _force(repetition_features(d)))
     timed("token_frequencies", lambda: _force(
         token_frequencies(d, k=50_000)))

@@ -30,6 +30,10 @@ def _run_pipeline(spark, docs):
     rep = repetition_features(d)
     model, oov = train_char_lm(d, n=3, top_k=5000)
     lm = score_char_lm(d, model, oov, n=3)
+    # every deduped doc must get a score row (all corpus texts exceed the
+    # 3-char n-gram minimum) — an inner join below would silently drop
+    # any doc the scorer lost, so pin the row counts first
+    assert lm.count() == d.count() == rep.count()
     d = (
         d.join(rep.select("doc_id", "dup_word_ratio"), "doc_id")
         .join(lm.select("doc_id", "lm_score"), "doc_id")
@@ -64,7 +68,19 @@ def test_curation_pipeline_composes(spark, sf_dir):
             }
         )
     )
-    docs = base.unionByName(junk)
+    # a SURVIVING doc that carries PII: low repetition, real sentence —
+    # redaction must be visible in ITS kept text (asserting on chunk_text
+    # would be vacuous: the tokenizer drops '@' anyway)
+    pii_doc = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [990003],
+                "text": ["please write to grace.hopper@navy.mil about the "
+                         "compiler design meeting next week thanks"],
+            }
+        )
+    )
+    docs = base.unionByName(junk).unionByName(pii_doc)
 
     kept, chunks, packed = _run_pipeline(spark, docs)
     kept_pdf = kept.toPandas()
@@ -72,10 +88,14 @@ def test_curation_pipeline_composes(spark, sf_dir):
     # repetition junk was banded and dropped; real docs survive
     assert not set(kept_pdf.doc_id) & {990001, 990002}
     assert len(kept_pdf) > 0.9 * base.count()
-    # PII never reaches the chunker (junk doc held the only emails, but
-    # the invariant is corpus-wide)
-    assert chunks.where(F.col("chunk_text").contains("@")).count() == 0
-    assert kept_pdf.lm_score.notna().all()
+    # the surviving PII doc is redacted, counted, and chunked redacted
+    surv = kept_pdf[kept_pdf.doc_id == 990003]
+    assert len(surv) == 1
+    assert "<EMAIL>" in surv.text.iloc[0] and "navy.mil" not in surv.text.iloc[0]
+    assert surv.pii_redactions.iloc[0] == 1
+    pii_chunks = chunks.where(F.col("doc_id") == 990003).toPandas()
+    assert len(pii_chunks) >= 1
+    assert not pii_chunks.chunk_text.str.contains("navy").any()
 
     # every packed sequence element is a chunk of a surviving doc
     packed_pdf = packed.toPandas()

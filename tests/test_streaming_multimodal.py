@@ -289,12 +289,9 @@ def test_streaming_text_quality_matches_batch(spark, sf_dir, tmp_path_factory):
         "doc_id", "text"
     ).repartition(3).write.parquet(src)  # file stream needs a DIRECTORY
     batch = spark.read.parquet(src)
-    sdf = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .select("doc_id", "text")
-    )
+    sdf = ST.read_transcript_stream(
+        spark, src, batch.schema, max_files=1
+    ).select("doc_id", "text")
 
     got_rep = _run_stream(spark, repetition_features(sdf), "rep_stream")
     exp_rep = repetition_features(batch).toPandas()
