@@ -34,9 +34,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "word_tokens",
+    "bpe_like_tokens",
     "repetition_features",
     "ngram_contamination",
     "token_frequencies",
+    "token_count_features",
 ]
 
 
@@ -175,3 +177,40 @@ def token_frequencies(
     )
     ordered = freqs.orderBy(F.col("count").desc(), F.col("token"))
     return ordered.limit(k) if k is not None else ordered
+
+
+def bpe_like_tokens(text_col: str = "text") -> Column:
+    """GPT-2-style pre-tokenizer segments (the "BPE-ish regex" count):
+    common contractions, optionally-space-prefixed letter runs, digit
+    runs, punctuation runs, residual whitespace. This is the SEGMENTATION
+    stage of a byte-pair tokenizer — counts track real BPE token counts
+    far better than whitespace words (punctuation and numbers split off)
+    while staying a pure JVM ``regexp_extract_all`` (no vocab, no Python).
+    Unicode-aware via Java's \\p{L}/\\p{N} classes.
+    """
+    pat = (
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    )
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+    # drop pure-whitespace segments: they separate tokens, they aren't one
+    return F.filter(toks, lambda t: t.rlike(r"\S"))
+
+
+def token_count_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Both token-counting conventions side by side (SURVEY LLM ops:
+    "whitespace + a BPE-ish regex"): (id, n_ws_tokens, n_bpe_tokens,
+    bpe_per_ws). Map-only projection. ``bpe_per_ws`` (fertility proxy)
+    rises with punctuation/number density — a useful quality signal on
+    its own."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ws = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(ws)
+    bpe = F.size(bpe_like_tokens(text_col))
+    return df.select(
+        id_col,
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(bpe / F.greatest(ws, F.lit(1)), 4).alias("bpe_per_ws"),
+    )

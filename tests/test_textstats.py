@@ -119,3 +119,45 @@ def test_token_frequencies_duckdb_parity_and_plan(spark, sf_dir):
 
     with pytest.raises(ValueError, match="min_count"):
         token_frequencies(d, min_count=0)
+
+
+def test_bpe_like_token_counts_match_python_re(spark, sf_dir):
+    import re
+
+    from lyssandra_spark.functions.textstats import token_count_features
+
+    texts = [
+        "I can't wait — it's 2024, version 3.5 costs $12.99!",
+        "hello world",
+        "",
+        "  spaced   out  ",
+        "unicode café naïve 北京 123",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = (
+        token_count_features(docs)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # python oracle: the same GPT-2-style pre-tokenizer pattern
+    pat = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+",
+        re.UNICODE,
+    )
+    for i, t in enumerate(texts):
+        segs = [s for s in pat.findall(t) if s.strip()]
+        assert got.loc[i, "n_bpe_tokens"] == len(segs), (t, segs)
+        ws = len(t.split())
+        assert got.loc[i, "n_ws_tokens"] == ws
+    # punctuation-dense text has higher fertility than plain words
+    assert got.loc[0, "bpe_per_ws"] > got.loc[1, "bpe_per_ws"]
+
+    # map-only plan over the real table
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        token_count_features(d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
