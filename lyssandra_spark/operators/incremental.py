@@ -39,7 +39,7 @@ from lyssandra_spark.operators.dedup import (
     minhash_signatures,
 )
 
-__all__ = ["dedup_new_batch"]
+__all__ = ["dedup_new_batch", "refresh_aggregate"]
 
 
 def dedup_new_batch(
@@ -186,3 +186,73 @@ def dedup_new_batch(
         .select("id_a", "id_b", "est_jaccard")
     )
     return pairs, snap_id
+
+
+def refresh_aggregate(
+    catalog,
+    src_table: str,
+    agg_table: str,
+    keys,
+    sum_cols,
+    count_col: str = "n_rows",
+) -> int:
+    """Materialized-view-style incremental aggregate maintenance: keep
+    ``agg_table`` = ``src_table.groupBy(keys).agg(sum(sum_cols), count)``
+    up to date by folding ONLY the source snapshots appended since the
+    last refresh — the daily-stats job that must not rescan 100 TB.
+
+    Mechanics: the agg table's snapshot meta records ``agg_last_snap``
+    (the newest source snapshot folded in). A refresh reads just the
+    delta snapshots via :meth:`ParquetCatalog.read_snapshot` (the
+    incremental scan), partially aggregates them (map-side combine; the
+    delta is the only thing shuffled), re-sums against the CURRENT agg
+    rows (sum-of-sums — sums and counts are the mergeable aggregates,
+    which is why this maintains exactly those), and lands one overwrite
+    snapshot, so time-travel still exposes every prior refresh. No new
+    source snapshots -> no-op (returns the current agg snapshot id). A
+    source OVERWRITE resets its chain, so the refresh detects it and
+    recomputes from scratch rather than folding deltas onto stale state.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sum_cols = [sum_cols] if isinstance(sum_cols, str) else list(sum_cols)
+    src_snaps = catalog.snapshots(src_table)
+    if not src_snaps:
+        raise FileNotFoundError(f"no snapshots for source {src_table!r}")
+    newest = src_snaps[-1]["id"]
+    chain_start = 0
+    for s in src_snaps:
+        if s["mode"] == "overwrite":
+            chain_start = s["id"]
+
+    def partial(df):
+        return df.groupBy(*keys).agg(
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            F.count("*").alias(count_col),
+        )
+
+    agg_snaps = catalog.snapshots(agg_table)
+    last = (
+        agg_snaps[-1].get("meta", {}).get("agg_last_snap") if agg_snaps else None
+    )
+    meta = {"agg_src": src_table, "agg_last_snap": newest}
+    if last is None or last < chain_start:
+        # first build, or the source chain was overwritten under us
+        return catalog.write(
+            partial(catalog.read(src_table)), agg_table,
+            mode="overwrite", meta=meta,
+        )
+    if last >= newest:
+        return agg_snaps[-1]["id"]  # nothing new: no-op
+    delta = None
+    for s in src_snaps:
+        if s["id"] <= last:
+            continue
+        piece = catalog.read_snapshot(src_table, s["id"])
+        delta = piece if delta is None else delta.unionByName(piece)
+    merged = partial(delta).unionByName(catalog.read(agg_table)).groupBy(
+        *keys
+    ).agg(
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        F.sum(count_col).alias(count_col),
+    )
+    return catalog.write(merged, agg_table, mode="overwrite", meta=meta)

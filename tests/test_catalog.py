@@ -188,3 +188,41 @@ def test_merge_rejects_duplicate_and_partial_deltas(spark, cat):
     # table unchanged after both rejections
     got = cat.read("m").toPandas().sort_values("k")
     assert list(got.v) == [1.0, 2.0] and list(got.src) == ["a", "b"]
+
+
+def test_refresh_aggregate_incremental_equals_full(spark, cat):
+    from lyssandra_spark.operators.incremental import refresh_aggregate
+
+    def shard(lo, hi):
+        return spark.range(lo, hi).select(
+            F.pmod("id", F.lit(7)).alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+
+    cat.write(shard(0, 300), "src", mode="overwrite")
+    s1 = refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v")
+    cat.write(shard(300, 500), "src", mode="append")
+    cat.write(shard(500, 900), "src", mode="append")
+    s2 = refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v")
+    assert s2 > s1
+
+    got = cat.read("agg").toPandas().sort_values("k").reset_index(drop=True)
+    full = (
+        shard(0, 900).groupBy("k")
+        .agg(F.sum("v").alias("sum_v"), F.count("*").alias("n_rows"))
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, full, check_dtype=False)
+
+    # no new source snapshots -> no-op (same snapshot id, nothing written)
+    assert refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v") == s2
+    assert len(cat.snapshots("agg")) == 2
+
+    # time-travel still exposes the first refresh's state
+    first = cat.read("agg", as_of=s1).toPandas()
+    assert first.n_rows.sum() == 300
+
+    # a source OVERWRITE resets the chain: refresh detects and recomputes
+    cat.write(shard(0, 100), "src", mode="overwrite")
+    refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v")
+    assert cat.read("agg").toPandas().n_rows.sum() == 100
