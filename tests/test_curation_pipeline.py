@@ -111,3 +111,40 @@ def test_curation_pipeline_composes(spark, sf_dir):
     a = packed_pdf.sort_values("doc_id").reset_index(drop=True)
     b = packed2.toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_all_curation_ops_handle_empty_input(spark):
+    """Every curation operator degrades to an empty (or scaffold-only)
+    result on an empty corpus — no obscure numpy/arrow errors."""
+    from lyssandra_spark.functions.textstats import (
+        ngram_contamination,
+        token_count_features,
+        token_frequencies,
+    )
+    from lyssandra_spark.operators.graph import (
+        connected_components,
+        retain_best_per_cluster,
+    )
+    from lyssandra_spark.operators.profile import profile_table
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    no_edges = spark.createDataFrame([], "id_a long, id_b long")
+
+    assert repetition_features(empty).count() == 0
+    assert token_count_features(empty).count() == 0
+    assert token_frequencies(empty, k=5).count() == 0
+    assert ngram_contamination(empty, empty).count() == 0
+    assert chunk_documents(empty).count() == 0
+    assert redact_pii(empty).count() == 0
+    assert normalize_text(empty).count() == 0
+    assert exact_dedup(empty).count() == 0
+    assert stratified_sample(empty, "text", {"x": 1.0}, "doc_id").count() == 0
+    assert connected_components(no_edges).count() == 0
+    assert retain_best_per_cluster(
+        empty.withColumnRenamed("text", "quality"), no_edges
+    ).count() == 0
+    model, oov = train_char_lm(empty)
+    assert model.count() == 0
+    assert score_char_lm(empty, model, oov).count() == 0
+    # profiler returns the metric scaffold (rows row + per-column rows)
+    assert profile_table(empty).count() > 0
