@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_column", "stratified_sample"]
+__all__ = ["hash_split", "split_column", "stratified_sample", "quantile_filter"]
 
 _DENOM = float(1 << 63)
 
@@ -116,3 +116,39 @@ def stratified_sample(
         F.create_map(*pairs)[F.col(strata_col)], F.lit(float(default))
     )
     return df.where(u < thresh)
+
+
+def quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    higher_is_better: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep the best-scoring ``keep_frac`` of rows by an approximate
+    score quantile (the CCNet-style move: score every document with a
+    cheap model, keep the top fraction — Wenzek et al. 2020 keep
+    perplexity terciles).
+
+    One pass computes the cutoff via ``approx_percentile`` (a mergeable
+    sketch — single aggregation job, one scalar to the driver), then the
+    filter is a plain pushdown-friendly predicate on a second scan.
+    Null scores never survive. The cutoff is approximate (sketch
+    ``accuracy``), so the kept fraction is approximate too — exactness
+    is not possible in one pass without a full sort, and curation
+    thresholds don't need it.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac ({keep_frac}) must be in (0, 1]")
+    if keep_frac == 1.0:
+        return df.where(F.col(score_col).isNotNull())
+    q = 1.0 - keep_frac if higher_is_better else keep_frac
+    cut = df.agg(
+        F.percentile_approx(score_col, F.lit(q), F.lit(accuracy))
+    ).collect()[0][0]
+    if cut is None:  # all-null or empty input
+        return df.where(F.lit(False))
+    pred = (
+        F.col(score_col) >= cut if higher_is_better else F.col(score_col) <= cut
+    )
+    return df.where(pred & F.col(score_col).isNotNull())

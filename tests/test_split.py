@@ -124,3 +124,32 @@ def test_stratified_sample_plan_and_split_independence(spark, sf_dir):
     if len(kept) > 100:
         tr = (kept.split == "train").mean()
         assert 0.4 < tr < 0.6
+
+
+def test_quantile_filter(spark):
+    from lyssandra_spark.operators.split import quantile_filter
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 1.0).alias("score")
+    )
+    top = quantile_filter(df, "score", 0.25).toPandas()
+    # kept fraction ~ target (sketch accuracy tolerance)
+    assert 0.23 < len(top) / 10_000 < 0.27
+    assert top.score.min() >= 7000  # truly the top of the distribution
+    bottom = quantile_filter(df, "score", 0.25, higher_is_better=False)
+    assert bottom.agg(F.max("score")).collect()[0][0] <= 3000
+
+    # keep_frac=1.0 keeps everything non-null; nulls never survive
+    withnull = df.withColumn(
+        "score", F.when(F.col("id") % 2 == 0, F.col("score"))
+    )
+    assert quantile_filter(withnull, "score", 1.0).count() == 5000
+    kept = quantile_filter(withnull, "score", 0.5)
+    assert kept.where(F.col("score").isNull()).count() == 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="keep_frac"):
+        quantile_filter(df, "score", 0.0)
+    # empty / all-null input keeps nothing
+    empty = spark.createDataFrame([], "id long, score double")
+    assert quantile_filter(empty, "score", 0.5).count() == 0
