@@ -188,13 +188,21 @@ def bpe_like_tokens(text_col: str = "text") -> Column:
     while staying a pure JVM ``regexp_extract_all`` (no vocab, no Python).
     Unicode-aware via Java's \\p{L}/\\p{N} classes.
     """
+    # (?U) = UNICODE_CHARACTER_CLASS: without it Java's \s is ASCII-only
+    # and an NBSP (ubiquitous in web HTML) would surface as a punctuation
+    # token instead of separating two. Caveat stated honestly: Java's
+    # \p{L}/\p{N} and Python's \w classes disagree on No/Nl characters
+    # (superscripts '²', fractions '½', Roman numerals) — 'x²' is two
+    # segments here and one under a Python [^\W\d_]+ oracle; that is a
+    # segmentation convention, and the pytest oracle pins parity on
+    # Nd-digit/letter/punct/whitespace inputs including NBSP and CJK.
     pat = (
-        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"(?U)'s|'t|'re|'ve|'m|'ll|'d"
         r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
     )
     toks = F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
     # drop pure-whitespace segments: they separate tokens, they aren't one
-    return F.filter(toks, lambda t: t.rlike(r"\S"))
+    return F.filter(toks, lambda t: t.rlike(r"(?U)\S"))
 
 
 def token_count_features(
@@ -205,8 +213,12 @@ def token_count_features(
     bpe_per_ws). Map-only projection. ``bpe_per_ws`` (fertility proxy)
     rises with punctuation/number density — a useful quality signal on
     its own."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    ws = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(ws)
+    # filter-out-empties instead of trim+split: Spark's trim only strips
+    # ASCII spaces, so leading/trailing unicode whitespace would leave
+    # phantom '' segments and overcount vs Python's str.split()
+    ws = F.size(
+        F.filter(F.split(F.col(text_col), r"(?U)\s+"), lambda x: x != "")
+    )
     bpe = F.size(bpe_like_tokens(text_col))
     return df.select(
         id_col,

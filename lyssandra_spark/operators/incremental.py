@@ -234,7 +234,19 @@ def refresh_aggregate(
     last = (
         agg_snaps[-1].get("meta", {}).get("agg_last_snap") if agg_snaps else None
     )
-    meta = {"agg_src": src_table, "agg_last_snap": newest}
+    spec = {"src": src_table, "keys": keys, "sum_cols": sum_cols}
+    if agg_snaps:
+        head_spec = agg_snaps[-1].get("meta", {}).get("agg_spec")
+        if head_spec != spec:
+            # snapshot ids from one table are meaningless in another's id
+            # space, and a different grouping would fold apples onto
+            # oranges — same loud-mismatch policy as dedup_new_batch's
+            # lsh_params check
+            raise ValueError(
+                f"refresh spec {spec} does not match the agg table's "
+                f"{head_spec} — use a different agg_table or rebuild"
+            )
+    meta = {"agg_spec": spec, "agg_last_snap": newest}
     if last is None or last < chain_start:
         # first build, or the source chain was overwritten under us
         return catalog.write(
@@ -247,7 +259,12 @@ def refresh_aggregate(
     for s in src_snaps:
         if s["id"] <= last:
             continue
-        piece = catalog.read_snapshot(src_table, s["id"])
+        # project to the aggregation inputs: prunes the scan AND makes
+        # the union immune to the add-column schema evolution the
+        # catalog's append guard explicitly permits
+        piece = catalog.read_snapshot(src_table, s["id"]).select(
+            *keys, *sum_cols
+        )
         delta = piece if delta is None else delta.unionByName(piece)
     merged = partial(delta).unionByName(catalog.read(agg_table)).groupBy(
         *keys

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["hash_split", "split_column", "stratified_sample", "quantile_filter"]
 
@@ -133,22 +134,33 @@ def quantile_filter(
     One pass computes the cutoff via ``approx_percentile`` (a mergeable
     sketch — single aggregation job, one scalar to the driver), then the
     filter is a plain pushdown-friendly predicate on a second scan.
-    Null scores never survive. The cutoff is approximate (sketch
-    ``accuracy``), so the kept fraction is approximate too — exactness
-    is not possible in one pass without a full sort, and curation
-    thresholds don't need it.
+    Null and NaN scores never survive (Spark orders NaN above every
+    number, so an unguarded ``>= cut`` would pass every NaN — e.g. a
+    log(0) perplexity artifact — through every quality filter forever).
+    The cutoff is approximate (sketch ``accuracy``), so the kept
+    fraction is approximate too — exactness is not possible in one pass
+    without a full sort, and curation thresholds don't need it. Heavily
+    TIED scores add over-keep no accuracy fixes: ``>= cut`` keeps every
+    row tied at the cutoff value, so with discrete scores (integer
+    ratings, a dominant modal value) the kept fraction can far exceed
+    ``keep_frac`` — break ties upstream (e.g. add a tiny hash jitter)
+    if the volume bound matters more than score fidelity.
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac ({keep_frac}) must be in (0, 1]")
+    valid = F.col(score_col).isNotNull()
+    if isinstance(df.schema[score_col].dataType, (T.FloatType, T.DoubleType)):
+        valid = valid & ~F.isnan(score_col)
+    clean = df.where(valid)
     if keep_frac == 1.0:
-        return df.where(F.col(score_col).isNotNull())
+        return clean
     q = 1.0 - keep_frac if higher_is_better else keep_frac
-    cut = df.agg(
+    cut = clean.agg(
         F.percentile_approx(score_col, F.lit(q), F.lit(accuracy))
     ).collect()[0][0]
-    if cut is None:  # all-null or empty input
+    if cut is None:  # all-null/NaN or empty input
         return df.where(F.lit(False))
     pred = (
         F.col(score_col) >= cut if higher_is_better else F.col(score_col) <= cut
     )
-    return df.where(pred & F.col(score_col).isNotNull())
+    return clean.where(pred)

@@ -226,3 +226,26 @@ def test_refresh_aggregate_incremental_equals_full(spark, cat):
     cat.write(shard(0, 100), "src", mode="overwrite")
     refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v")
     assert cat.read("agg").toPandas().n_rows.sum() == 100
+
+
+def test_refresh_aggregate_spec_guard_and_schema_evolution(spark, cat):
+    from lyssandra_spark.operators.incremental import refresh_aggregate
+
+    base = spark.range(100).select(
+        F.pmod("id", F.lit(3)).alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    cat.write(base, "s1", mode="overwrite")
+    refresh_aggregate(cat, "s1", "a1", keys="k", sum_cols="v")
+
+    # folding a DIFFERENT source (or grouping) onto the same agg table is
+    # a loud error, not silent corruption
+    cat.write(base, "s2", mode="overwrite")
+    cat.write(base, "s2", mode="append")
+    with pytest.raises(ValueError, match="does not match the agg table"):
+        refresh_aggregate(cat, "s2", "a1", keys="k", sum_cols="v")
+
+    # add-column schema evolution on the source must not break the fold
+    cat.write(base.withColumn("extra", F.lit("x")), "s1", mode="append")
+    refresh_aggregate(cat, "s1", "a1", keys="k", sum_cols="v")
+    got = cat.read("a1").toPandas()
+    assert got.n_rows.sum() == 200

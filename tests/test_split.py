@@ -153,3 +153,17 @@ def test_quantile_filter(spark):
     # empty / all-null input keeps nothing
     empty = spark.createDataFrame([], "id long, score double")
     assert quantile_filter(empty, "score", 0.5).count() == 0
+
+
+def test_quantile_filter_nan_and_ties_guard(spark):
+    from lyssandra_spark.operators.split import quantile_filter
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") == 99, F.lit(float("nan")))
+        .otherwise(F.col("id") * 1.0).alias("score"),
+    )
+    top = quantile_filter(df, "score", 0.1).toPandas()
+    # NaN sorts above every number in Spark — it must NOT ride the filter
+    assert not top.score.isna().any()
+    assert (top.score >= 88).all() and len(top) <= 12

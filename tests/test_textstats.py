@@ -132,6 +132,7 @@ def test_bpe_like_token_counts_match_python_re(spark, sf_dir):
         "",
         "  spaced   out  ",
         "unicode café naïve 北京 123",
+        "web nbsp thin spaces",  # unicode whitespace separates
     ]
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
