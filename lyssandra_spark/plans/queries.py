@@ -747,29 +747,37 @@ def scalar_string_funcs(spark, sf_dir):
 
 
 @q(
-    "scalar_date_funcs",
+    "text_chunking",
     """
-    SELECT o_orderkey,
-           CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
-           CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
-           CAST(extract(day FROM o_orderdate) AS INTEGER) AS dom,
-           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
-           date_trunc('month', o_orderdate) AS month_start
-    FROM orders
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    c AS (SELECT doc_id, toks, n,
+            CASE WHEN n <= 64 THEN 1
+                 ELSE 1 + CAST(ceil((n - 64) * 1.0 / 56) AS INTEGER)
+            END AS n_chunks FROM n),
+    e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS i FROM c)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * 56 AS BIGINT) AS start_tok,
+           CAST(len(toks[i*56+1 : i*56+64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[i*56+1 : i*56+64], ' ') AS chunk_text
+    FROM e
     """,
 )
-def scalar_date_funcs(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
-        F.datediff(
-            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
-        ).cast("long").alias("days_since_95"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-    )
+def text_chunking(spark, sf_dir):
+    """Fixed-size overlapping token windows (64 tokens, 8 overlap ->
+    stride 56) over the documents table — the context-window chunker
+    every pretraining/RAG ingestion pipeline runs. Map-only array
+    expressions, zero shuffles (see operators/chunk.py; the historical
+    scalar_date_funcs slot — date functions stay hash-covered via
+    scalar_props_extract's date_trunc and the as-of/rolling suites)."""
+    from lyssandra_spark.operators.chunk import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=8)
 
 
 @q(
