@@ -70,7 +70,11 @@ def train_char_lm(
     Returns ``(model, oov_logp)``: ``model`` is (ngram, logp) for the
     ``top_k`` most frequent n-grams with add-``alpha`` smoothing over an
     open vocabulary, ``oov_logp`` the shared log-prob of any unseen
-    n-gram (``log(alpha / (total + alpha * (top_k + 1)))``).
+    n-gram (``log(alpha / (total + alpha * (V + 1)))`` where
+    ``V = min(top_k, n_distinct)`` — the vocabulary the model actually
+    holds plus one pooled OOV bucket, so a corpus with fewer than
+    ``top_k`` distinct n-grams is not over-smoothed into probability
+    mass well below 1).
     The corpus is aggregated EXACTLY once: the n-gram counts are
     persisted for the two bounded reads (grand total + top-K), both are
     collected to the driver (at most ``top_k`` rows + one scalar), the
@@ -91,7 +95,11 @@ def train_char_lm(
         )
     finally:
         counts.unpersist()
-    denom = float(total) + alpha * (top_k + 1)
+    # vocabulary size = what the model holds (len(top) == min(top_k,
+    # n_distinct)) + 1 pooled OOV bucket; using top_k unconditionally
+    # would over-smooth any corpus with fewer distinct n-grams than
+    # top_k (probabilities summing far below 1)
+    denom = float(total) + alpha * (len(top) + 1)
     model = df.sparkSession.createDataFrame(
         [(r["ngram"], math.log((r["cnt"] + alpha) / denom)) for r in top],
         "ngram string, logp double",

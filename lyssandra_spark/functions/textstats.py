@@ -9,10 +9,13 @@ Pipeline staples beyond the basic length/punct/stopword scores:
   repetition thresholds). Deliberately MAP-ONLY: every feature is a higher-order array
   expression over the tokenized text, so the plan is a projection over
   the parquet scan — zero shuffles, embarrassingly parallel at 10^12
-  docs. (An explode + groupBy formulation would be asymptotically kinder
-  per-document but costs two exchanges; per-doc token counts are bounded
-  by document length, so the O(distinct x n_tokens) JVM loop per row is
-  the faster plan at any corpus scale.)
+  docs. Every per-document expression is O(n log n) in the document's
+  token count (``array_distinct``/``array_sort`` plus linear scans), so
+  a book-length doc in a web corpus is a proportionally slower row, not
+  a straggler — in particular the most-frequent-token count is a
+  run-length scan over ``array_sort``, NOT the naive O(distinct x
+  n_tokens) nested filter (which at 10^6 tokens / 10^5 distinct would
+  be ~10^11 comparisons inside one row on one core).
 - :func:`ngram_contamination` — benchmark decontamination: for each
   document, the fraction of its distinct word n-grams that appear in a
   benchmark/eval set (the n-gram-overlap scan of Brown et al. 2020,
@@ -62,18 +65,26 @@ def repetition_features(
     - ``dup_2gram_ratio``: 1 - distinct/total word 2-grams — catches
       copy-pasted phrase loops that unigram stats miss.
 
-    Map-only (see module docstring); empty documents emit 0 for every
-    ratio.
+    Map-only and O(n log n) per document (see module docstring); empty
+    documents emit 0 for every ratio.
     """
     toks = word_tokens(text_col)
     out = df.select(id_col, toks.alias("__toks"))
     n = F.size("__toks")
     safe_n = F.greatest(n, F.lit(1))
-    max_cnt = F.array_max(
-        F.transform(
-            F.array_distinct("__toks"),
-            lambda t: F.size(F.filter("__toks", lambda x: x == t)),
-        )
+    # most-frequent-token count as a run-length scan over the SORTED
+    # tokens: equal tokens are adjacent after array_sort, so one linear
+    # aggregate carrying (prev, current-run, best-run) finds the max
+    # count in O(n) after the O(n log n) sort — never the O(distinct x n)
+    # nested filter (a 10^6-token book would be a single-core straggler)
+    max_cnt = F.expr(
+        "aggregate(array_sort(__toks), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(x <=> acc.prev, acc.run + 1, 1), "
+        "  'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best)"
     )
     g2 = F.expr(
         "CASE WHEN size(__toks) < 2 THEN array() "

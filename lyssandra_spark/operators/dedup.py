@@ -293,13 +293,24 @@ def est_jaccard(n_perm: int):
     )
 
 
-def shingle_set(text_col: str = "text", n: int = 3):
-    """Column expr: distinct word n-gram shingles of a text column."""
+def shingle_set(toks_col: str = "toks", n: int = 3):
+    """Column expr: distinct word n-gram shingles of an ALREADY tokenized
+    column (e.g. ``word_tokens(...)`` projected as ``toks``).
+
+    ``toks_col`` must be a plain column REFERENCE, not an expression:
+    Spark does not common-subexpression-eliminate inside higher-order
+    lambdas, so embedding the tokenization here would re-run it once per
+    shingle position — the measured O(len^2) trap
+    (:func:`lyssandra_spark.functions.lm.char_ngrams` documents the same
+    contract; a 20 KB doc took 21 s under the embedded form). Callers
+    project the tokens once and pass the column name; the transform is
+    then O(n_tokens * n).
+    """
     return F.array_distinct(
         F.expr(
-            f"CASE WHEN size(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')) < {n} THEN array() "
-            f"ELSE transform(sequence(0, size(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')) - {n}), "
-            f"i -> concat_ws(' ', slice(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != ''), i + 1, {n}))) END"
+            f"CASE WHEN size({toks_col}) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size({toks_col}) - {n}), "
+            f"i -> concat_ws(' ', slice({toks_col}, i + 1, {n}))) END"
         )
     )
 

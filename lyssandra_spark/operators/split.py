@@ -125,26 +125,36 @@ def quantile_filter(
     keep_frac: float,
     higher_is_better: bool = True,
     accuracy: int = 10_000,
+    strata_col: str | None = None,
 ) -> DataFrame:
     """Keep the best-scoring ``keep_frac`` of rows by an approximate
     score quantile (the CCNet-style move: score every document with a
     cheap model, keep the top fraction — Wenzek et al. 2020 keep
     perplexity terciles).
 
-    One pass computes the cutoff via ``approx_percentile`` (a mergeable
-    sketch — single aggregation job, one scalar to the driver), then the
-    filter is a plain pushdown-friendly predicate on a second scan.
-    Null and NaN scores never survive (Spark orders NaN above every
-    number, so an unguarded ``>= cut`` would pass every NaN — e.g. a
-    log(0) perplexity artifact — through every quality filter forever).
-    The cutoff is approximate (sketch ``accuracy``), so the kept
-    fraction is approximate too — exactness is not possible in one pass
-    without a full sort, and curation thresholds don't need it. Heavily
-    TIED scores add over-keep no accuracy fixes: ``>= cut`` keeps every
-    row tied at the cutoff value, so with discrete scores (integer
-    ratings, a dominant modal value) the kept fraction can far exceed
-    ``keep_frac`` — break ties upstream (e.g. add a tiny hash jitter)
-    if the volume bound matters more than score fidelity.
+    ``strata_col`` selects the CCNet semantics proper: Wenzek et al.
+    threshold PER LANGUAGE, because LM likelihood scales differ across
+    languages — one global cutoff over a multilingual corpus keeps whole
+    high-likelihood languages and drops whole low-likelihood ones. With
+    ``strata_col`` set, each stratum gets its own cutoff (one
+    ``groupBy(strata).agg(approx_percentile)`` sketch pass; the
+    per-stratum cutoffs — one row per language, broadcast-small by
+    construction — are broadcast-joined back, null-safe so a null
+    stratum is its own stratum). Without it, one global cutoff (a single
+    aggregation job, one scalar to the driver) and the filter is a plain
+    pushdown-friendly predicate on a second scan.
+
+    Null and NaN scores never survive in either mode (Spark orders NaN
+    above every number, so an unguarded ``>= cut`` would pass every NaN
+    — e.g. a log(0) perplexity artifact — through every quality filter
+    forever). The cutoff is approximate (sketch ``accuracy``), so the
+    kept fraction is approximate too — exactness is not possible in one
+    pass without a full sort, and curation thresholds don't need it.
+    Heavily TIED scores add over-keep no accuracy fixes: ``>= cut``
+    keeps every row tied at the cutoff value, so with discrete scores
+    (integer ratings, a dominant modal value) the kept fraction can far
+    exceed ``keep_frac`` — break ties upstream (e.g. add a tiny hash
+    jitter) if the volume bound matters more than score fidelity.
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac ({keep_frac}) must be in (0, 1]")
@@ -155,6 +165,28 @@ def quantile_filter(
     if keep_frac == 1.0:
         return clean
     q = 1.0 - keep_frac if higher_is_better else keep_frac
+    if strata_col is not None:
+        cuts = (
+            clean.groupBy(F.col(strata_col).alias("__stratum"))
+            .agg(
+                F.percentile_approx(
+                    score_col, F.lit(q), F.lit(accuracy)
+                ).alias("__cut")
+            )
+        )
+        pred = (
+            F.col(score_col) >= F.col("__cut")
+            if higher_is_better
+            else F.col(score_col) <= F.col("__cut")
+        )
+        return (
+            clean.join(
+                F.broadcast(cuts),
+                F.col(strata_col).eqNullSafe(F.col("__stratum")),
+            )
+            .where(pred)
+            .drop("__stratum", "__cut")
+        )
     cut = clean.agg(
         F.percentile_approx(score_col, F.lit(q), F.lit(accuracy))
     ).collect()[0][0]

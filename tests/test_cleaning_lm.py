@@ -96,6 +96,21 @@ def test_char_lm_numpy_crosscheck(spark):
         assert scored.loc[i, "n_ngrams"] == len(grams)
 
 
+def test_char_lm_small_corpus_probability_mass(spark):
+    """Corpus with far fewer distinct n-grams than top_k: the smoothing
+    denominator must use the REALIZED vocabulary (min(top_k, n_distinct)
+    + 1 OOV bucket), so probability mass stays <= 1 instead of the
+    top_k-denominator's mass << 1 over-smoothing."""
+    docs = _docs(spark, ["ababab"])  # trigrams: aba x2, bab x2
+    model, oov = train_char_lm(docs, n=3, top_k=50_000, alpha=0.5)
+    rows = model.collect()
+    assert len(rows) == 2
+    mass = sum(math.exp(r["logp"]) for r in rows) + math.exp(oov)
+    assert mass == pytest.approx(1.0)  # (2.5 + 2.5 + 0.5) / 5.5
+    got = {r["ngram"]: r["logp"] for r in rows}
+    assert got["aba"] == pytest.approx(math.log(2.5 / 5.5))
+
+
 def test_char_lm_separates_gibberish(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     # deterministic gibberish: reverse each doc's chars and strip vowels'

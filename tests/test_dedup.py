@@ -40,6 +40,37 @@ def test_exact_dedup(spark, docs):
     out.unpersist()
 
 
+def test_shingle_set_pretokenized_linear(spark):
+    """shingle_set takes a pre-projected TOKENS column (char_ngrams
+    contract): Spark does not CSE inside higher-order lambdas, so the old
+    embedded-tokenization form re-split the text once per shingle
+    position — measured O(len^2), 21 s for one 20 KB doc. The
+    pre-projected form must stay linear-ish (well under seconds here)."""
+    import time
+
+    from lyssandra_spark.functions.textstats import word_tokens
+
+    small = spark.createDataFrame([(0, "a b c a b c")], "doc_id long, text string")
+    sh = (
+        small.select(word_tokens("text").alias("toks"))
+        .select(DD.shingle_set("toks", 2).alias("sh"))
+        .collect()[0]["sh"]
+    )
+    assert sorted(sh) == ["a b", "b c", "c a"]
+
+    big_text = " ".join(f"t{i}" for i in range(10_000))  # ~59 KB
+    big = spark.createDataFrame([(1, big_text)], "doc_id long, text string")
+    t0 = time.monotonic()
+    k = (
+        big.select(word_tokens("text").alias("toks"))
+        .select(F.size(DD.shingle_set("toks", 3)).alias("k"))
+        .collect()[0]["k"]
+    )
+    wall = time.monotonic() - t0
+    assert k == 10_000 - 2  # all distinct
+    assert wall < 20, f"shingle_set took {wall:.1f}s on a 59 KB doc"
+
+
 def test_minhash_estimates_jaccard(spark, docs):
     pairs = DD.minhash_lsh_pairs(
         docs, n_perm=64, bands=16, threshold=0.3, ngram_bytes=8

@@ -167,3 +167,52 @@ def test_quantile_filter_nan_and_ties_guard(spark):
     # NaN sorts above every number in Spark — it must NOT ride the filter
     assert not top.score.isna().any()
     assert (top.score >= 88).all() and len(top) <= 12
+
+
+def test_quantile_filter_per_stratum(spark):
+    """CCNet semantics proper (Wenzek et al. 2020 threshold PER
+    language): strata with disjoint score scales must each keep
+    ~keep_frac — the global cutoff would keep the whole top-scale
+    stratum and drop the whole bottom-scale one."""
+    from lyssandra_spark.operators.split import quantile_filter
+
+    # 3 strata x 1000 rows; per-stratum uniform scores on DISJOINT bands:
+    # en in [0,1), de in [100,101), null-stratum in [10000,10001)
+    df = spark.range(3000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de").alias("lang"),
+        (
+            F.when(F.col("id") % 3 == 0, 0)
+            .when(F.col("id") % 3 == 1, 100)
+            .otherwise(10_000)
+            + (F.col("id") % 1000) / 1000.0
+        ).alias("score"),
+    )
+    kept = quantile_filter(df, "score", 0.3, strata_col="lang")
+    pdf = kept.toPandas()
+    counts = pdf.fillna({"lang": "<null>"}).groupby("lang").size()
+    for stratum in ("en", "de", "<null>"):
+        assert 270 <= counts[stratum] <= 330, counts.to_dict()
+    # each stratum's survivors are the top of ITS band
+    assert pdf[pdf.lang == "en"].score.min() >= 0.65
+    assert pdf[pdf.lang == "de"].score.min() >= 100.65
+    # the global cutoff drops the bottom-band language entirely
+    glob = quantile_filter(df, "score", 0.3).toPandas()
+    assert (glob.lang.fillna("<null>") == "<null>").all()
+
+    # per-stratum NaN/null scores never survive, same as the global path
+    withbad = df.withColumn(
+        "score",
+        F.when(F.col("id") < 3, F.lit(float("nan")))
+        .when(F.col("id") < 6, F.lit(None).cast("double"))
+        .otherwise(F.col("score")),
+    )
+    kb = quantile_filter(withbad, "score", 0.5, strata_col="lang").toPandas()
+    assert not kb.score.isna().any()
+
+    # cutoffs ride a broadcast join (one small row per stratum)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # output schema is unchanged (no leaked helper columns)
+    assert kept.columns == df.columns

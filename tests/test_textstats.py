@@ -57,6 +57,33 @@ def test_repetition_features_map_only_plan(spark, sf_dir):
     assert "Exchange" not in plan  # per-doc filters must not shuffle
 
 
+def test_repetition_features_long_doc_linear(spark):
+    """A book-length doc (100k tokens, ~100k distinct) must profile in
+    seconds: the most-frequent-token count is a run-length scan over
+    array_sort, not the O(distinct x n_tokens) nested filter (which at
+    this shape is ~10^10 comparisons on one core — minutes, a straggler).
+    """
+    import time
+
+    n_uniq, n_dup = 100_000, 7
+    text = " ".join(f"w{i}" for i in range(n_uniq)) + " dup" * n_dup
+    docs = _docs(spark, [text])
+    t0 = time.monotonic()
+    out = repetition_features(docs).toPandas().set_index("doc_id")
+    wall = time.monotonic() - t0
+    n = n_uniq + n_dup
+    assert out.loc[0, "n_tokens"] == n
+    assert out.loc[0, "max_tok_frac"] == round(n_dup / n, 4)
+    assert out.loc[0, "dup_word_ratio"] == round((n_dup - 1) / n, 4)
+    # generous for co-tenant noise; the quadratic formulation takes minutes
+    assert wall < 60, f"long-doc repetition profile took {wall:.1f}s"
+    plan = (
+        repetition_features(docs)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # still map-only
+
+
 def test_ngram_contamination_planted(spark):
     bench_text = "one two three four five six seven eight nine ten"
     texts = [
