@@ -83,8 +83,14 @@ def dedup_new_batch(
     half-done snapshot by its stamped id, SKIPS the re-append, and pairs
     against the chain as it stood before it — byte-identical output to a
     first-attempt success instead of a permanently doubled signature set.
-    Without a ``batch_id`` (ad-hoc use) a retry duplicates signatures,
-    which fans out every future batch's verification join.
+
+    **Re-ingest safety**: doc ids already in the index (and duplicate
+    ids within the batch) are dropped before signing — the id IS the
+    document's identity, so re-feeding an indexed doc is a no-op, never
+    a second signature row silently fanning out every future batch's
+    verification join. A genuinely REVISED text under an old id needs an
+    index rebuild (or a new id): the anti-join keeps the original
+    signature by design.
     """
     if n_perm % bands != 0:
         raise ValueError(f"n_perm ({n_perm}) must be divisible by bands ({bands})")
@@ -119,8 +125,19 @@ def dedup_new_batch(
         prior_as_of = before[-1]["id"] if before else None
     else:
         prior_as_of = prior[-1]["id"] if prior else None
+        # doc identity is the id: a re-ingested id (within the batch OR
+        # already in the index) must not append a second signature row —
+        # duplicated signatures fan out the verification join and emit
+        # conflicting pairs in every future batch. Within-batch dups
+        # collapse arbitrarily (ids are expected unique per doc);
+        # already-indexed ids are anti-joined out, so re-feeding
+        # yesterday's docs is a no-op rather than a slow corruption.
+        batch = new_docs.dropDuplicates([id_col])
+        if prior_as_of is not None:
+            indexed_ids = catalog.read(table, as_of=prior_as_of).select(id_col)
+            batch = batch.join(indexed_ids, id_col, "left_anti")
         sigs_new = minhash_signatures(
-            new_docs, id_col, text_col, n_perm, ngram_bytes, seed
+            batch, id_col, text_col, n_perm, ngram_bytes, seed
         )
         meta = {"lsh_params": params}
         if batch_id is not None:

@@ -25,6 +25,20 @@ _NUMERIC = (
 )
 
 
+def _contains_map(dt: T.DataType) -> bool:
+    """True if the type IS or CONTAINS a MapType anywhere (struct field,
+    array element, map key/value): such columns are neither orderable
+    (min/max) nor hashable (approx_count_distinct) in Spark SQL — at any
+    nesting depth — and would crash the whole one-pass profile."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -49,9 +63,10 @@ def profile_table(
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs.append(F.count(c).alias(f"{c}::non_null"))
-        if isinstance(fields[c], T.MapType):
-            # maps are neither orderable (min/max) nor hashable
-            # (approx_count_distinct) in Spark SQL — count/nulls only,
+        if _contains_map(fields[c]):
+            # maps — top-level OR nested inside a struct/array — are
+            # neither orderable (min/max) nor hashable
+            # (approx_count_distinct) in Spark SQL: count/nulls only,
             # instead of crashing the whole one-pass profile
             continue
         aggs += [

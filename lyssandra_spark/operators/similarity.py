@@ -327,11 +327,23 @@ def pq_refine(
     Note: float summation order varies with partitioning, so refined
     codebooks are deterministic only up to ulps across repartitionings
     (same caveat as kmeans_refine).
+
+    Rows with a null, wrong-dimension, or null-element embedding are
+    FILTERED before the Arrow pass (cheap JVM predicate): a ragged row
+    would otherwise silently misalign the whole batch after the
+    flatten+reshape (corrupting every subspace's sum/count statistics)
+    or poison them with NaN.
     """
     import pyarrow as pa
     from pyspark.sql import types as T
 
     m, n_codes, dsub = books.shape
+    dim = m * dsub
+    corpus = corpus.where(
+        F.col(emb_col).isNotNull()
+        & (F.size(emb_col) == dim)
+        & ~F.exists(emb_col, lambda x: x.isNull())
+    )
     schema = T.StructType([
         T.StructField("sums", T.ArrayType(T.DoubleType()), False),
         T.StructField("counts", T.ArrayType(T.LongType()), False),

@@ -312,6 +312,52 @@ def test_incremental_dedup_retry_is_idempotent(spark, docs, tmp_path_factory):
     assert s0r == s0 and len(cat.snapshots("sig")) == n_snaps
 
 
+def test_incremental_dedup_reingest_is_noop(spark, docs, tmp_path_factory):
+    """A genuine re-ingest WITHOUT a batch_id (new snapshot, same doc
+    ids) must not append second signature rows: duplicated signatures
+    would fan out the verification join and emit conflicting pairs in
+    every future batch. Within-batch duplicate ids collapse too."""
+    from lyssandra_spark.operators.incremental import dedup_new_batch
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path_factory.mktemp("inc_reingest")))
+    kw = dict(n_perm=64, bands=16, threshold=0.3, ngram_bytes=8)
+    shard0 = docs.where(F.col("doc_id") % 3 == 0)
+    shard1 = docs.where(F.col("doc_id") % 3 == 1)
+
+    dedup_new_batch(cat, "sig", shard0, **kw)
+    n0 = cat.read("sig").count()
+    assert n0 == shard0.count()
+
+    # full re-ingest of shard0 (no batch_id): index must not grow, the
+    # re-fed docs produce no pairs (they were deduped on first ingest)
+    p_re, _ = dedup_new_batch(cat, "sig", shard0, **kw)
+    assert cat.read("sig").count() == n0
+    assert p_re.count() == 0
+    assert cat.read("sig").groupBy("doc_id").count().where(
+        F.col("count") > 1
+    ).count() == 0
+
+    # a mixed batch (half old, half new) indexes only the new half, and
+    # its pairs equal the clean sequential run's second batch
+    mixed = shard0.unionByName(shard1).unionByName(shard1)  # + in-batch dup
+    p_mix, _ = dedup_new_batch(cat, "sig", mixed, **kw)
+    assert cat.read("sig").count() == n0 + shard1.count()
+    assert cat.read("sig").groupBy("doc_id").count().where(
+        F.col("count") > 1
+    ).count() == 0
+
+    clean_cat = ParquetCatalog(spark, str(tmp_path_factory.mktemp("inc_clean")))
+    dedup_new_batch(clean_cat, "sig", shard0, **kw)
+    p_want, _ = dedup_new_batch(clean_cat, "sig", shard1, **kw)
+
+    def key(df):
+        p = df.toPandas()
+        return set(zip(p.id_a, p.id_b, p.est_jaccard.round(9)))
+
+    assert key(p_mix) == key(p_want)
+
+
 @settings(max_examples=5, deadline=None)
 @given(
     n_shards=hst.integers(2, 4),

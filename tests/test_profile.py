@@ -85,3 +85,32 @@ def test_profile_map_columns_dont_crash(spark):
     # unorderable/unhashable metrics are skipped for maps, present for k
     assert ("m", "min") not in m and ("m", "approx_distinct") not in m
     assert ("k", "min") in m
+
+
+def test_profile_nested_map_columns_dont_crash(spark):
+    """A map NESTED inside a struct or array is just as unorderable/
+    unhashable as a top-level one — those columns must also fall back to
+    count/nulls-only instead of crashing the whole one-pass profile."""
+    df = spark.createDataFrame(
+        [
+            (1, {"tags": {"a": 1.0}}, [{"b": 2.0}], {"deep": [{"c": 3}]}),
+            (2, None, None, None),
+        ],
+        "k long, s struct<tags:map<string,double>>, "
+        "am array<map<string,double>>, "
+        "sd struct<deep:array<map<string,int>>>",
+    )
+    prof = profile_table(df).toPandas()
+    m = {(r.column, r.metric): r.value for r in prof.itertuples()}
+    for c in ("s", "am", "sd"):
+        assert m[(c, "nulls")] == "1" and m[(c, "non_null")] == "1"
+        assert (c, "min") not in m and (c, "approx_distinct") not in m
+    # a plain struct WITHOUT a nested map keeps its full metric set
+    df2 = spark.createDataFrame(
+        [(1, (1, "x")), (2, (2, "y"))], "k long, s struct<a:long,b:string>"
+    )
+    m2 = {
+        (r.column, r.metric): r.value
+        for r in profile_table(df2).toPandas().itertuples()
+    }
+    assert ("s", "min") in m2 and ("s", "approx_distinct") in m2

@@ -318,6 +318,36 @@ def test_pq_refine_beats_sample_training_on_skewed_corpus(spark):
     df.unpersist()
 
 
+def test_pq_refine_ignores_null_and_ragged_embeddings(spark):
+    """A null / wrong-dim / null-element embedding row must not reach the
+    Arrow pass: flatten+reshape would silently misalign every later row
+    in the batch (corrupting the per-subspace sum/count statistics) or
+    NaN-poison them. pq_refine filters those rows, so refined books must
+    be IDENTICAL to refining on the clean subset alone."""
+    rng = np.random.default_rng(17)
+    X = rng.standard_normal((512, 16))
+    clean_rows = [(int(i), [float(v) for v in x]) for i, x in enumerate(X)]
+    dirty_rows = [
+        (10_001, None),                            # null embedding
+        (10_002, [float(v) for v in X[0][:7]]),    # wrong dimension
+        (10_003, [None] + [float(v) for v in X[1][1:]]),  # null element
+    ]
+    schema = "vec_id long, emb array<double>"
+    clean = spark.createDataFrame(clean_rows, schema).repartition(4)
+    dirty = spark.createDataFrame(
+        clean_rows + dirty_rows, schema
+    ).repartition(4)
+    books0 = S.pq_train(
+        X / np.linalg.norm(X, axis=1, keepdims=True), m=4, n_codes=8, seed=3
+    )
+    # single partition on both sides: float summation order is then
+    # identical, so the comparison can be exact
+    b_clean = S.pq_refine(clean.coalesce(1), books0, emb_col="emb", n_iter=1)
+    b_dirty = S.pq_refine(dirty.coalesce(1), books0, emb_col="emb", n_iter=1)
+    assert np.array_equal(b_clean, b_dirty)
+    assert np.isfinite(b_dirty).all()
+
+
 def test_pq_topk_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     q = spark.createDataFrame(
