@@ -165,13 +165,21 @@ class ParquetCatalog:
         dirs = [
             os.path.join(self._tdir(name), f"snap={s['id']}") for s in snaps[start:]
         ]
-        reader = self.spark.read
+        # anchor partition discovery at the table root: snap=N is itself
+        # a Hive-style partition dir, so without a basePath a chain that
+        # ALSO has hidden-partition subdirs (snap=N/kb=M) makes Spark's
+        # common-ancestor inference fail with
+        # CONFLICTING_DIRECTORY_STRUCTURES. With the anchor, `snap`
+        # surfaces as one more partition column (dropped below) and the
+        # whole chain stays a single relation — partition pruning on the
+        # hidden columns still works across every snapshot.
+        reader = self.spark.read.option("basePath", self._tdir(name))
         # appends may have ADDED nullable columns (see write's schema
         # guard); only pay the mergeSchema footer pass when the chain's
         # recorded schemas actually differ
         if len({tuple(s["schema"]) for s in snaps[start:]}) > 1:
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*dirs)
+        df = reader.parquet(*dirs).drop("snap")
         pcols = set()
         for s in snaps[start:]:
             pcols |= set(s["partition_by"].keys())
@@ -253,6 +261,57 @@ class ParquetCatalog:
         return self.write(
             out, name, mode="overwrite", partition_by=partition_by,
             meta={**(meta or {}), "merge_keys": keys},
+        )
+
+    def compact(self, name: str, meta: dict | None = None) -> int:
+        """Rewrite the current append chain as ONE snapshot (Iceberg's
+        ``rewrite_data_files`` / OPTIMIZE analogue) and return its id.
+
+        Why this exists at 100 TB: a daily-append table accumulates one
+        parquet directory (and one manifest entry) per snapshot, and
+        after a year every read unions ~365 directories of accumulating
+        small files — file listing and footer reads become the scan
+        bottleneck long before row count does. Compaction folds the
+        chain since the last overwrite into a single ``overwrite``
+        snapshot, so subsequent reads touch exactly one directory.
+
+        Time travel is PRESERVED: pre-compaction snapshot directories
+        stay on disk and ``read(name, as_of=<old id>)`` still resolves
+        through them; only the post-compaction chain head changes. The
+        new snapshot inherits the chain head's ``partition_by`` layout
+        and ``sort_by`` order (re-deriving hidden partition columns),
+        and its manifest entry records ``compaction_of`` — the audit
+        trail from the compacted snapshot back to its inputs. A
+        single-snapshot chain is already compact: no-op, returns the
+        head id.
+
+        Note for incremental consumers (:func:`refresh_aggregate`-style
+        jobs keyed on ``agg_last_snap``): compaction writes an
+        ``overwrite``, which such jobs correctly detect as a chain reset
+        and handle by recomputing — results stay right, the one refresh
+        after a compaction is just not incremental.
+        """
+        man = self._manifest(name)
+        if not man["snapshots"]:
+            raise FileNotFoundError(f"no snapshots for table {name!r}")
+        snaps = man["snapshots"]
+        start = 0
+        for i, s in enumerate(snaps):
+            if s["mode"] == "overwrite":
+                start = i
+        chain = snaps[start:]
+        if len(chain) == 1:
+            return chain[-1]["id"]  # already one snapshot: nothing to do
+        head = chain[-1]
+        df = self.read(name)
+        return self.write(
+            df,
+            name,
+            mode="overwrite",
+            partition_by=head["partition_by"] or None,
+            sort_by=head.get("sort_by"),
+            meta={**(meta or {}),
+                  "compaction_of": [s["id"] for s in chain]},
         )
 
     def read_snapshot(self, name: str, snap_id: int) -> DataFrame:

@@ -249,3 +249,54 @@ def test_refresh_aggregate_spec_guard_and_schema_evolution(spark, cat):
     refresh_aggregate(cat, "s1", "a1", keys="k", sum_cols="v")
     got = cat.read("a1").toPandas()
     assert got.n_rows.sum() == 200
+
+
+def test_compact_folds_chain_preserving_time_travel(spark, cat):
+    """compact() rewrites an N-snapshot append chain into one overwrite
+    snapshot: reads return identical rows but scan exactly one snapshot
+    directory, pre-compaction as_of time-travel still works, and the new
+    manifest entry records the compacted inputs."""
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    s1 = cat.write(mk(0, 100), "t", mode="overwrite",
+                   partition_by={"kb": "pmod(k, 2)"}, sort_by=["id"])
+    s2 = cat.write(mk(100, 250), "t", mode="append",
+                   partition_by={"kb": "pmod(k, 2)"})
+    s3 = cat.write(mk(250, 300), "t", mode="append",
+                   partition_by={"kb": "pmod(k, 2)"})
+    before = cat.read("t").toPandas().sort_values("id").reset_index(drop=True)
+
+    cid = cat.compact("t")
+    assert cid == s3 + 1
+    entry = cat.snapshots("t")[-1]
+    assert entry["mode"] == "overwrite"
+    assert entry["meta"]["compaction_of"] == [s1, s2, s3]
+    # layout inherited from the chain head
+    assert entry["partition_by"] == {"kb": "pmod(k, 2)"}
+
+    after = cat.read("t")
+    pd.testing.assert_frame_equal(
+        before, after.toPandas().sort_values("id").reset_index(drop=True)
+    )
+    # the read now touches ONLY the compacted snapshot's directory
+    assert all(f"snap={cid}" in f for f in after.inputFiles())
+    assert any(f"snap={cid}" in f for f in after.inputFiles())
+
+    # pre-compaction time travel resolves through the old directories
+    assert cat.read("t", as_of=s1).count() == 100
+    assert cat.read("t", as_of=s2).count() == 250
+
+    # appends continue on the compacted chain
+    cat.write(mk(300, 320), "t", mode="append",
+              partition_by={"kb": "pmod(k, 2)"})
+    assert cat.read("t").count() == 320
+
+    # compacting a 1-snapshot chain is a no-op (no new snapshot)
+    c2 = cat.write(mk(0, 10), "solo", mode="overwrite")
+    n = len(cat.snapshots("solo"))
+    assert cat.compact("solo") == c2
+    assert len(cat.snapshots("solo")) == n
+
+    with pytest.raises(FileNotFoundError):
+        cat.compact("missing")

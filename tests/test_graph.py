@@ -143,3 +143,136 @@ def test_dedup_retention_keep_best_per_cluster(spark):
         ["component"], ["quality", "neg_id"],
     )
     assert {r["doc_id"] for r in manual.collect()} == {2, 10, 42}
+
+
+def test_update_components_incremental_equals_full(spark, tmp_path):
+    """Sequential update_components batches over a persisted label table
+    must produce labels BIT-IDENTICAL to one connected_components run
+    over all pairs — including batches that merge existing components,
+    add brand-new chains, and are pure no-ops."""
+    from lyssandra_spark.operators.incremental import update_components
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    rng = np.random.default_rng(23)
+    edges = [
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, 400, size=(300, 2))
+        if a != b
+    ]
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    # route pairs to 4 sequential batches
+    batches = [edges[i::4] for i in range(4)]
+    for b in batches:
+        df = spark.createDataFrame(b, "id_a long, id_b long")
+        update_components(cat, "labels", df)
+
+    got = {
+        r["id"]: r["component"] for r in cat.read("labels").collect()
+    }
+    want = _uf_oracle(edges)
+    assert got == want
+
+    # replaying an already-folded batch is a pure no-op: same snapshot id
+    head = cat.snapshots("labels")[-1]["id"]
+    df0 = spark.createDataFrame(batches[0], "id_a long, id_b long")
+    assert update_components(cat, "labels", df0) == head
+    assert len(cat.snapshots("labels")) == head
+
+
+def test_update_components_merges_components_and_bridges(spark, tmp_path):
+    """Planted topology: batch 1 builds two components {1,2,3} and
+    {10,11}; batch 2 bridges them via a NEW id and starts a fresh
+    component — every label must re-canonicalize to the global min."""
+    from lyssandra_spark.operators.incremental import update_components
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    update_components(cat, "lab", b1)
+    got1 = {r["id"]: r["component"] for r in cat.read("lab").collect()}
+    assert got1 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # bridge 3-100-10 merges both comps through new vertex 100;
+    # (200, 201) is an unrelated brand-new component
+    b2 = spark.createDataFrame(
+        [(3, 100), (100, 10), (200, 201)], "id_a long, id_b long"
+    )
+    update_components(cat, "lab", b2)
+    got2 = {r["id"]: r["component"] for r in cat.read("lab").collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 100: 1, 200: 200, 201: 200}
+
+
+def test_update_components_untouched_not_reshuffled(spark, tmp_path):
+    """Scale contract: the relabel delta is built via a BROADCAST join
+    against the label table (untouched components never shuffle), and a
+    batch touching one component leaves every other component's rows
+    byte-identical."""
+    from lyssandra_spark.operators.incremental import update_components
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    # 50 disjoint 2-chains: components (0,1), (2,3), ...
+    b1 = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    update_components(cat, "lab", b1)
+    before = {
+        r["id"]: r["component"] for r in cat.read("lab").collect()
+    }
+
+    # touch ONLY components 0 and 2 (merge them); assert the delta plan:
+    # label-table side must see a broadcast join and no Exchange
+    b2 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    labels = cat.read("lab")
+    from pyspark.sql import functions as FF
+    from lyssandra_spark.operators.graph import connected_components as _cc
+    remap = _cc(
+        spark.createDataFrame([(0, 2)], "id_a long, id_b long")
+    ).select(FF.col("id").alias("node"), FF.col("component").alias("__new"))
+    delta_plan = (
+        labels.join(FF.broadcast(remap), labels["component"] == remap["node"])
+        .where(FF.col("component") != FF.col("__new"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in delta_plan
+    assert "Exchange" not in delta_plan.replace("BroadcastExchange", "BX")
+
+    update_components(cat, "lab", b2)
+    after = {r["id"]: r["component"] for r in cat.read("lab").collect()}
+    assert after[2] == 0 and after[3] == 0 and after[0] == 0 and after[1] == 0
+    for i in range(4, 100):
+        assert after[i] == before[i]  # untouched components unchanged
+
+
+def test_update_components_composes_with_dedup_new_batch(
+    spark, tmp_path, sf_dir
+):
+    """End-to-end incremental pipeline: dedup_new_batch emits each
+    batch's pairs, update_components folds them into persisted labels —
+    final labels equal a full-corpus minhash_lsh_pairs + CC run."""
+    from lyssandra_spark.operators.dedup import minhash_lsh_pairs
+    from lyssandra_spark.operators.incremental import (
+        dedup_new_batch,
+        update_components,
+    )
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    kw = dict(n_perm=32, bands=8, threshold=0.3, ngram_bytes=8)
+    for r in range(3):
+        shard = docs.where(F.col("doc_id") % 3 == r)
+        pairs, _ = dedup_new_batch(cat, "sigs", shard, **kw)
+        update_components(cat, "labels", pairs)
+
+    full = minhash_lsh_pairs(docs, **kw)
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(full).collect()
+    }
+    got = {r["id"]: r["component"] for r in cat.read("labels").collect()}
+    assert got == want and len(got) > 0
