@@ -198,6 +198,11 @@ def bpe_like_tokens(text_col: str = "text") -> Column:
     far better than whitespace words (punctuation and numbers split off)
     while staying a pure JVM ``regexp_extract_all`` (no vocab, no Python).
     Unicode-aware via Java's \\p{L}/\\p{N} classes.
+
+    This is the zero-vocab FALLBACK; for counts under an actually
+    trained tokenizer, :mod:`lyssandra_spark.functions.bpe` learns
+    merge ranks from the corpus and applies them in a vectorized
+    Arrow pass (``train_bpe`` / ``bpe_token_counts``).
     """
     # (?U) = UNICODE_CHARACTER_CLASS: without it Java's \s is ASCII-only
     # and an NBSP (ubiquitous in web HTML) would surface as a punctuation

@@ -121,6 +121,12 @@ def pack_sequences(
     O(log n_bins) comparisons per doc via a bisect-indexed capacity list —
     no O(n_docs x n_bins) scan, so even a single giant shard degrades
     gracefully.
+
+    ``ntok_col`` should be a REAL tokenizer count when the downstream
+    budget is a real context window:
+    :func:`lyssandra_spark.functions.bpe.bpe_token_counts` (trained
+    merges) produces exactly that; the pure-JVM ``bpe_like_tokens``
+    segmentation count is the cheap proxy.
     """
     if budget < 1:
         raise ValueError(f"budget ({budget}) must be >= 1")
