@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "retain_best_per_cluster"]
+__all__ = [
+    "connected_components",
+    "retain_best_per_cluster",
+    "retain_best_with_labels",
+]
 
 
 def _canon(e: DataFrame) -> DataFrame:
@@ -213,11 +217,33 @@ def retain_best_per_cluster(
     (max_bucket-capped candidate generation upstream), so the window's
     per-key row count is bounded.
     """
+    cc = connected_components(pairs, src=src, dst=dst, **cc_kwargs)
+    return retain_best_with_labels(docs, cc, id_col=id_col,
+                                   score_col=score_col)
+
+
+def retain_best_with_labels(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Retention decision from PRE-COMPUTED ``(id, component)`` labels —
+    the incremental pipeline's last stage: ``dedup_new_batch`` emits the
+    batch's pairs, :func:`~lyssandra_spark.operators.incremental.update_components`
+    folds them into the persisted label table, and this function turns
+    the CURRENT labels into "keep the best doc per cluster" — no graph
+    pass at all, so the daily retention refresh costs one broadcast-ish
+    join + one bounded keyed window. Semantics are identical to
+    :func:`retain_best_per_cluster` (which now delegates here after
+    running CC): docs absent from ``labels`` are singleton clusters and
+    always survive; ties break deterministically by lowest id (numeric
+    ids — same caveat as retain_best_per_cluster).
+    """
     from lyssandra_spark.operators.windows import dedup_latest
 
-    cc = connected_components(pairs, src=src, dst=dst, **cc_kwargs)
     labeled = docs.join(
-        cc.withColumnRenamed("id", id_col), id_col, "left"
+        labels.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
     ranked = labeled.withColumn("__neg_id", -F.col(id_col))
     return dedup_latest(

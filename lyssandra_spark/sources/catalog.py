@@ -162,6 +162,13 @@ class ParquetCatalog:
         for i, s in enumerate(snaps):
             if s["mode"] == "overwrite":
                 start = i
+        gone = [s["id"] for s in snaps[start:] if s.get("expired")]
+        if gone:
+            raise FileNotFoundError(
+                f"time travel into {name!r} needs expired snapshot(s) "
+                f"{gone} — their data was reclaimed by expire(); only the "
+                "manifest audit entries remain"
+            )
         dirs = [
             os.path.join(self._tdir(name), f"snap={s['id']}") for s in snaps[start:]
         ]
@@ -277,7 +284,9 @@ class ParquetCatalog:
 
         Time travel is PRESERVED: pre-compaction snapshot directories
         stay on disk and ``read(name, as_of=<old id>)`` still resolves
-        through them; only the post-compaction chain head changes. The
+        through them; only the post-compaction chain head changes.
+        (:meth:`expire` is the opt-in second step that reclaims those
+        directories once the history is no longer needed.) The
         new snapshot inherits the chain head's ``partition_by`` layout
         and ``sort_by`` order (re-deriving hidden partition columns),
         and its manifest entry records ``compaction_of`` — the audit
@@ -314,6 +323,54 @@ class ParquetCatalog:
                   "compaction_of": [s["id"] for s in chain]},
         )
 
+    def expire(self, name: str, before: int | None = None) -> list[int]:
+        """Delete the DATA of snapshots superseded by the latest
+        overwrite (Iceberg ``expire_snapshots`` analogue — the vacuum
+        that pairs with :meth:`compact`); returns the expired ids.
+
+        Only snapshots strictly BEFORE the current chain's first
+        snapshot are eligible: they are unreachable from the latest
+        read, kept purely for time travel. ``before`` (a snapshot id)
+        optionally retains newer history — the effective cutoff is
+        ``min(before, chain_start)`` so a live chain can never be
+        broken. Expired entries STAY in the manifest flagged
+        ``expired`` (the audit trail survives; ``snapshots()`` still
+        lists them), and time travel into them now raises a named
+        FileNotFoundError instead of a confusing missing-path read.
+        Typical lifecycle: daily appends -> ``compact`` (one overwrite
+        snapshot) -> ``expire`` (reclaim the pre-compaction
+        directories) — at 100 TB this is what keeps the warehouse from
+        retaining every superseded byte forever. Idempotent: a second
+        call returns ``[]``.
+        """
+        import shutil
+
+        man = self._manifest(name)
+        if not man["snapshots"]:
+            raise FileNotFoundError(f"no snapshots for table {name!r}")
+        snaps = man["snapshots"]
+        start_id = snaps[0]["id"]
+        for s in snaps:
+            if s["mode"] == "overwrite":
+                start_id = s["id"]
+        cutoff = start_id if before is None else min(before, start_id)
+        expired = []
+        for s in snaps:
+            if s["id"] < cutoff and not s.get("expired"):
+                shutil.rmtree(
+                    os.path.join(self._tdir(name), f"snap={s['id']}"),
+                    ignore_errors=True,
+                )
+                s["expired"] = True
+                s["expired_wall"] = time.time()
+                expired.append(s["id"])
+        if expired:
+            tmp = self._manifest_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, self._manifest_path(name))
+        return expired
+
     def read_snapshot(self, name: str, snap_id: int) -> DataFrame:
         """Read EXACTLY one snapshot's rows (not the cumulative chain) —
         the Iceberg incremental-scan analogue. This is what lets an
@@ -322,6 +379,12 @@ class ParquetCatalog:
         if not any(s["id"] == snap_id for s in man["snapshots"]):
             raise FileNotFoundError(f"no snapshot {snap_id} for {name!r}")
         entry = next(s for s in man["snapshots"] if s["id"] == snap_id)
+        if entry.get("expired"):
+            raise FileNotFoundError(
+                f"snapshot {snap_id} of {name!r} was expired — its data "
+                "was reclaimed by expire(); only the manifest audit entry "
+                "remains"
+            )
         df = self.spark.read.parquet(
             os.path.join(self._tdir(name), f"snap={snap_id}")
         )

@@ -300,3 +300,48 @@ def test_compact_folds_chain_preserving_time_travel(spark, cat):
 
     with pytest.raises(FileNotFoundError):
         cat.compact("missing")
+
+
+def test_expire_reclaims_precompaction_history(spark, cat):
+    import os
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id"))
+    s1 = cat.write(mk(0, 10), "t", mode="overwrite")
+    s2 = cat.write(mk(10, 30), "t", mode="append")
+    cid = cat.compact("t")
+    assert cat.read("t", as_of=s2).count() == 30  # still travels pre-expire
+
+    gone = cat.expire("t")
+    assert gone == [s1, s2]
+    # latest read untouched; audit entries remain; data dirs removed
+    assert cat.read("t").count() == 30
+    assert [s["id"] for s in cat.snapshots("t")] == [s1, s2, cid]
+    assert all(s.get("expired") for s in cat.snapshots("t")[:2])
+    assert not os.path.exists(os.path.join(cat.root, "t", f"snap={s1}"))
+
+    # time travel into expired history raises a NAMED error
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read("t", as_of=s2)
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read_snapshot("t", s1)
+
+    # idempotent, and the live chain is never expirable
+    assert cat.expire("t") == []
+    cat.write(mk(30, 40), "t", mode="append")
+    assert cat.expire("t") == []  # post-compaction appends are live
+    assert cat.read("t").count() == 40
+
+
+def test_expire_before_cutoff_retains_newer_history(spark, cat):
+    mk = lambda n: spark.range(n).select(F.col("id"))
+    s1 = cat.write(mk(1), "t3", mode="overwrite")
+    s2 = cat.write(mk(2), "t3", mode="overwrite")
+    s3 = cat.write(mk(3), "t3", mode="overwrite")
+    # keep history >= s2: only s1 reclaimed
+    assert cat.expire("t3", before=s2) == [s1]
+    assert cat.read("t3", as_of=s2).count() == 2  # retained
+    # full expire reclaims the rest of the superseded history
+    assert cat.expire("t3") == [s2]
+    assert cat.read("t3").count() == 3
+    with pytest.raises(FileNotFoundError):
+        cat.expire("missing")

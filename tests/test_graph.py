@@ -276,3 +276,48 @@ def test_update_components_composes_with_dedup_new_batch(
     }
     got = {r["id"]: r["component"] for r in cat.read("labels").collect()}
     assert got == want and len(got) > 0
+
+
+def test_retain_best_with_labels_matches_pair_path(spark, tmp_path):
+    """Label-driven retention (the incremental pipeline's last stage)
+    must equal the pairs->CC->retain path exactly — including via a
+    persisted update_components label table."""
+    from lyssandra_spark.operators.graph import (
+        retain_best_per_cluster,
+        retain_best_with_labels,
+    )
+    from lyssandra_spark.operators.incremental import update_components
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    rng = np.random.default_rng(5)
+    docs = spark.createDataFrame(
+        [(int(i), float(rng.uniform())) for i in range(60)],
+        "doc_id long, quality double",
+    )
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 50, size=(40, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    want = (
+        retain_best_per_cluster(docs, pairs)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got_direct = (
+        retain_best_with_labels(docs, connected_components(pairs))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+    pd.testing.assert_frame_equal(want, got_direct)
+
+    # via the persisted incremental label table, folded in two batches
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    half = len(edges) // 2
+    for chunk in (edges[:half], edges[half:]):
+        update_components(
+            cat, "lab", spark.createDataFrame(chunk, "id_a long, id_b long")
+        )
+    got_inc = (
+        retain_best_with_labels(docs, cat.read("lab"))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(want, got_inc)
