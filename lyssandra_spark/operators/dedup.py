@@ -3,6 +3,9 @@
 Training-data-pipeline staples, each Spark-first:
 
 - :func:`exact_dedup` — hash-groupBy (one shuffle on the text hash).
+- :func:`dedup_paragraphs` — corpus-level repeated-paragraph removal
+  (Gopher/C4-style boilerplate stripping INSIDE documents): skew-proof
+  paragraph-hash count + ordered reassembly.
 - :func:`minhash_lsh_pairs` — shingle -> minhash -> band -> bucket-join:
   the scale path. Signatures are computed in one vectorized mapInArrow
   pass (numpy, no per-row Python); candidate generation is an explode on
@@ -34,6 +37,7 @@ from lyssandra_spark.functions.embed import arrow_string_buffer, rolling_hashes
 
 __all__ = [
     "exact_dedup",
+    "dedup_paragraphs",
     "minhash_signatures",
     "band_signatures",
     "est_jaccard",
@@ -73,6 +77,79 @@ def exact_dedup(df: DataFrame, text_col: str = "text", keys=("doc_id",)) -> Data
         .groupBy("__h")
         .agg(winner, F.count("*").alias("n_copies"))
         .select(*[F.col(f"__row.{c}").alias(c) for c in cols], "n_copies")
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_dup: int = 2,
+) -> DataFrame:
+    """Remove paragraphs repeated >= ``min_dup`` times ACROSS THE CORPUS
+    from every document — the repeated-span boilerplate removal of
+    production curation pipelines (Rae et al. 2021 Gopher/MassiveText
+    remove repeated paragraphs; Raffel et al. 2020 C4 drops repeated
+    three-sentence spans): nav bars, cookie banners, and license headers
+    repeat across millions of pages while real prose does not, so
+    document-level dedup never catches them.
+
+    Returns (id, text, n_paras, n_removed) with surviving paragraphs
+    rejoined by ``sep`` in original order. Paragraph identity is
+    ``trim(paragraph)`` (exact, case-sensitive — the Gopher convention);
+    blank/whitespace-only paragraphs are STRUCTURE, never counted or
+    removed, so a document with nothing repeated round-trips
+    byte-identically (split + rejoin on the literal separator is exact;
+    property-tested). ``sep`` is treated as a literal string, not a
+    regex. Documents whose every non-blank paragraph was boilerplate
+    keep their row (empty-ish text, ``n_removed`` accounting). Null-text
+    documents yield no row (no paragraphs — same convention as the LM
+    scorer).
+
+    Plan at 100 TB: posexplode (map-only) -> ONE count shuffle keyed on
+    the paragraph hash, with map-side partial counts absorbing the hot
+    boilerplate key (a 10^7-copy cookie banner crosses the wire once per
+    task, not once per copy) -> join the (filtered, small: only hashes
+    that actually repeat) hot set back -> ONE groupBy(id) to reassemble.
+    The hot-set join is left to AQE: it usually broadcasts, but the
+    operator does not force it since the dup-hash set is corpus-sized in
+    the worst case.
+    """
+    if min_dup < 2:
+        raise ValueError(f"min_dup ({min_dup}) must be >= 2")
+    pat = "\\Q" + sep + "\\E"  # literal separator, never a regex
+    parts = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("pos", "para"),
+    ).withColumn(
+        "__h",
+        F.when(F.trim("para") != "", F.xxhash64(F.trim("para"))),
+    )
+    hot = (
+        parts.where(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= min_dup)
+        .select("__h", F.lit(True).alias("__dup"))
+    )
+    marked = parts.join(hot, "__h", "left")
+    return marked.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(  # nulls (removed paras) are skipped
+                        F.when(F.col("__dup").isNull(),
+                               F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias(text_col),
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_removed"),
     )
 
 

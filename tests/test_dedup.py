@@ -394,3 +394,70 @@ def test_incremental_dedup_random_sharding_property(
 
     assert key(inc) == key(full)
     assert not inc.duplicated(["id_a", "id_b"]).any()
+
+
+def test_dedup_paragraphs_python_oracle(spark):
+    """Corpus-level repeated-paragraph removal vs an independent python
+    oracle (Counter over trimmed paragraphs), incl. blank-structure
+    preservation, fully-boilerplate docs, and accounting columns."""
+    from collections import Counter
+
+    boiler = "accept our cookies"
+    texts = [
+        f"intro one\n{boiler}\nreal content A",
+        f"{boiler}\nreal content B\n\nsigned, B",
+        f"real content C\n  {boiler}  \nmore C",   # matches via trim
+        boiler,                                     # fully boilerplate
+        "unique doc\n\nwith a blank line",          # untouched
+        "repeated inside\nrepeated inside\nonce",   # within-doc repeat
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = (
+        DD.dedup_paragraphs(docs, min_dup=2)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+
+    cnt = Counter(
+        p.strip() for t in texts for p in t.split("\n") if p.strip()
+    )
+    hot = {p for p, c in cnt.items() if c >= 2}
+    for i, t in enumerate(texts):
+        paras = t.split("\n")
+        want_kept = [p for p in paras if not (p.strip() and p.strip() in hot)]
+        assert out.loc[i, "text"] == "\n".join(want_kept), (i, t)
+        assert out.loc[i, "n_paras"] == len(paras)
+        assert out.loc[i, "n_removed"] == sum(
+            1 for p in paras if p.strip() and p.strip() in hot
+        )
+    # the fully-boilerplate doc keeps its row, empty text
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_removed"] == 1
+    # within-doc repeats count toward min_dup too (C4 convention)
+    assert out.loc[5, "n_removed"] == 2
+
+    with pytest.raises(ValueError, match="min_dup"):
+        DD.dedup_paragraphs(docs, min_dup=1)
+
+
+def test_dedup_paragraphs_roundtrip_and_plan(spark, sf_dir):
+    """min_dup above every paragraph count => every doc round-trips
+    byte-identically (split+rejoin is exact, blank lines included); the
+    plan carries a partial count before the paragraph-hash exchange."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = DD.dedup_paragraphs(d, min_dup=10**9)
+    joined = (
+        d.alias("a")
+        .join(out.alias("b"), "doc_id")
+        .where(F.col("a.text") != F.col("b.text"))
+    )
+    assert joined.count() == 0
+    assert out.count() == d.where(F.col("text").isNotNull()).count()
+
+    plan = (
+        DD.dedup_paragraphs(d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan or "partial count" in plan.lower()
