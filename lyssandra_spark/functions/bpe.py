@@ -48,8 +48,14 @@ __all__ = ["PRETOKEN_RE", "pretokenize", "train_bpe", "bpe_token_counts"]
 # textstats.bpe_like_tokens for the JVM flavor and the documented
 # Java-vs-Python unicode class divergences). Whitespace segments are
 # dropped: they separate tokens, they aren't one.
+# The punctuation alternative is `(?:[^\w\s]|_)+`, NOT `[^\s\w]+`:
+# Python's \w includes '_' (Java's \p{L}/\p{N} do not), so without the
+# explicit `|_` underscores would match NO alternative and silently
+# vanish from snake_case/code-heavy text — undercounting tokens and
+# diverging from the JVM proxy, which correctly treats '_' as
+# punctuation.
 PRETOKEN_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+",
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+|\s+",
     re.UNICODE,
 )
 
@@ -59,15 +65,6 @@ def pretokenize(text: str) -> list[str]:
     if not text:
         return []
     return [s for s in PRETOKEN_RE.findall(text) if not s.isspace()]
-
-
-def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict:
-    counts: dict[tuple[str, str], int] = {}
-    for word, freq in vocab.items():
-        for i in range(len(word) - 1):
-            pair = (word[i], word[i + 1])
-            counts[pair] = counts.get(pair, 0) + freq
-    return counts
 
 
 def _merge_word(
@@ -135,15 +132,48 @@ def train_bpe(
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["word"]): r["cnt"] for r in counts
     }
+    # incremental trainer state: exact pair counts + an inverted index
+    # pair -> words containing it. Each merge then touches ONLY the words
+    # holding the merged pair (a shrinking fraction after the first few
+    # merges) instead of recounting all pairs over the whole vocabulary —
+    # the standard trainer optimization, ~an order of magnitude off the
+    # naive O(n_merges * vocab) driver loop at the 50k x 1k defaults.
+    # Counts stay bit-equal to full recomputation (oracle-tested), so
+    # merge selection (max count, lexicographic tie-break) is unchanged.
+    pc: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set] = {}
+    for w, f in vocab.items():
+        for i in range(len(w) - 1):
+            p = (w[i], w[i + 1])
+            pc[p] = pc.get(p, 0) + f
+            index.setdefault(p, set()).add(w)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pc = _pair_counts(vocab)
         if not pc:
             break
         # deterministic: max count, ties broken lexicographically
         best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        vocab = {_merge_word(w, best): f for w, f in vocab.items()}
+        for w in list(index.get(best, ())):
+            f = vocab.get(w)
+            if f is None:
+                continue  # stale index entry: w was already rewritten
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                pc[p] -= f
+                if pc[p] <= 0:
+                    del pc[p]
+            nw = _merge_word(w, best)
+            del vocab[w]
+            # if nw already exists its own pair contributions are already
+            # counted; adding f on top is exactly the merged frequency
+            vocab[nw] = vocab.get(nw, 0) + f
+            for i in range(len(nw) - 1):
+                p = (nw[i], nw[i + 1])
+                pc[p] = pc.get(p, 0) + f
+                index.setdefault(p, set()).add(nw)
+        index.pop(best, None)
+        pc.pop(best, None)  # defensive: count is 0 by now; never reselect
     return merges
 
 

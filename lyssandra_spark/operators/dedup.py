@@ -119,12 +119,17 @@ def dedup_paragraphs(
     if min_dup < 2:
         raise ValueError(f"min_dup ({min_dup}) must be >= 2")
     pat = "\\Q" + sep + "\\E"  # literal separator, never a regex
+    # unicode-aware trim for paragraph IDENTITY and blankness: Spark's
+    # trim() strips ASCII spaces only, so a tab/NBSP-only line would be
+    # hashed as content and stripped as "boilerplate" corpus-wide —
+    # exactly the structure this operator promises never to touch
+    utrim = F.regexp_replace("para", r"(?U)^\s+|\s+$", "")
     parts = df.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), pat, -1)).alias("pos", "para"),
     ).withColumn(
         "__h",
-        F.when(F.trim("para") != "", F.xxhash64(F.trim("para"))),
+        F.when(utrim != "", F.xxhash64(utrim)),
     )
     hot = (
         parts.where(F.col("__h").isNotNull())

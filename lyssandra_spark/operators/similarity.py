@@ -342,7 +342,7 @@ def pq_refine(
     corpus = corpus.where(
         F.col(emb_col).isNotNull()
         & (F.size(emb_col) == dim)
-        & ~F.exists(emb_col, lambda x: x.isNull())
+        & ~F.exists(emb_col, lambda x: x.isNull() | F.isnan(x))
     )
     schema = T.StructType([
         T.StructField("sums", T.ArrayType(T.DoubleType()), False),

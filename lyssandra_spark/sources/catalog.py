@@ -90,6 +90,16 @@ class ParquetCatalog:
         parquet-union error inside ``read``. ``overwrite`` resets the chain
         and may change schema freely.
         """
+        # `snap` is the catalog's snapshot partition directory name: a
+        # data or derived column called `snap` would be shadowed by the
+        # discovered partition value on read and then dropped — silent
+        # data loss. Reserve the name loudly instead.
+        if "snap" in df.columns or "snap" in (partition_by or {}):
+            raise ValueError(
+                "column name 'snap' is reserved by the catalog (it is the "
+                "snapshot partition directory); rename the column before "
+                "writing"
+            )
         man = self._manifest(name)
         if mode == "append" and man["snapshots"]:
             # schema of the current chain head (last snapshot since the
@@ -357,18 +367,28 @@ class ParquetCatalog:
         expired = []
         for s in snaps:
             if s["id"] < cutoff and not s.get("expired"):
-                shutil.rmtree(
-                    os.path.join(self._tdir(name), f"snap={s['id']}"),
-                    ignore_errors=True,
-                )
                 s["expired"] = True
                 s["expired_wall"] = time.time()
                 expired.append(s["id"])
+        # flag the manifest FIRST (atomic tmp+replace, like write), THEN
+        # delete data: a crash between the two leaves snapshots flagged
+        # expired with data still on disk (safe: reads raise the named
+        # error, a re-run below re-deletes) — never the reverse, where
+        # the manifest says live but the data is gone and time travel
+        # dies with a raw missing-path read.
         if expired:
             tmp = self._manifest_path(name) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(man, f)
             os.replace(tmp, self._manifest_path(name))
+        # reclaim EVERY flagged snapshot's directory (incl. ones flagged
+        # by a crashed earlier run) — rmtree on a missing dir is a no-op
+        for s in snaps:
+            if s.get("expired"):
+                shutil.rmtree(
+                    os.path.join(self._tdir(name), f"snap={s['id']}"),
+                    ignore_errors=True,
+                )
         return expired
 
     def read_snapshot(self, name: str, snap_id: int) -> DataFrame:

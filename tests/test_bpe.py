@@ -80,12 +80,28 @@ def test_train_bpe_matches_textbook_oracle(spark):
     assert ("l", "o") in got[:6] or ("lo", "w") in got[:6]
 
 
+def test_pretokenize_keeps_underscores():
+    """Python's \\w includes '_' (Java's \\p{L}/\\p{N} don't), so a naive
+    [^\\s\\w]+ punctuation class makes '_' match NO alternative and
+    silently vanish — snake_case text would be undercounted. '_' must
+    segment as punctuation, like the JVM proxy."""
+    from lyssandra_spark.functions.bpe import pretokenize
+
+    assert pretokenize("foo_bar") == ["foo", "_", "bar"]
+    assert pretokenize("a _ b") == ["a", " _", " b"]
+    assert pretokenize("__init__") == ["__", "init", "__"]
+    # no character of the input is ever silently dropped
+    assert "".join(pretokenize("x_y z")) + " " == "x_y z "  # ws segments dropped
+    assert sum(len(s) for s in pretokenize("a_b")) == 3
+
+
 def test_bpe_token_counts_match_oracle(spark):
     texts = CORPUS + [
         "",  # empty
         "unicode café 北京 naïve — $12.99!",
         "it's can't we'll they'd",
         "completely unseen zyxwvut qqq",
+        "snake_case_name and __dunder__ and a_b",  # '_' must not vanish
     ]
     merges = train_bpe(_docs(spark, CORPUS), n_merges=20)
     got = (

@@ -302,6 +302,20 @@ def test_compact_folds_chain_preserving_time_travel(spark, cat):
         cat.compact("missing")
 
 
+def test_snap_column_name_is_reserved(spark, cat):
+    """`snap` is the snapshot partition dir: a data (or derived) column
+    with that name would be shadowed by partition discovery on read and
+    then dropped — silent data loss. write() must refuse loudly."""
+    df = spark.range(3).select(F.col("id"), F.lit(7).alias("snap"))
+    with pytest.raises(ValueError, match="reserved"):
+        cat.write(df, "t_bad", mode="overwrite")
+    with pytest.raises(ValueError, match="reserved"):
+        cat.write(
+            spark.range(3), "t_bad2", mode="overwrite",
+            partition_by={"snap": "id % 2"},
+        )
+
+
 def test_expire_reclaims_precompaction_history(spark, cat):
     import os
 

@@ -410,6 +410,9 @@ def test_dedup_paragraphs_python_oracle(spark):
         boiler,                                     # fully boilerplate
         "unique doc\n\nwith a blank line",          # untouched
         "repeated inside\nrepeated inside\nonce",   # within-doc repeat
+        "alpha\n\t\nbeta",                          # tab-only line = structure
+        "gamma\n\t\ndelta",                         # (repeats corpus-wide!)
+        f"nbsp pad\n {boiler} \nend",     # NBSP-padded boilerplate
     ]
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
@@ -435,6 +438,13 @@ def test_dedup_paragraphs_python_oracle(spark):
     assert out.loc[3, "text"] == "" and out.loc[3, "n_removed"] == 1
     # within-doc repeats count toward min_dup too (C4 convention)
     assert out.loc[5, "n_removed"] == 2
+    # tab-only lines are UNICODE-blank structure: although they repeat
+    # corpus-wide (docs 6 and 7), they are never counted or removed —
+    # Spark's ASCII-only trim() would have stripped them
+    assert out.loc[6, "text"] == "alpha\n\t\nbeta"
+    assert out.loc[7, "text"] == "gamma\n\t\ndelta"
+    # NBSP-padded boilerplate still matches via the unicode trim
+    assert out.loc[8, "n_removed"] == 1
 
     with pytest.raises(ValueError, match="min_dup"):
         DD.dedup_paragraphs(docs, min_dup=1)

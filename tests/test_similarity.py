@@ -331,12 +331,14 @@ def test_pq_refine_ignores_null_and_ragged_embeddings(spark):
         (10_001, None),                            # null embedding
         (10_002, [float(v) for v in X[0][:7]]),    # wrong dimension
         (10_003, [None] + [float(v) for v in X[1][1:]]),  # null element
+        (10_004, [float("nan")] * 16),             # NaN elements
     ]
     schema = "vec_id long, emb array<double>"
-    clean = spark.createDataFrame(clean_rows, schema).repartition(4)
-    dirty = spark.createDataFrame(
-        clean_rows + dirty_rows, schema
-    ).repartition(4)
+    # NO repartition: keep list order so both frames stream the clean
+    # rows in the same sequence — float summation order is then
+    # identical and the codebook comparison can be exact
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(clean_rows + dirty_rows, schema)
     books0 = S.pq_train(
         X / np.linalg.norm(X, axis=1, keepdims=True), m=4, n_codes=8, seed=3
     )

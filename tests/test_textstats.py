@@ -158,6 +158,7 @@ def test_bpe_like_token_counts_match_python_re(spark, sf_dir):
         "hello world",
         "",
         "  spaced   out  ",
+        "snake_case __dunder__ a_b",  # '_' is punctuation on BOTH sides
         "unicode café naïve 北京 123",
         "web nbsp thin spaces",  # unicode whitespace separates
     ]
@@ -168,10 +169,13 @@ def test_bpe_like_token_counts_match_python_re(spark, sf_dir):
         token_count_features(docs)
         .toPandas().set_index("doc_id").sort_index()
     )
-    # python oracle: the same GPT-2-style pre-tokenizer pattern
+    # python oracle: the same GPT-2-style pre-tokenizer pattern. Punct
+    # class is (?:[^\s\w]|_)+ — python \w includes '_' where Java
+    # \p{L}/\p{N} don't, so the naive [^\s\w]+ would silently DROP
+    # underscores while the JVM side segments them via [^\s\p{L}\p{N}]+
     pat = re.compile(
         r"'s|'t|'re|'ve|'m|'ll|'d"
-        r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+",
+        r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+",
         re.UNICODE,
     )
     for i, t in enumerate(texts):
