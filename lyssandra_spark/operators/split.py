@@ -22,7 +22,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["hash_split", "split_column", "stratified_sample", "quantile_filter"]
+__all__ = [
+    "hash_split",
+    "split_column",
+    "stratified_sample",
+    "quantile_filter",
+    "mix_sources",
+]
 
 _DENOM = float(1 << 63)
 
@@ -196,3 +202,68 @@ def quantile_filter(
         F.col(score_col) >= cut if higher_is_better else F.col(score_col) <= cut
     )
     return clean.where(pred)
+
+
+def mix_sources(
+    sources: dict,
+    weights: dict,
+    key_cols,
+    salt: str = "mix-v1",
+    source_col: str = "source",
+) -> "DataFrame":
+    """Deterministic training-mixture assembly: downsample each named
+    corpus so the EXPECTED output proportions equal ``weights``, and
+    union them with a ``source`` tag — the "N% web, M% code, K% books"
+    recipe every LM data pipeline ships (mixture reweighting as in Brown
+    et al. 2020 Table 2.2 / Gao et al. 2020 The Pile; this is the
+    static-weights operator — learned weights just change the dict).
+
+    Duplication-free by construction (no source is ever upsampled): the
+    output total is the largest T with ``weights[s] * T <= n_s`` for
+    every source, i.e. ``T = min(n_s / w_s)`` — the scarcest source is
+    taken whole and the rest are hash-downsampled to match. Sampling is
+    the same leakage-key-consistent pure-JVM xxhash64 predicate as
+    :func:`stratified_sample` (all rows of a key survive or drop
+    together; stable across runs, partitionings, and executor counts;
+    ``salt`` namespaces it from split/sample decisions).
+
+    Cost at 100 TB: one count() per source (a metadata-cheap aggregate),
+    then map-only filters + a plan-level union — no shuffle anywhere.
+    Sources must share a schema up to column order (unionByName;
+    missing-column drift fails loudly rather than null-filling a corpus).
+    """
+    if set(sources) != set(weights):
+        raise ValueError(
+            f"sources {sorted(sources)} and weights {sorted(weights)} "
+            "must name the same corpora"
+        )
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    bad = {k: w for k, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"weights must be non-negative: {bad}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+    norm = {k: w / total_w for k, w in weights.items()}
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    counts = {k: df.count() for k, df in sources.items()}
+    positive = {k for k, w in norm.items() if w > 0}
+    for k in positive:
+        if counts[k] == 0:
+            raise ValueError(
+                f"source {k!r} has weight {weights[k]} but zero rows"
+            )
+    # largest duplication-free total honoring the weights
+    T = min(counts[k] / norm[k] for k in positive)
+    out = None
+    for k in sorted(positive):
+        frac = min(1.0, (norm[k] * T) / counts[k])
+        df = sources[k]
+        u = F.shiftrightunsigned(
+            F.xxhash64(*[F.col(c) for c in keys], F.lit(salt), F.lit(k)), 1
+        ).cast("double") / F.lit(_DENOM)
+        piece = df.where(u < F.lit(frac)).withColumn(source_col, F.lit(k))
+        out = piece if out is None else out.unionByName(piece)
+    return out

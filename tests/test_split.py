@@ -216,3 +216,66 @@ def test_quantile_filter_per_stratum(spark):
     assert "BroadcastHashJoin" in plan
     # output schema is unchanged (no leaked helper columns)
     assert kept.columns == df.columns
+
+
+def test_mix_sources_proportions_and_determinism(spark):
+    """Training-mixture assembly: output proportions ~ weights, the
+    scarcest source is taken WHOLE (never upsampled), zero-weight
+    sources are excluded, and the decision is deterministic + map-only."""
+    from lyssandra_spark.operators.split import mix_sources
+
+    web = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    code = spark.range(40_000, 50_000).select(F.col("id").alias("doc_id"))
+    books = spark.range(90_000, 94_000).select(F.col("id").alias("doc_id"))
+    srcs = {"web": web, "code": code, "books": books}
+    w = {"web": 0.5, "code": 0.3, "books": 0.2}
+    out = mix_sources(srcs, w, key_cols="doc_id")
+    pdf = out.toPandas()
+    got = pdf.groupby("source").size()
+    # T = min(20000/.5, 10000/.3, 4000/.2) = 20000 -> books taken whole
+    assert got["books"] == 4_000
+    total = len(pdf)
+    for k in w:
+        assert abs(got[k] / total - w[k]) < 0.02, got.to_dict()
+
+    # deterministic under repartitioning: identical kept id sets
+    out2 = mix_sources(
+        {k: v.repartition(7) for k, v in srcs.items()}, w, key_cols="doc_id"
+    )
+    assert set(pdf.doc_id) == {r["doc_id"] for r in out2.collect()}
+
+    # zero-weight source contributes nothing
+    w0 = {"web": 0.7, "code": 0.3, "books": 0.0}
+    out0 = mix_sources(srcs, w0, key_cols="doc_id").toPandas()
+    assert "books" not in set(out0.source)
+
+    # map-only plan: hash filters + union, no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mix_sources_key_consistency_and_validation(spark):
+    from lyssandra_spark.operators.split import mix_sources
+
+    # every conv has 4 rows; the sampling unit must be the conv
+    conv = spark.range(2_000).select(
+        (F.col("id") % 500).alias("conv_id"), F.col("id")
+    )
+    other = spark.range(10_000, 12_000).select(
+        (F.col("id") % 500 + 1000).alias("conv_id"), F.col("id")
+    )
+    out = mix_sources(
+        {"a": conv, "b": other}, {"a": 0.5, "b": 0.5}, key_cols="conv_id"
+    ).toPandas()
+    sizes = out.groupby("conv_id").size()
+    assert (sizes == 4).all()  # conversations survive or drop together
+
+    with pytest.raises(ValueError, match="same corpora"):
+        mix_sources({"a": conv}, {"a": 0.5, "b": 0.5}, "conv_id")
+    with pytest.raises(ValueError, match="non-negative"):
+        mix_sources({"a": conv, "b": other}, {"a": 1.2, "b": -0.2}, "conv_id")
+    with pytest.raises(ValueError, match="sum to > 0"):
+        mix_sources({"a": conv}, {"a": 0.0}, "conv_id")
+    empty = conv.where(F.lit(False))
+    with pytest.raises(ValueError, match="zero rows"):
+        mix_sources({"a": conv, "b": empty}, {"a": 0.5, "b": 0.5}, "conv_id")
