@@ -339,10 +339,17 @@ def pq_refine(
 
     m, n_codes, dsub = books.shape
     dim = m * dsub
+    # require fully FINITE embeddings: an inf element makes the L2 norm
+    # inf, so normalization yields NaN and poisons the codebook sums
+    # exactly like a literal NaN element would
     corpus = corpus.where(
         F.col(emb_col).isNotNull()
         & (F.size(emb_col) == dim)
-        & ~F.exists(emb_col, lambda x: x.isNull() | F.isnan(x))
+        & ~F.exists(
+            emb_col,
+            lambda x: x.isNull() | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        )
     )
     schema = T.StructType([
         T.StructField("sums", T.ArrayType(T.DoubleType()), False),

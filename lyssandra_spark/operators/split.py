@@ -33,6 +33,23 @@ __all__ = [
 _DENOM = float(1 << 63)
 
 
+def _unit_hash(key_cols, *salts: str) -> Column:
+    """Shared [0, 1) hash of the leakage-key columns: xxhash64 of
+    (keys, salts), shifted unsigned into [0, 2^63) (drops one bit;
+    2^-63 granularity is far below any practical fraction). EVERY
+    deterministic decision in this module derives from this ONE
+    expression — the cross-operator salt-namespacing and key-consistency
+    guarantees the docstrings promise depend on all of them agreeing on
+    it. Empty key columns are rejected: the hash would be a constant,
+    silently keeping or dropping entire inputs wholesale."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must name at least one column")
+    return F.shiftrightunsigned(
+        F.xxhash64(*[F.col(k) for k in keys], *[F.lit(s) for s in salts]), 1
+    ).cast("double") / F.lit(_DENOM)
+
+
 def split_column(
     key_cols, fractions: dict[str, float], salt: str = "split-v1"
 ) -> Column:
@@ -50,13 +67,7 @@ def split_column(
         raise ValueError(f"fractions must sum to 1 (got {total})")
     if any(v < 0 for v in fractions.values()):
         raise ValueError("fractions must be non-negative")
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    # xxhash64 -> [0, 1): shift the signed 64-bit hash into [0, 2^63)
-    # via the unsigned >> 1 (drops one bit; 2^-63 granularity is far
-    # below any practical fraction)
-    u = F.shiftrightunsigned(
-        F.xxhash64(*[F.col(k) for k in keys], F.lit(salt)), 1
-    ).cast("double") / F.lit(_DENOM)
+    u = _unit_hash(key_cols, salt)
     expr = None
     acc = 0.0
     names = list(fractions)
@@ -114,10 +125,7 @@ def stratified_sample(
         raise ValueError(
             f"keep-fractions must be in [0, 1]: {bad or {'default': default}}"
         )
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    u = F.shiftrightunsigned(
-        F.xxhash64(*[F.col(k) for k in keys], F.lit(salt)), 1
-    ).cast("double") / F.lit(_DENOM)
+    u = _unit_hash(key_cols, salt)
     pairs = [c for k, v in fractions.items() for c in (F.lit(k), F.lit(float(v)))]
     thresh = F.coalesce(
         F.create_map(*pairs)[F.col(strata_col)], F.lit(float(default))
@@ -232,6 +240,8 @@ def mix_sources(
     Sources must share a schema up to column order (unionByName;
     missing-column drift fails loudly rather than null-filling a corpus).
     """
+    import math
+
     if set(sources) != set(weights):
         raise ValueError(
             f"sources {sorted(sources)} and weights {sorted(weights)} "
@@ -239,17 +249,30 @@ def mix_sources(
         )
     if not sources:
         raise ValueError("sources must be non-empty")
-    bad = {k: w for k, w in weights.items() if w < 0}
+    # learned/computed weights can arrive as NaN/inf — without the finite
+    # check a NaN slips through every comparison (NaN < 0 is False) and
+    # surfaces later as a bare empty-min() error with no hint
+    bad = {
+        k: w for k, w in weights.items()
+        if not math.isfinite(w) or w < 0
+    }
     if bad:
-        raise ValueError(f"weights must be non-negative: {bad}")
+        raise ValueError(f"weights must be finite and non-negative: {bad}")
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum to > 0")
+    # the tag column must not shadow existing data (same policy as the
+    # catalog's reserved `snap` name: loud beats silent overwrite)
+    clash = sorted(k for k, df in sources.items() if source_col in df.columns)
+    if clash:
+        raise ValueError(
+            f"sources {clash} already have a {source_col!r} column — "
+            "pass a different source_col instead of silently overwriting it"
+        )
     norm = {k: w / total_w for k, w in weights.items()}
-    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-
-    counts = {k: df.count() for k, df in sources.items()}
     positive = {k for k, w in norm.items() if w > 0}
+    # zero-weight sources contribute nothing: never pay their count() scan
+    counts = {k: sources[k].count() for k in positive}
     for k in positive:
         if counts[k] == 0:
             raise ValueError(
@@ -260,10 +283,10 @@ def mix_sources(
     out = None
     for k in sorted(positive):
         frac = min(1.0, (norm[k] * T) / counts[k])
-        df = sources[k]
-        u = F.shiftrightunsigned(
-            F.xxhash64(*[F.col(c) for c in keys], F.lit(salt), F.lit(k)), 1
-        ).cast("double") / F.lit(_DENOM)
-        piece = df.where(u < F.lit(frac)).withColumn(source_col, F.lit(k))
+        u = _unit_hash(key_cols, salt, k)
+        piece = (
+            sources[k].where(u < F.lit(frac))
+            .withColumn(source_col, F.lit(k))
+        )
         out = piece if out is None else out.unionByName(piece)
     return out

@@ -332,6 +332,8 @@ def test_pq_refine_ignores_null_and_ragged_embeddings(spark):
         (10_002, [float(v) for v in X[0][:7]]),    # wrong dimension
         (10_003, [None] + [float(v) for v in X[1][1:]]),  # null element
         (10_004, [float("nan")] * 16),             # NaN elements
+        # inf -> L2 norm inf -> normalized NaN: poisons like literal NaN
+        (10_005, [float("inf")] + [float(v) for v in X[2][1:]]),
     ]
     schema = "vec_id long, emb array<double>"
     # NO repartition: keep list order so both frames stream the clean

@@ -279,3 +279,31 @@ def test_mix_sources_key_consistency_and_validation(spark):
     empty = conv.where(F.lit(False))
     with pytest.raises(ValueError, match="zero rows"):
         mix_sources({"a": conv, "b": empty}, {"a": 0.5, "b": 0.5}, "conv_id")
+    # learned weights can arrive NaN/inf: loud named error, not a bare
+    # empty-min() crash three stack frames later
+    with pytest.raises(ValueError, match="finite"):
+        mix_sources({"a": conv, "b": other},
+                    {"a": float("nan"), "b": 0.5}, "conv_id")
+    with pytest.raises(ValueError, match="finite"):
+        mix_sources({"a": conv, "b": other},
+                    {"a": float("inf"), "b": 0.5}, "conv_id")
+    # the tag column must not silently overwrite existing data
+    tagged = conv.withColumn("source", F.lit("orig"))
+    with pytest.raises(ValueError, match="source"):
+        mix_sources({"a": tagged, "b": other},
+                    {"a": 0.5, "b": 0.5}, "conv_id")
+    # empty key list would hash to a per-source constant: rejected
+    with pytest.raises(ValueError, match="at least one column"):
+        mix_sources({"a": conv, "b": other}, {"a": 0.5, "b": 0.5}, [])
+    # zero-weight sources never pay a count() scan: a corpus that would
+    # EXPLODE if counted (rdd with a poison pill) passes through untouched
+    class _Boom:
+        def count(self_inner):
+            raise AssertionError("zero-weight source was counted")
+        @property
+        def columns(self_inner):
+            return ["conv_id", "id"]
+    out = mix_sources(
+        {"a": conv, "boom": _Boom()}, {"a": 1.0, "boom": 0.0}, "conv_id"
+    )
+    assert out.count() > 0
