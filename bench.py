@@ -216,6 +216,17 @@ def llm_bench(spark, sf_dir: str) -> dict:
     timed("pack_2048", lambda: _force(
         pack_sequences(counts, budget=2048, n_shards=64)))
 
+    # round-5 ops
+    from lyssandra_spark.functions.bpe import bpe_token_counts, train_bpe
+    from lyssandra_spark.operators.dedup import dedup_paragraphs
+
+    timed("paragraph_dedup", lambda: _force(dedup_paragraphs(d)))
+
+    def bpe_round():
+        merges = train_bpe(d, n_merges=200, max_words=20_000)
+        _force(bpe_token_counts(d, merges))
+    timed("bpe_train200_plus_count", bpe_round)
+
     d.unpersist()
     total = round(sum(timings.values()), 3)
     slowest = max(timings.values())

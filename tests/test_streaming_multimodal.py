@@ -310,3 +310,32 @@ def test_streaming_text_quality_matches_batch(spark, sf_dir, tmp_path_factory):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(g2, e2)
+
+
+def test_streaming_bpe_counts_match_batch(spark, sf_dir, tmp_path_factory):
+    """Trained-BPE token counting is a broadcast + map-only Arrow pass,
+    so it lifts to Structured Streaming UNCHANGED: merges trained on the
+    batch corpus, the identical bpe_token_counts call on a stream
+    produces batch-identical counts (B21 for the packing-budget path)."""
+    from lyssandra_spark.functions.bpe import bpe_token_counts, train_bpe
+
+    src = str(tmp_path_factory.mktemp("bpe_stream") / "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(300).repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    sdf = ST.read_transcript_stream(
+        spark, src, batch.schema, max_files=1
+    ).select("doc_id", "text")
+
+    merges = train_bpe(batch, n_merges=50, max_words=5_000)
+    got = (
+        _run_stream(spark, bpe_token_counts(sdf, merges), "bpe_stream")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = (
+        bpe_token_counts(batch, merges)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert (exp.n_bpe_tokens > 0).any()
