@@ -26,10 +26,72 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["ParquetCatalog"]
+__all__ = ["ParquetCatalog", "zorder_key"]
+
+_Z_BUCKETS = 256  # 8 bits per column in the interleaved key
+
+
+def zorder_key(df: DataFrame, cols: list[str]) -> Column:
+    """Morton/Z-order key over numeric/timestamp columns: each column is
+    quantile-bucketed to 8 bits (one ``approx_percentile`` sketch job for
+    the cutoffs — data-adaptive, so skewed columns still spread across
+    buckets), and the bucket bits are interleaved. Sorting/range-
+    partitioning by this key clusters rows so every parquet file covers a
+    COMPACT box in ALL the columns at once — multi-dimensional min/max
+    pruning, where a plain sort gives tight bounds on the first column
+    and full-range stripes on every other (the Iceberg OPTIMIZE ZORDER
+    rationale). Nulls bucket to 0 (cluster together, first files).
+
+    Columns must be numeric, date, or timestamp (temporal types are
+    bucketed via their epoch value); strings have no meaningful linear
+    order-locality to preserve and are rejected.
+    """
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (use sort_by for one)")
+    qs = [i / _Z_BUCKETS for i in range(1, _Z_BUCKETS)]
+    casted = {}
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt in ("timestamp", "timestamp_ntz"):
+            casted[c] = F.unix_micros(F.col(c)).cast("double")
+        elif dt == "date":
+            casted[c] = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        elif dt in ("tinyint", "smallint", "int", "bigint", "float",
+                    "double") or dt.startswith("decimal"):
+            casted[c] = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"zorder column {c!r} has type {dt}: only numeric/date/"
+                "timestamp columns have the linear locality Z-ordering "
+                "preserves"
+            )
+    cuts_row = df.agg(*[
+        F.percentile_approx(casted[c], F.array(*[F.lit(q) for q in qs]))
+        .alias(c)
+        for c in cols
+    ]).collect()[0]
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        cuts = [v for v in (cuts_row[c] or []) if v is not None]
+        bucket = F.size(
+            F.filter(
+                F.array(*[F.lit(float(v)) for v in cuts]),
+                lambda cut: cut <= casted[c],
+            )
+        ) if cuts else F.lit(0)
+        bucket = F.coalesce(bucket, F.lit(0)).cast("long")  # null -> 0
+        for b in range(8):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    n * b + j,
+                )
+            )
+    return z
 
 
 class ParquetCatalog:
@@ -65,6 +127,8 @@ class ParquetCatalog:
         partition_by: dict[str, str] | None = None,
         meta: dict | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        n_files: int = 16,
     ) -> int:
         """Write df as a new snapshot; returns the snapshot id.
 
@@ -77,6 +141,15 @@ class ParquetCatalog:
         point/range scans prune inside files, not just across them. The
         order is recorded in the manifest so readers know what pruning
         to expect.
+        ``zorder_by`` (Iceberg OPTIMIZE ZORDER analogue, mutually
+        exclusive with ``sort_by``) range-partitions + sorts on a
+        :func:`zorder_key` over >= 2 numeric/temporal columns into
+        ``n_files`` clustered files: every file then bounds a compact
+        box in ALL the columns, so min/max pruning works for predicates
+        on ANY of them — a plain sort gives full-range stripes on every
+        column but the first. Costs one quantile-sketch job + one range
+        shuffle (that is the price of clustering; pay it on compaction,
+        not on every hot append).
         ``meta`` is recorded verbatim on the snapshot's manifest entry
         (e.g. the streaming sink stamps its micro-batch id, so replayed
         batches are auditable).
@@ -121,6 +194,8 @@ class ParquetCatalog:
                 )
         snap_id = (man["snapshots"][-1]["id"] + 1) if man["snapshots"] else 1
         snap_dir = os.path.join(self._tdir(name), f"snap={snap_id}")
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         out = df
         pcols = list((partition_by or {}).keys())
         for col, expr in (partition_by or {}).items():
@@ -130,6 +205,19 @@ class ParquetCatalog:
             if missing_sort:
                 raise ValueError(f"sort_by columns {missing_sort} not in df")
             out = out.sortWithinPartitions(*sort_by)
+        if zorder_by:
+            missing_z = [c for c in zorder_by if c not in df.columns]
+            if missing_z:
+                raise ValueError(f"zorder_by columns {missing_z} not in df")
+            if n_files < 1:
+                raise ValueError(f"n_files ({n_files}) must be >= 1")
+            zk = zorder_key(df, list(zorder_by))
+            out = (
+                out.withColumn("__z", zk)
+                .repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
         w = out.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
@@ -140,6 +228,7 @@ class ParquetCatalog:
                 "mode": mode,
                 "partition_by": partition_by or {},
                 **({"sort_by": sort_by} if sort_by else {}),
+                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
                 "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema],
                 "wall": time.time(),
                 **({"meta": meta} if meta else {}),

@@ -359,3 +359,55 @@ def test_expire_before_cutoff_retains_newer_history(spark, cat):
     assert cat.read("t3").count() == 3
     with pytest.raises(FileNotFoundError):
         cat.expire("missing")
+
+
+def test_catalog_zorder_layout(spark, cat):
+    """zorder_by clusters every parquet file into a compact box in ALL
+    the ordered columns (multi-dim min/max pruning) — a plain sort gives
+    full-range stripes on every column but the first."""
+    import glob
+    import os
+
+    n = 256
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"),
+        F.floor(F.col("id") / n).alias("b"),
+        F.col("id").alias("v"),
+    )
+    cat.write(df, "z", mode="overwrite", zorder_by=["a", "b"], n_files=16)
+    assert cat.snapshots("z")[-1]["zorder_by"] == ["a", "b"]
+    back = cat.read("z")
+    assert back.count() == n * n
+    assert sorted(back.columns) == ["a", "b", "v"]  # __z never leaks
+
+    files = glob.glob(os.path.join(cat.root, "z", "snap=1", "*.parquet"))
+    assert len(files) >= 8
+    areas = []
+    for f in files:
+        pdf = pd.read_parquet(f)
+        ra = (pdf.a.max() - pdf.a.min() + 1) / n
+        rb = (pdf.b.max() - pdf.b.min() + 1) / n
+        areas.append(ra * rb)
+    # 16 files over a uniform 2D grid: compact boxes ~1/16 of the domain
+    # each (+ boundary slop) — a 1-D sort would average ~1.0 here because
+    # every file spans the full range of the second column
+    assert sum(areas) / len(areas) < 0.2, areas
+
+    # temporal columns bucket via their epoch value
+    ts = df.withColumn(
+        "ts", F.timestamp_seconds(F.col("v") * 60 + 1_500_000_000)
+    )
+    cat.write(ts, "zt", mode="overwrite", zorder_by=["a", "ts"], n_files=8)
+    assert cat.read("zt").count() == n * n
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cat.write(df, "zerr", zorder_by=["a", "b"], sort_by=["a"])
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        cat.write(df, "zerr", zorder_by=["a"])
+    with pytest.raises(ValueError, match="not in df"):
+        cat.write(df, "zerr", zorder_by=["a", "nope"])
+    with pytest.raises(ValueError, match="linear locality"):
+        cat.write(df.withColumn("s", F.lit("x")), "zerr",
+                  zorder_by=["a", "s"])
+    with pytest.raises(ValueError, match="n_files"):
+        cat.write(df, "zerr", zorder_by=["a", "b"], n_files=0)
