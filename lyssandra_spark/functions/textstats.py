@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "word_tokens",
     "bpe_like_tokens",
+    "repetition_exprs",
     "repetition_features",
     "ngram_contamination",
     "token_frequencies",
@@ -70,6 +71,21 @@ def repetition_features(
     """
     toks = word_tokens(text_col)
     out = df.select(id_col, toks.alias("__toks"))
+    e = repetition_exprs()
+    return out.select(
+        id_col, *[c.alias(name) for name, c in e.items()]
+    )
+
+
+def repetition_exprs() -> dict[str, Column]:
+    """The repetition scores as raw Column exprs over a PRE-PROJECTED
+    ``__toks`` array column (same contract as :func:`char_ngrams` /
+    ``shingle_set``: project the tokens once, then reference them) —
+    exposed so composite featurizers (the quality classifier) can build
+    these alongside other per-doc stats in ONE map-only projection
+    instead of paying an id-join against :func:`repetition_features`.
+    Keys double as the canonical output column names.
+    """
     n = F.size("__toks")
     safe_n = F.greatest(n, F.lit(1))
     # most-frequent-token count as a run-length scan over the SORTED
@@ -91,20 +107,20 @@ def repetition_features(
         "ELSE transform(sequence(0, size(__toks) - 2), "
         "i -> concat_ws(' ', __toks[i], __toks[i+1])) END"
     )
-    out = out.select(
-        id_col,
-        n.cast("long").alias("n_tokens"),
-        F.round(
+    return {
+        "n_tokens": n.cast("long"),
+        "dup_word_ratio": F.round(
             (n - F.size(F.array_distinct("__toks"))) / safe_n, 4
-        ).alias("dup_word_ratio"),
-        F.round(F.coalesce(max_cnt, F.lit(0)) / safe_n, 4).alias("max_tok_frac"),
-        F.round(
+        ),
+        "max_tok_frac": F.round(
+            F.coalesce(max_cnt, F.lit(0)) / safe_n, 4
+        ),
+        "dup_2gram_ratio": F.round(
             (F.size(g2) - F.size(F.array_distinct(g2)))
             / F.greatest(F.size(g2), F.lit(1)),
             4,
-        ).alias("dup_2gram_ratio"),
-    )
-    return out
+        ),
+    }
 
 
 def ngram_contamination(

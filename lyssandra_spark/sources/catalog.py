@@ -369,7 +369,13 @@ class ParquetCatalog:
             meta={**(meta or {}), "merge_keys": keys},
         )
 
-    def compact(self, name: str, meta: dict | None = None) -> int:
+    def compact(
+        self,
+        name: str,
+        meta: dict | None = None,
+        zorder_by: list[str] | None = None,
+        n_files: int = 16,
+    ) -> int:
         """Rewrite the current append chain as ONE snapshot (Iceberg's
         ``rewrite_data_files`` / OPTIMIZE analogue) and return its id.
 
@@ -398,6 +404,12 @@ class ParquetCatalog:
         ``overwrite``, which such jobs correctly detect as a chain reset
         and handle by recomputing — results stay right, the one refresh
         after a compaction is just not incremental.
+
+        ``zorder_by`` re-CLUSTERS while compacting (``write``'s Z-order
+        layout) — the production pairing: hot appends land cheap and
+        unclustered all day, and the one rewrite that compaction already
+        pays also buys multi-column pruning. Overrides any inherited
+        ``sort_by`` for the compacted snapshot.
         """
         man = self._manifest(name)
         if not man["snapshots"]:
@@ -417,7 +429,9 @@ class ParquetCatalog:
             name,
             mode="overwrite",
             partition_by=head["partition_by"] or None,
-            sort_by=head.get("sort_by"),
+            sort_by=None if zorder_by else head.get("sort_by"),
+            zorder_by=zorder_by,
+            n_files=n_files,
             meta={**(meta or {}),
                   "compaction_of": [s["id"] for s in chain]},
         )

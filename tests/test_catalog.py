@@ -411,3 +411,31 @@ def test_catalog_zorder_layout(spark, cat):
                   zorder_by=["a", "s"])
     with pytest.raises(ValueError, match="n_files"):
         cat.write(df, "zerr", zorder_by=["a", "b"], n_files=0)
+
+
+def test_compact_with_zorder_recluster(spark, cat):
+    """The production pairing: unclustered hot appends all day, then ONE
+    compaction rewrite that also buys the Z-order clustering."""
+    import glob
+    import os
+
+    n = 128
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        (F.col("id") % n).alias("a"),
+        F.floor(F.col("id") / n).alias("b"),
+    )
+    cat.write(mk(0, n * n // 2), "t", mode="overwrite")
+    cat.write(mk(n * n // 2, n * n), "t", mode="append")
+    cid = cat.compact("t", zorder_by=["a", "b"], n_files=8)
+    assert cat.snapshots("t")[-1]["zorder_by"] == ["a", "b"]
+    assert cat.read("t").count() == n * n
+
+    files = glob.glob(os.path.join(cat.root, "t", f"snap={cid}", "*.parquet"))
+    areas = []
+    for f in files:
+        pdf = pd.read_parquet(f)
+        areas.append(
+            (pdf.a.max() - pdf.a.min() + 1) * (pdf.b.max() - pdf.b.min() + 1)
+            / float(n * n)
+        )
+    assert sum(areas) / len(areas) < 0.35, areas  # 8 files -> ~1/8 boxes
