@@ -27,7 +27,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pool_codes", "ridge_probe"]
+__all__ = ["pool_codes", "ridge_probe", "linear_score"]
+
+
+def linear_score(feature_col: str, w) -> "F.Column":
+    """Column expr: the linear-model margin ``w . x + b`` over an
+    array<double> feature column, weights as a LITERAL array in the plan
+    (bias last) — a pure JVM zip_with/aggregate fold, so scoring is
+    map-only at any corpus size. The ONE definition of the classifier
+    margin: ridge_probe's accuracy pass and the quality classifier's
+    scorer both use it (two copies would let bias/cast semantics drift).
+    """
+    w = np.asarray(w, dtype=float)
+    wcol = F.array(*[F.lit(float(v)) for v in w[:-1]])
+    return F.aggregate(
+        F.zip_with(
+            F.col(feature_col).cast("array<double>"), wcol,
+            lambda a, b: a * b,
+        ),
+        F.lit(float(w[-1])),
+        lambda acc, v: acc + v,
+    )
 
 
 def pool_codes(
@@ -146,13 +166,7 @@ def ridge_probe(
     w = np.linalg.solve(XtX + lam * n * np.eye(d1), Xty)
 
     # training accuracy, computed distributed (no feature collect)
-    wcol = F.array(*[F.lit(float(v)) for v in w[:-1]])
-    score = F.aggregate(
-        F.zip_with(F.col(feature_col).cast("array<double>"), wcol,
-                   lambda a, b: a * b),
-        F.lit(float(w[-1])),
-        lambda acc, v: acc + v,
-    )
+    score = linear_score(feature_col, w)
     acc_row = (
         df.select(
             (

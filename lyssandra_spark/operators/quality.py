@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lyssandra_spark.functions.textstats import repetition_exprs, word_tokens
-from lyssandra_spark.operators.pooling import ridge_probe
+from lyssandra_spark.operators.pooling import linear_score, ridge_probe
 
 __all__ = [
     "FEATURE_NAMES",
@@ -151,10 +151,5 @@ def quality_scores(
             "(features + bias — train_quality_classifier's output)"
         )
     feats = featurize_documents(df, id_col, text_col)
-    wcol = F.array(*[F.lit(float(v)) for v in w[:-1]])
-    score = F.aggregate(
-        F.zip_with("features", wcol, lambda a, b: a * b),
-        F.lit(float(w[-1])),
-        lambda acc, v: acc + v,
-    )
+    score = linear_score("features", w)
     return feats.select(id_col, F.round(score, 6).alias(out_col))

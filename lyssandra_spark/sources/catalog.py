@@ -51,12 +51,26 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
     """
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns (use sort_by for one)")
+    if len(cols) > 7:
+        # 8 bits x 8 columns would put the last column's top bucket bit at
+        # position 63 (the long SIGN bit: those rows sort before everything
+        # and the layout silently stops being Morton order); 9+ columns
+        # shift past 64 and Java masks the amount mod 64, colliding bits
+        raise ValueError(
+            f"zorder supports at most 7 columns (got {len(cols)}): the "
+            "interleaved 8-bit buckets must fit below the long sign bit"
+        )
     qs = [i / _Z_BUCKETS for i in range(1, _Z_BUCKETS)]
     casted = {}
     for c in cols:
         dt = df.schema[c].dataType.simpleString()
         if dt in ("timestamp", "timestamp_ntz"):
-            casted[c] = F.unix_micros(F.col(c)).cast("double")
+            # unix_micros rejects TIMESTAMP_NTZ; the cast (session-tz
+            # interpretation) is fine here — only ORDER matters for
+            # bucketing, and the cast is monotone
+            casted[c] = F.unix_micros(
+                F.col(c).cast("timestamp")
+            ).cast("double")
         elif dt == "date":
             casted[c] = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
         elif dt in ("tinyint", "smallint", "int", "bigint", "float",
@@ -205,12 +219,17 @@ class ParquetCatalog:
             if missing_sort:
                 raise ValueError(f"sort_by columns {missing_sort} not in df")
             out = out.sortWithinPartitions(*sort_by)
+        zpersisted = None
         if zorder_by:
             missing_z = [c for c in zorder_by if c not in df.columns]
             if missing_z:
                 raise ValueError(f"zorder_by columns {missing_z} not in df")
             if n_files < 1:
                 raise ValueError(f"n_files ({n_files}) must be >= 1")
+            # three passes read the input (quantile sketch, the range
+            # partitioner's boundary sampling, the write itself) — persist
+            # it so an expensive upstream pipeline is computed once, not 3x
+            zpersisted = df.persist()
             zk = zorder_key(df, list(zorder_by))
             out = (
                 out.withColumn("__z", zk)
@@ -221,7 +240,11 @@ class ParquetCatalog:
         w = out.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
-        w.parquet(snap_dir)
+        try:
+            w.parquet(snap_dir)
+        finally:
+            if zpersisted is not None:
+                zpersisted.unpersist()
         man["snapshots"].append(
             {
                 "id": snap_id,
@@ -423,6 +446,17 @@ class ParquetCatalog:
         if len(chain) == 1:
             return chain[-1]["id"]  # already one snapshot: nothing to do
         head = chain[-1]
+        # inherit the chain's clustering when the caller doesn't override:
+        # compacting a Z-ordered table must not silently rewrite it
+        # unclustered (and drop the manifest record readers rely on). The
+        # record lives on the snapshot that DID the clustering (usually
+        # the chain base — hot appends land unclustered on top), so scan
+        # the chain newest-first for the most recent one.
+        if zorder_by is None:
+            for s in reversed(chain):
+                if s.get("zorder_by"):
+                    zorder_by = s["zorder_by"]
+                    break
         df = self.read(name)
         return self.write(
             df,

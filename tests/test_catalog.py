@@ -393,12 +393,24 @@ def test_catalog_zorder_layout(spark, cat):
     # every file spans the full range of the second column
     assert sum(areas) / len(areas) < 0.2, areas
 
-    # temporal columns bucket via their epoch value
+    # temporal columns bucket via their epoch value — incl. TIMESTAMP_NTZ
+    # (unix_micros rejects ntz; the key casts first)
     ts = df.withColumn(
         "ts", F.timestamp_seconds(F.col("v") * 60 + 1_500_000_000)
     )
     cat.write(ts, "zt", mode="overwrite", zorder_by=["a", "ts"], n_files=8)
     assert cat.read("zt").count() == n * n
+    ntz = ts.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    cat.write(ntz, "zntz", mode="overwrite", zorder_by=["a", "ts"], n_files=8)
+    assert cat.read("zntz").count() == n * n
+
+    # > 7 columns would collide with the long sign bit / wrap shifts
+    wide = df
+    for i in range(6):
+        wide = wide.withColumn(f"c{i}", F.col("v") % (i + 2))
+    with pytest.raises(ValueError, match="at most 7"):
+        cat.write(wide, "zerr",
+                  zorder_by=["a", "b"] + [f"c{i}" for i in range(6)])
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         cat.write(df, "zerr", zorder_by=["a", "b"], sort_by=["a"])
@@ -439,3 +451,21 @@ def test_compact_with_zorder_recluster(spark, cat):
             / float(n * n)
         )
     assert sum(areas) / len(areas) < 0.35, areas  # 8 files -> ~1/8 boxes
+
+    # a later no-arg compact INHERITS the head's clustering: it must not
+    # silently rewrite the table unclustered (or drop the manifest record)
+    cat.write(mk(0, 64), "t", mode="append")
+    cid2 = cat.compact("t")
+    assert cat.snapshots("t")[-1]["zorder_by"] == ["a", "b"]
+    assert cat.read("t").count() == n * n + 64
+    files2 = glob.glob(
+        os.path.join(cat.root, "t", f"snap={cid2}", "*.parquet")
+    )
+    areas2 = []
+    for f in files2:
+        pdf = pd.read_parquet(f)
+        areas2.append(
+            (pdf.a.max() - pdf.a.min() + 1) * (pdf.b.max() - pdf.b.min() + 1)
+            / float(n * n)
+        )
+    assert sum(areas2) / len(areas2) < 0.35, areas2
