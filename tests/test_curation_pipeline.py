@@ -148,3 +148,94 @@ def test_all_curation_ops_handle_empty_input(spark):
     assert score_char_lm(empty, model, oov).count() == 0
     # profiler returns the metric scaffold (rows row + per-column rows)
     assert profile_table(empty).count() > 0
+
+
+def test_incremental_curation_pipeline(spark, sf_dir, tmp_path_factory):
+    """The DAILY flow, built only from this repo's incremental operators:
+    each arriving batch is near-dup-indexed against the persisted
+    signature table (dedup_new_batch), its pairs fold into the persisted
+    component labels (update_components), retention re-derives from
+    labels alone (retain_best_with_labels — no graph pass), per-day
+    stats maintain incrementally (refresh_aggregate), and the month-end
+    compact + expire reclaims the snapshot chain without changing reads.
+    Final retention must equal the all-at-once batch pipeline."""
+    from lyssandra_spark.operators.dedup import minhash_lsh_pairs
+    from lyssandra_spark.operators.graph import (
+        connected_components,
+        retain_best_per_cluster,
+        retain_best_with_labels,
+    )
+    from lyssandra_spark.operators.incremental import (
+        dedup_new_batch,
+        refresh_aggregate,
+        update_components,
+    )
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("quality", (F.xxhash64("doc_id") % 1000) / 1000.0)
+    )
+    # plant near-dups across batch boundaries: every 6th doc gets a
+    # tweaked twin routed to a DIFFERENT day than its original
+    twins = docs.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 70000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tweak")).alias("text"),
+        F.col("quality"),
+    )
+    corpus = docs.unionByName(twins).cache()
+
+    cat = ParquetCatalog(spark, str(tmp_path_factory.mktemp("inc_cur")))
+    kw = dict(n_perm=32, bands=8, threshold=0.3, ngram_bytes=8)
+    day = F.pmod(F.xxhash64("doc_id", F.lit("route")), F.lit(3))
+    for r in range(3):
+        batch = corpus.where(day == r)
+        pairs, _ = dedup_new_batch(
+            cat, "sigs", batch, batch_id=f"day{r}", **kw
+        )
+        update_components(cat, "labels", pairs)
+        cat.write(batch.withColumn("day", F.lit(r)), "docs", mode="append")
+        refresh_aggregate(cat, "docs", "daily_stats", keys="day",
+                          sum_cols="quality")
+
+    # retention from the PERSISTED labels == the one-shot batch pipeline
+    kept_inc = retain_best_with_labels(
+        corpus, cat.read("labels"), score_col="quality"
+    )
+    full_pairs = minhash_lsh_pairs(corpus, **kw)
+    kept_full = retain_best_per_cluster(
+        corpus, full_pairs, score_col="quality"
+    )
+    a = kept_inc.select("doc_id").toPandas().sort_values("doc_id")
+    b = kept_full.select("doc_id").toPandas().sort_values("doc_id")
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert len(a) < corpus.count()  # something was actually deduped
+
+    # labels agree with a from-scratch CC over all pairs
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(full_pairs).collect()
+    }
+    got = {r["id"]: r["component"] for r in cat.read("labels").collect()}
+    assert got == want
+
+    # incremental stats == direct aggregation
+    stats = cat.read("daily_stats").toPandas().set_index("day")
+    direct = (
+        corpus.withColumn("day", day).groupBy("day")
+        .agg(F.sum("quality").alias("sum_quality"),
+             F.count("*").alias("n_rows"))
+        .toPandas().set_index("day")
+    )
+    for d_ in range(3):
+        assert stats.loc[d_, "n_rows"] == direct.loc[d_, "n_rows"]
+        assert abs(stats.loc[d_, "sum_quality"]
+                   - direct.loc[d_, "sum_quality"]) < 1e-6
+
+    # month-end maintenance: compact + expire; reads unchanged
+    n_before = cat.read("docs").count()
+    cat.compact("docs")
+    assert cat.expire("docs")  # reclaimed something
+    assert cat.read("docs").count() == n_before
+    corpus.unpersist()
