@@ -67,7 +67,11 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
         if dt in ("timestamp", "timestamp_ntz"):
             # unix_micros rejects TIMESTAMP_NTZ; the cast (session-tz
             # interpretation) is fine here — only ORDER matters for
-            # bucketing, and the cast is monotone
+            # bucketing, and the cast is monotone under UTC sessions
+            # (this repo pins UTC). Under a DST session zone, wall times
+            # inside a spring-forward gap can invert instant order by up
+            # to an hour — layout-only impact (slightly looser file
+            # bounds in that hour), never wrong reads.
             casted[c] = F.unix_micros(
                 F.col(c).cast("timestamp")
             ).cast("double")
@@ -228,9 +232,19 @@ class ParquetCatalog:
                 raise ValueError(f"n_files ({n_files}) must be >= 1")
             # three passes read the input (quantile sketch, the range
             # partitioner's boundary sampling, the write itself) — persist
-            # it so an expensive upstream pipeline is computed once, not 3x
-            zpersisted = df.persist()
-            zk = zorder_key(df, list(zorder_by))
+            # it so an expensive upstream pipeline is computed once, not
+            # 3x. Respect a cache the CALLER already established (their
+            # persist would make ours a no-op, but our unpersist would
+            # evict theirs), and release ours if validation inside
+            # zorder_key raises before the write's finally can run.
+            try:
+                if not df.is_cached:
+                    zpersisted = df.persist()
+                zk = zorder_key(df, list(zorder_by))
+            except Exception:
+                if zpersisted is not None:
+                    zpersisted.unpersist()
+                raise
             out = (
                 out.withColumn("__z", zk)
                 .repartitionByRange(n_files, F.col("__z"))
@@ -251,7 +265,8 @@ class ParquetCatalog:
                 "mode": mode,
                 "partition_by": partition_by or {},
                 **({"sort_by": sort_by} if sort_by else {}),
-                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
+                **({"zorder_by": list(zorder_by), "zorder_files": n_files}
+                   if zorder_by else {}),
                 "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema],
                 "wall": time.time(),
                 **({"meta": meta} if meta else {}),
@@ -397,7 +412,7 @@ class ParquetCatalog:
         name: str,
         meta: dict | None = None,
         zorder_by: list[str] | None = None,
-        n_files: int = 16,
+        n_files: int | None = None,
     ) -> int:
         """Rewrite the current append chain as ONE snapshot (Iceberg's
         ``rewrite_data_files`` / OPTIMIZE analogue) and return its id.
@@ -431,8 +446,14 @@ class ParquetCatalog:
         ``zorder_by`` re-CLUSTERS while compacting (``write``'s Z-order
         layout) — the production pairing: hot appends land cheap and
         unclustered all day, and the one rewrite that compaction already
-        pays also buys multi-column pruning. Overrides any inherited
-        ``sort_by`` for the compacted snapshot.
+        pays also buys multi-column pruning. With no argument, the
+        compacted snapshot INHERITS the chain's most recently recorded
+        layout intent — scanning newest-first for EITHER a ``zorder_by``
+        or a ``sort_by`` record, whichever was expressed later (so
+        switching a table to a plain sort is respected, and abandoned
+        clustering is not resurrected); an inherited Z-order also
+        inherits its recorded file count. Pass ``zorder_by=[]`` to
+        explicitly compact FLAT (no re-clustering, no inherited sort).
         """
         man = self._manifest(name)
         if not man["snapshots"]:
@@ -446,26 +467,39 @@ class ParquetCatalog:
         if len(chain) == 1:
             return chain[-1]["id"]  # already one snapshot: nothing to do
         head = chain[-1]
-        # inherit the chain's clustering when the caller doesn't override:
-        # compacting a Z-ordered table must not silently rewrite it
-        # unclustered (and drop the manifest record readers rely on). The
-        # record lives on the snapshot that DID the clustering (usually
-        # the chain base — hot appends land unclustered on top), so scan
-        # the chain newest-first for the most recent one.
+        # inherit the chain's most recent LAYOUT INTENT when the caller
+        # doesn't override: compacting a Z-ordered table must not
+        # silently rewrite it unclustered (and drop the manifest record
+        # readers rely on) — but a NEWER sort_by record means the user
+        # moved away from clustering, and resurrecting it would re-pay
+        # the range shuffle for an abandoned layout. The record lives on
+        # the snapshot that established it (usually the chain base; hot
+        # appends land plain on top), so scan newest-first and take
+        # whichever layout was expressed last. zorder_by=[] opts out of
+        # both.
+        explicit_flat = zorder_by is not None and len(list(zorder_by)) == 0
+        sort_inherit = None
+        inh_files = None
         if zorder_by is None:
             for s in reversed(chain):
                 if s.get("zorder_by"):
                     zorder_by = s["zorder_by"]
+                    inh_files = s.get("zorder_files")
                     break
+                if s.get("sort_by"):
+                    sort_inherit = s["sort_by"]
+                    break
+        elif explicit_flat:
+            zorder_by = None
         df = self.read(name)
         return self.write(
             df,
             name,
             mode="overwrite",
             partition_by=head["partition_by"] or None,
-            sort_by=None if zorder_by else head.get("sort_by"),
+            sort_by=sort_inherit if zorder_by is None else None,
             zorder_by=zorder_by,
-            n_files=n_files,
+            n_files=n_files if n_files is not None else (inh_files or 16),
             meta={**(meta or {}),
                   "compaction_of": [s["id"] for s in chain]},
         )

@@ -452,11 +452,13 @@ def test_compact_with_zorder_recluster(spark, cat):
         )
     assert sum(areas) / len(areas) < 0.35, areas  # 8 files -> ~1/8 boxes
 
-    # a later no-arg compact INHERITS the head's clustering: it must not
-    # silently rewrite the table unclustered (or drop the manifest record)
+    # a later no-arg compact INHERITS the chain's clustering (columns AND
+    # file count): it must not silently rewrite the table unclustered,
+    # drop the manifest record, or change the file granularity
     cat.write(mk(0, 64), "t", mode="append")
     cid2 = cat.compact("t")
     assert cat.snapshots("t")[-1]["zorder_by"] == ["a", "b"]
+    assert cat.snapshots("t")[-1]["zorder_files"] == 8
     assert cat.read("t").count() == n * n + 64
     files2 = glob.glob(
         os.path.join(cat.root, "t", f"snap={cid2}", "*.parquet")
@@ -469,3 +471,38 @@ def test_compact_with_zorder_recluster(spark, cat):
             / float(n * n)
         )
     assert sum(areas2) / len(areas2) < 0.35, areas2
+
+    # a NEWER sort_by record is a layout change: compact must respect it
+    # instead of resurrecting the abandoned clustering
+    cat.write(mk(0, 32), "t", mode="append", sort_by=["a"])
+    cat.compact("t")
+    head = cat.snapshots("t")[-1]
+    assert "zorder_by" not in head and head.get("sort_by") == ["a"]
+
+    # zorder_by=[] compacts FLAT explicitly (no clustering, no sort)
+    cat.write(mk(0, 16), "t", mode="append")
+    cat.compact("t", zorder_by=[])
+    head = cat.snapshots("t")[-1]
+    assert "zorder_by" not in head and "sort_by" not in head
+
+
+def test_zorder_write_cache_hygiene(spark, cat):
+    """A failed zorder validation must not leak a persisted DataFrame,
+    and a CALLER-established cache must survive the write (persist on a
+    cached plan is a no-op, but unpersist would evict the caller's)."""
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        cat.write(df, "zc", zorder_by=["a"])
+    assert not df.is_cached  # validation failure released the persist
+
+    df.cache()
+    try:
+        df.count()
+        cat.write(df, "zc", mode="overwrite", zorder_by=["a", "b"],
+                  n_files=4)
+        assert df.is_cached  # the caller's cache was not evicted
+        assert cat.read("zc").count() == 100
+    finally:
+        df.unpersist()
