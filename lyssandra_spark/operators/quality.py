@@ -142,8 +142,9 @@ def quality_scores(
     """(id, ``out_col``): the classifier margin w.x + b per document —
     higher = more like the curated corpus. Map-only (weights are a
     literal array in the plan); feed the score to ``quantile_filter``
-    (hard gate) or ``stratified_sample`` over score bands (the GPT-3
-    soft-sampling move)."""
+    (hard gate) or — squashed to a probability — to
+    ``probabilistic_keep`` (the GPT-3 soft-sampling move: keep
+    stochastically in proportion to the score, no cliff)."""
     w = np.asarray(w, dtype=float)
     if len(w) != len(FEATURE_NAMES) + 1:
         raise ValueError(

@@ -26,6 +26,7 @@ __all__ = [
     "hash_split",
     "split_column",
     "stratified_sample",
+    "probabilistic_keep",
     "quantile_filter",
     "mix_sources",
 ]
@@ -131,6 +132,40 @@ def stratified_sample(
         F.create_map(*pairs)[F.col(strata_col)], F.lit(float(default))
     )
     return df.where(u < thresh)
+
+
+def probabilistic_keep(
+    df: DataFrame,
+    prob_col,
+    key_cols,
+    salt: str = "keep-v1",
+) -> DataFrame:
+    """Keep each leakage key with ITS OWN probability — the continuous
+    soft-sampling between :func:`stratified_sample`'s discrete bands and
+    :func:`quantile_filter`'s hard gate. This is the GPT-3 move (Brown
+    et al. 2020, Appendix A): documents are kept stochastically in
+    proportion to a quality-classifier score, so high scorers are
+    favored WITHOUT a cliff that discards every borderline document.
+
+    ``prob_col`` is a column name or Column of keep-probabilities;
+    values are clamped to [0, 1] (a raw classifier margin should be
+    squashed first — e.g. ``1 / (1 + exp(-margin))``). Same guarantees
+    as every sampler here: the decision is ``_unit_hash(keys, salt) <
+    p`` — a pure JVM expression pipelined into the scan (no RNG state,
+    no shuffle), key-consistent (all rows of a key share the hash; note
+    they must also share the probability, which holds when the score is
+    a per-key property), deterministic across runs/partitionings, and
+    ``salt``-namespaced independent of split/sample/mix decisions. Null
+    and NaN probabilities never keep (Spark orders NaN above every
+    number, so an unguarded clamp would turn NaN into keep-always —
+    the same trap quantile_filter documents).
+    """
+    p = (F.col(prob_col) if isinstance(prob_col, str) else prob_col).cast(
+        "double"
+    )
+    p = F.when(F.isnan(p), F.lit(0.0)).otherwise(p)  # null stays null
+    clamped = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    return df.where(_unit_hash(key_cols, salt) < clamped)
 
 
 def quantile_filter(

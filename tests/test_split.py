@@ -307,3 +307,47 @@ def test_mix_sources_key_consistency_and_validation(spark):
         {"a": conv, "boom": _Boom()}, {"a": 1.0, "boom": 0.0}, "conv_id"
     )
     assert out.count() > 0
+
+
+def test_probabilistic_keep_tracks_per_row_probability(spark):
+    """Continuous soft-sampling (the GPT-3 Pareto-style keep): realized
+    keep rate per probability band ~ the band's probability, NaN/null
+    probabilities never keep, out-of-range values clamp, decisions are
+    key-consistent and deterministic."""
+    from lyssandra_spark.operators.split import probabilistic_keep
+
+    n = 30_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") % 3) * 0.4).alias("p"),  # bands: 0.0 / 0.4 / 0.8
+    )
+    kept = probabilistic_keep(df, "p", "k").toPandas()
+    rates = kept.groupby("p").size() / (n / 3)
+    assert rates.get(0.0, 0) == 0                 # p=0 keeps nothing
+    assert abs(rates[0.4] - 0.4) < 0.03
+    assert abs(rates[0.8] - 0.8) < 0.03
+
+    # clamping + null/NaN
+    edge = spark.createDataFrame(
+        [(1, 7.5), (2, -3.0), (3, None), (4, float("nan"))],
+        "k long, p double",
+    )
+    got = probabilistic_keep(edge, "p", "k").toPandas()
+    assert got.k.tolist() == [1]  # >1 clamps to keep-always; rest drop
+
+    # deterministic across partitionings; key-consistent on multi-row keys
+    a = set(probabilistic_keep(df, "p", "k").toPandas().k)
+    b = set(probabilistic_keep(df.repartition(13), "p", "k").toPandas().k)
+    assert a == b
+    multi = df.crossJoin(spark.range(3).select(F.col("id").alias("r")))
+    per_key = (
+        probabilistic_keep(multi, "p", "k").toPandas().groupby("k").size()
+    )
+    assert (per_key == 3).all()
+
+    # map-only plan
+    plan = (
+        probabilistic_keep(df, "p", "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

@@ -339,3 +339,67 @@ def test_streaming_bpe_counts_match_batch(spark, sf_dir, tmp_path_factory):
     )
     pd.testing.assert_frame_equal(got, exp)
     assert (exp.n_bpe_tokens > 0).any()
+
+
+def test_streaming_incremental_dedup_pipeline(spark, sf_dir, tmp_path_factory):
+    """The daily incremental dedup pipeline runs AS A STREAM: each
+    micro-batch near-dup-indexes against the persisted signature table
+    and folds its pairs into the persisted component labels via
+    foreachBatch — final labels equal one batch run over everything
+    (the incremental invariant holds for ANY batching, so micro-batch
+    boundaries are just another sharding)."""
+    from lyssandra_spark.operators.dedup import minhash_lsh_pairs
+    from lyssandra_spark.operators.graph import connected_components
+    from lyssandra_spark.operators.incremental import (
+        dedup_new_batch,
+        update_components,
+    )
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(240)
+    twins = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" twin tail")).alias("text"),
+    )
+    corpus = base.unionByName(twins)
+    src = str(tmp_path_factory.mktemp("inc_stream") / "docs")
+    corpus.repartition(3).write.parquet(src)
+
+    cat = ParquetCatalog(spark, str(tmp_path_factory.mktemp("inc_cat")))
+    kw = dict(n_perm=32, bands=8, threshold=0.3, ngram_bytes=8)
+
+    def fold(batch_df, batch_id):
+        if batch_df.rdd.isEmpty():
+            return
+        pairs, _ = dedup_new_batch(
+            cat, "sigs", batch_df, batch_id=f"mb{batch_id}", **kw
+        )
+        update_components(cat, "labels", pairs)
+
+    sdf = ST.read_transcript_stream(
+        spark, src, corpus.schema, max_files=1
+    )
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation",
+                str(tmp_path_factory.mktemp("inc_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            minhash_lsh_pairs(corpus, **kw)
+        ).collect()
+    }
+    got = {r["id"]: r["component"] for r in cat.read("labels").collect()}
+    assert got == want and len(got) > 0
+    # the signature index holds each doc exactly once across micro-batches
+    assert cat.read("sigs").count() == corpus.count()
+    assert cat.read("sigs").groupBy("doc_id").count().where(
+        F.col("count") > 1
+    ).count() == 0
