@@ -230,27 +230,40 @@ class ParquetCatalog:
                 raise ValueError(f"zorder_by columns {missing_z} not in df")
             if n_files < 1:
                 raise ValueError(f"n_files ({n_files}) must be >= 1")
+            if "__z" in df.columns:
+                # same loud policy as the reserved `snap` name: the
+                # clustering key would shadow and then drop the user's
+                # column — silent data loss
+                raise ValueError(
+                    "column name '__z' is reserved by the zorder write; "
+                    "rename the column first"
+                )
             # three passes read the input (quantile sketch, the range
             # partitioner's boundary sampling, the write itself) — persist
             # it so an expensive upstream pipeline is computed once, not
-            # 3x. Respect a cache the CALLER already established (their
-            # persist would make ours a no-op, but our unpersist would
-            # evict theirs), and release ours if validation inside
-            # zorder_key raises before the write's finally can run.
+            # 3x. Respect a cache the CALLER already established: check
+            # the CacheManager via storageLevel, NOT df.is_cached (an
+            # object-local python flag — a caller's cache held through an
+            # equal-plan but different DataFrame object would be invisible
+            # to it, and our unpersist would evict theirs by plan).
+            # Release ours if ANYTHING between persist and the write's
+            # own try/finally raises.
+            from pyspark import StorageLevel
+
             try:
-                if not df.is_cached:
+                if df.storageLevel == StorageLevel.NONE:
                     zpersisted = df.persist()
                 zk = zorder_key(df, list(zorder_by))
+                out = (
+                    out.withColumn("__z", zk)
+                    .repartitionByRange(n_files, F.col("__z"))
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
             except Exception:
                 if zpersisted is not None:
                     zpersisted.unpersist()
                 raise
-            out = (
-                out.withColumn("__z", zk)
-                .repartitionByRange(n_files, F.col("__z"))
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
         w = out.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)

@@ -506,3 +506,36 @@ def test_zorder_write_cache_hygiene(spark, cat):
         assert cat.read("zc").count() == 100
     finally:
         df.unpersist()
+
+
+def test_zorder_write_cross_object_cache_and_reserved_z(
+    spark, cat, tmp_path
+):
+    """The caller-cache guard must consult the CacheManager (plan-level),
+    not the object-local is_cached flag: a cache held through an
+    EQUAL-PLAN but different DataFrame object must survive the write.
+    And a pre-existing '__z' column is loudly reserved (it would be
+    shadowed by the clustering key and dropped — silent data loss)."""
+    from pyspark import StorageLevel
+
+    p = str(tmp_path / "src")
+    spark.range(200).select(
+        F.col("id").alias("a"), (F.col("id") % 9).alias("b")
+    ).write.parquet(p)
+    df1 = spark.read.parquet(p)
+    df1.cache()
+    try:
+        df1.count()
+        df2 = spark.read.parquet(p)  # same plan, different object
+        cat.write(df2, "zx", mode="overwrite", zorder_by=["a", "b"],
+                  n_files=4)
+        assert df1.storageLevel != StorageLevel.NONE  # cache survived
+        assert cat.read("zx").count() == 200
+    finally:
+        df1.unpersist()
+
+    withz = spark.range(5).select(F.col("id").alias("a"),
+                                  F.col("id").alias("b"),
+                                  F.lit(1).alias("__z"))
+    with pytest.raises(ValueError, match="__z.*reserved"):
+        cat.write(withz, "zx2", zorder_by=["a", "b"])

@@ -177,8 +177,10 @@ def test_incremental_curation_pipeline(spark, sf_dir, tmp_path_factory):
         .select("doc_id", "text")
         .withColumn("quality", (F.xxhash64("doc_id") % 1000) / 1000.0)
     )
-    # plant near-dups across batch boundaries: every 6th doc gets a
-    # tweaked twin routed to a DIFFERENT day than its original
+    # plant near-dups: every 6th doc gets a tweaked twin; days are
+    # hash-routed independently, so a large fraction of twin pairs (in
+    # expectation ~2/3) straddle batch boundaries — enough to exercise
+    # the cross-batch path, though no individual pair is guaranteed to.
     twins = docs.where(F.col("doc_id") % 6 == 0).select(
         (F.col("doc_id") + 70000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail tweak")).alias("text"),
