@@ -1,0 +1,132 @@
+"""Distributed BM25 text retrieval (Okapi BM25 — Robertson et al.,
+TREC-3, 1994; the scoring function behind classic search engines and the
+lexical half of modern hybrid retrieval).
+
+Completes the engine's search surface: the similarity module answers
+"nearest by embedding", this module answers "most relevant by terms" —
+the two retrieval modes a training-data platform actually runs (near-dup
+mining vs targeted corpus queries like "find documents about X").
+
+Spark-first shape (everything JVM, no Python crossing):
+
+- postings are ONE explode + groupBy((doc, term)) with map-side partial
+  counts — natural-language term skew is absorbed exactly like
+  :func:`~lyssandra_spark.functions.textstats.token_frequencies`;
+- document-frequency / IDF and average-length statistics derive from the
+  postings with two more bounded aggregations (one row per term, one
+  scalar);
+- queries are TINY next to the corpus: their distinct terms broadcast,
+  so candidate generation is a broadcast-hash semi-join on term — only
+  postings matching SOME query term ever shuffle again, keyed on
+  (qid, doc) for the score sum, then one bounded per-qid top-k window.
+
+At 100 TB nothing driver-side grows with corpus size: the only collect
+is the avg-doclen scalar. The postings/IDF tables are themselves
+reusable DataFrames — persist them through the catalog and the per-query
+cost is just the broadcast join + windowed top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from lyssandra_spark.functions.textstats import word_tokens
+
+__all__ = ["build_postings", "bm25_topk"]
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Term postings: (id, term, tf, doc_len) — one explode + ONE
+    groupBy((id, term)) shuffle with map-side partials; ``doc_len`` (the
+    document's total token count) rides along via a window-free
+    sum-over-group trick: it is the sum of the doc's tfs, computed with
+    a second small aggregation on the already-grouped postings (grouped
+    rows, not raw tokens, so the heavy shuffle happens once)."""
+    tf = (
+        docs.select(id_col, F.explode(word_tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    lens = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
+    return tf.join(lens, id_col)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by Okapi BM25:
+
+    ``score(q, d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len_d / avg_len))``
+
+    with the standard smoothed ``idf(t) = ln(1 + (N - df + 0.5) /
+    (df + 0.5))``. Repeated query terms count once (set-of-terms
+    semantics — the common practice for short queries). Returns
+    (qid, id, bm25, rk) with deterministic ties (score desc, id asc).
+
+    Plan: postings + IDF from the corpus (see :func:`build_postings`),
+    query terms DISTINCT + broadcast, broadcast-hash join prunes the
+    postings to matching terms only, one (qid, id) keyed aggregation,
+    one bounded per-qid top-k window.
+    """
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    post = build_postings(docs, id_col, text_col)
+    n_docs = docs.select(id_col).distinct().count()
+    if n_docs == 0:
+        raise ValueError("bm25_topk requires a non-empty corpus")
+    idf = (
+        post.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .select("term", "idf")
+    )
+    avg_len = (
+        post.select(id_col, "doc_len").distinct()
+        .agg(F.avg("doc_len")).collect()[0][0]
+    )
+    qterms = (
+        queries.select(
+            qid_col, F.explode(word_tokens(qtext_col)).alias("term")
+        )
+        .distinct()  # set-of-terms query semantics
+    )
+    tf_part = (
+        F.col("tf") * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("doc_len") / F.lit(float(avg_len)))
+        )
+    )
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf.join(qterms.select("term").distinct(), "term")),
+              "term")
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum(F.col("idf") * tf_part), 6).alias("bm25"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

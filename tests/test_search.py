@@ -1,0 +1,113 @@
+"""BM25 retrieval: python-oracle parity, ranking sanity, plan shape."""
+
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.search import bm25_topk, build_postings
+
+
+def _tok(t):
+    return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+
+def _oracle(docs, queries, k, k1=1.2, b=0.75):
+    """Independent BM25: plain dict/Counter formulation."""
+    toks = {d: _tok(t) for d, t in docs.items()}
+    n = len(docs)
+    lens = {d: len(ts) for d, ts in toks.items() if ts}
+    avg = sum(lens.values()) / len(lens)
+    tfs = {d: Counter(ts) for d, ts in toks.items()}
+    dfs = Counter(t for d in toks for t in set(toks[d]))
+    out = {}
+    for qid, qt in queries.items():
+        scores = {}
+        for d in docs:
+            s = 0.0
+            for t in set(_tok(qt)):
+                tf = tfs[d].get(t, 0)
+                if not tf:
+                    continue
+                idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * lens[d] / avg)
+                )
+            if s > 0:
+                scores[d] = round(s, 6)
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return out
+
+
+def _frames(spark, docs, queries):
+    d = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    q = spark.createDataFrame(
+        [(i, t) for i, t in queries.items()], "qid long, qtext string"
+    )
+    return d, q
+
+
+def test_bm25_matches_python_oracle(spark):
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "a fast brown fox is quick and clever",
+        2: "dogs and cats living together in harmony",
+        3: "spark shuffles partitions across the cluster",
+        4: "quick quick quick repetition saturates term frequency",
+        5: "",  # empty doc: never retrieved, still counted in N
+    }
+    queries = {10: "quick fox", 11: "lazy dogs", 12: "cluster partitions",
+               13: "quick quick fox"}  # repeated term counts once
+    d, q = _frames(spark, docs, queries)
+    got = bm25_topk(d, q, k=3).toPandas()
+    want = _oracle(docs, queries, k=3)
+    for qid, pairs in want.items():
+        g = got[got.qid == qid].sort_values("rk")
+        assert list(g.doc_id) == [p[0] for p in pairs], (qid, pairs)
+        for (_, row), (_, s) in zip(g.iterrows(), pairs):
+            assert row.bm25 == pytest.approx(s, abs=2e-6)
+    # repeated-term query == its set-of-terms twin
+    a = got[got.qid == 10].reset_index(drop=True)[["doc_id", "bm25"]]
+    c = got[got.qid == 13].reset_index(drop=True)[["doc_id", "bm25"]]
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_bm25_on_documents_table_and_plan(spark, sf_dir):
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(120).cache()
+    )
+    pdf = d.toPandas()
+    docs = dict(zip(pdf.doc_id, pdf.text))
+    # queries drawn from real doc contents (first 4 tokens of 3 docs)
+    queries = {
+        int(i): " ".join(_tok(docs[i])[:4])
+        for i in list(docs)[:3]
+    }
+    q = spark.createDataFrame(
+        [(i, t) for i, t in queries.items()], "qid long, qtext string"
+    )
+    got = bm25_topk(d, q, k=5).toPandas()
+    want = _oracle(docs, queries, k=5)
+    for qid, pairs in want.items():
+        g = got[got.qid == qid].sort_values("rk")
+        assert list(g.doc_id) == [p[0] for p in pairs]
+
+    plan = bm25_topk(d, q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # query terms broadcast
+    post_plan = (
+        build_postings(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in post_plan or "partial count" in post_plan.lower()
+    d.unpersist()
+
+    with pytest.raises(ValueError, match="k \\(0\\)"):
+        bm25_topk(d, q, k=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(empty, q)
