@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "profile_diff"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -100,4 +100,27 @@ def profile_table(
                         if isinstance(v, float) else str(v)))
     return df.sparkSession.createDataFrame(
         out, "column string, metric string, value string"
+    )
+
+
+def profile_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Diff two :func:`profile_table` outputs — the drift report a daily
+    pipeline alerts on ("yesterday's drop vs today's"): one row per
+    (column, metric) with both values and a ``changed`` flag. A metric
+    present on only one side (schema evolution: a column appeared or
+    vanished) surfaces with the other side null and ``changed=true``.
+    Profiles are tiny long-format frames (a few rows per column), so
+    this is a metadata-scale full-outer join — the 100 TB work already
+    happened inside the two one-pass profiles."""
+    a = before.select(
+        "column", "metric", F.col("value").alias("before")
+    )
+    b = after.select(
+        "column", "metric", F.col("value").alias("after")
+    )
+    return (
+        a.join(b, ["column", "metric"], "full_outer")
+        .withColumn(
+            "changed", ~F.col("before").eqNullSafe(F.col("after"))
+        )
     )

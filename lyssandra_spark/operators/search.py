@@ -34,7 +34,7 @@ from pyspark.sql import Window
 
 from lyssandra_spark.functions.textstats import word_tokens
 
-__all__ = ["build_postings", "bm25_topk"]
+__all__ = ["build_postings", "bm25_topk", "rrf_fuse"]
 
 
 def build_postings(
@@ -128,5 +128,58 @@ def bm25_topk(
     )
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def rrf_fuse(
+    rankings: list,
+    k: int = 10,
+    c: int = 60,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rankings (Cormack, Clarke &
+    Buettcher, SIGIR 2009): ``score(d) = sum_r 1 / (c + rank_r(d))`` —
+    the standard way to combine BM25 and embedding-ANN result lists into
+    one hybrid ranking WITHOUT calibrating their incomparable scores
+    (rank is the only thing fused; ``c=60`` is the paper's constant).
+
+    Each input is any DataFrame with (qid, id, rank) columns under the
+    given names — :func:`bm25_topk` output directly, an ANN top-k with
+    its id column renamed, or any other ranker. A document missing from
+    one ranking simply contributes nothing from it (the RRF convention).
+    Returns (qid, id, rrf_score, rk), deterministic ties by id.
+
+    Plan: union the (qid, id, rank) projections (plan-level, no
+    shuffle), ONE (qid, id) aggregation, one bounded per-qid top-k
+    window — input rankings are already top-k-bounded upstream, so the
+    fused aggregation touches at most ``sum_r k_r`` rows per query.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    if c < 0:
+        raise ValueError(f"c ({c}) must be >= 0")
+    u = None
+    for r in rankings:
+        piece = r.select(
+            qid_col,
+            id_col,
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col)))
+            .alias("__contrib"),
+        )
+        u = piece if u is None else u.unionByName(piece)
+    fused = (
+        u.groupBy(qid_col, id_col)
+        .agg(F.round(F.sum("__contrib"), 8).alias("rrf_score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )

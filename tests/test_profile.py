@@ -114,3 +114,25 @@ def test_profile_nested_map_columns_dont_crash(spark):
         for r in profile_table(df2).toPandas().itertuples()
     }
     assert ("s", "min") in m2 and ("s", "approx_distinct") in m2
+
+
+def test_profile_diff_flags_drift_and_schema_changes(spark):
+    from lyssandra_spark.operators.profile import profile_diff
+
+    v1 = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    )
+    v2 = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": [1.0, 2.0, 3.0, 100.0],
+                      "extra": ["a", "b", "c", "d"]})
+    )
+    diff = profile_diff(profile_table(v1), profile_table(v2)).toPandas()
+    m = {(r.column, r.metric): r for r in diff.itertuples()}
+
+    row = m[("*", "rows")]
+    assert row.before == "3" and row.after == "4" and row.changed
+    assert m[("v", "max")].changed          # 3.0 -> 100.0
+    assert not m[("k", "min")].changed      # stable metric flagged stable
+    # schema evolution: the new column appears one-sided
+    assert m[("extra", "non_null")].before is None
+    assert m[("extra", "non_null")].changed

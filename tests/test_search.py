@@ -111,3 +111,56 @@ def test_bm25_on_documents_table_and_plan(spark, sf_dir):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
         bm25_topk(empty, q)
+
+
+def test_rrf_fusion_known_values(spark):
+    """RRF (Cormack 2009): a doc ranked mid in BOTH lists beats docs top
+    in only one (1/(60+3)+1/(60+3) > 1/(60+1)); exact hand-computed
+    scores; missing-from-one-list convention; deterministic ties."""
+    from lyssandra_spark.operators.search import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)], "qid long, doc_id long, rk int"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 40, 1), (1, 50, 2), (1, 30, 3)], "qid long, doc_id long, rk int"
+    )
+    got = (
+        rrf_fuse([r1, r2], k=10).toPandas()
+        .sort_values("rk").reset_index(drop=True)
+    )
+    # doc 30: 2/(60+3) = 0.03174603; doc 10/40: 1/61; doc 20/50: 1/62
+    assert got.loc[0, "doc_id"] == 30
+    assert got.loc[0, "rrf_score"] == pytest.approx(2 / 63, abs=1e-8)
+    # 10 and 40 tie exactly -> lower id first
+    assert list(got.doc_id[1:3]) == [10, 40]
+    assert got.loc[1, "rrf_score"] == pytest.approx(1 / 61, abs=1e-8)
+    assert list(got.doc_id[3:5]) == [20, 50]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k \\(0\\)"):
+        rrf_fuse([r1], k=0)
+
+
+def test_rrf_hybrid_bm25_composition(spark, sf_dir):
+    """Hybrid shape end-to-end: fuse two real BM25 rankings (different
+    length-normalization b) — fusion output is a valid bounded ranking
+    and every fused doc came from an input list."""
+    from lyssandra_spark.operators.search import rrf_fuse
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(80)
+    )
+    q = spark.createDataFrame(
+        [(1, "table scan value"), (2, "spark merge batch")],
+        "qid long, qtext string",
+    )
+    ra = bm25_topk(d, q, k=5, b=0.75)
+    rb = bm25_topk(d, q, k=5, b=0.0)  # no length normalization
+    fused = rrf_fuse([ra, rb], k=5).toPandas()
+    assert set(fused.qid) <= {1, 2}
+    assert (fused.groupby("qid").rk.max() <= 5).all()
+    src_docs = set(ra.toPandas().doc_id) | set(rb.toPandas().doc_id)
+    assert set(fused.doc_id) <= src_docs
