@@ -112,15 +112,25 @@ def profile_diff(before: DataFrame, after: DataFrame) -> DataFrame:
     Profiles are tiny long-format frames (a few rows per column), so
     this is a metadata-scale full-outer join — the 100 TB work already
     happened inside the two one-pass profiles."""
+    # presence flags, not just values: a metric can legitimately carry a
+    # NULL value (an all-null column's min/max), and eqNullSafe(absent,
+    # null-valued) would otherwise report a one-sided schema change as
+    # changed=false
     a = before.select(
-        "column", "metric", F.col("value").alias("before")
+        "column", "metric", F.col("value").alias("before"),
+        F.lit(True).alias("__in_a"),
     )
     b = after.select(
-        "column", "metric", F.col("value").alias("after")
+        "column", "metric", F.col("value").alias("after"),
+        F.lit(True).alias("__in_b"),
     )
     return (
         a.join(b, ["column", "metric"], "full_outer")
         .withColumn(
-            "changed", ~F.col("before").eqNullSafe(F.col("after"))
+            "changed",
+            ~F.col("before").eqNullSafe(F.col("after"))
+            | ~F.coalesce("__in_a", F.lit(False))
+            | ~F.coalesce("__in_b", F.lit(False)),
         )
+        .drop("__in_a", "__in_b")
     )

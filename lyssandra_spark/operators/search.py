@@ -20,10 +20,12 @@ Spark-first shape (everything JVM, no Python crossing):
   postings matching SOME query term ever shuffle again, keyed on
   (qid, doc) for the score sum, then one bounded per-qid top-k window.
 
-At 100 TB nothing driver-side grows with corpus size: the only collect
-is the avg-doclen scalar. The postings/IDF tables are themselves
-reusable DataFrames — persist them through the catalog and the per-query
-cost is just the broadcast join + windowed top-k.
+At 100 TB nothing driver-side grows with corpus size: the only driver
+results are two scalars (row count, avg doclen). The postings are
+localCheckpoint-materialized once per call so the heavy shuffle never
+re-runs across the stat/score actions; persist them through the catalog
+instead and the per-query cost is just the broadcast join + windowed
+top-k.
 """
 
 from __future__ import annotations
@@ -82,13 +84,22 @@ def bm25_topk(
     """
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
-    post = build_postings(docs, id_col, text_col)
-    n_docs = docs.select(id_col).distinct().count()
+    # localCheckpoint materializes the heavy (doc, term) shuffle ONCE:
+    # the avg-doclen scalar, the IDF aggregation, and the final scored
+    # action all read the checkpointed blocks instead of re-running the
+    # corpus explode+groupBy per Spark action (same pattern as the
+    # iterative graph ops). n_docs is a plain row count of the input —
+    # no distinct exchange (one row per doc is this operator's input
+    # contract, as for every id-keyed operator here).
+    post = build_postings(docs, id_col, text_col).localCheckpoint(eager=True)
+    n_docs = docs.count()
     if n_docs == 0:
         raise ValueError("bm25_topk requires a non-empty corpus")
     idf = (
         post.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
+        # postings are unique per (doc, term): a plain count IS the
+        # document frequency — no two-phase distinct aggregate needed
+        .agg(F.count("*").alias("df"))
         .withColumn(
             "idf",
             F.log(
@@ -103,6 +114,14 @@ def bm25_topk(
         post.select(id_col, "doc_len").distinct()
         .agg(F.avg("doc_len")).collect()[0][0]
     )
+    if avg_len is None:
+        # non-empty corpus but ZERO tokens anywhere (all-null/empty/
+        # punctuation-only text): nothing is retrievable — say so
+        # instead of an opaque float(None) TypeError below
+        raise ValueError(
+            "bm25_topk: no document in the corpus tokenizes to any term "
+            "(all text null/empty/non-alphanumeric)"
+        )
     qterms = (
         queries.select(
             qid_col, F.explode(word_tokens(qtext_col)).alias("term")
@@ -148,9 +167,11 @@ def rrf_fuse(
 
     Each input is any DataFrame with (qid, id, rank) columns under the
     given names — :func:`bm25_topk` output directly, an ANN top-k with
-    its id column renamed, or any other ranker. A document missing from
-    one ranking simply contributes nothing from it (the RRF convention).
-    Returns (qid, id, rrf_score, rk), deterministic ties by id.
+    its id column renamed, or any other ranker. Ranks are 1-BASED
+    (row_number semantics — shift a 0-based ranker before fusing). A
+    document missing from one ranking simply contributes nothing from
+    it (the RRF convention). Returns (qid, id, rrf_score, rk),
+    deterministic ties by id.
 
     Plan: union the (qid, id, rank) projections (plan-level, no
     shuffle), ONE (qid, id) aggregation, one bounded per-qid top-k
@@ -161,8 +182,11 @@ def rrf_fuse(
         raise ValueError("rankings must be non-empty")
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
-    if c < 0:
-        raise ValueError(f"c ({c}) must be >= 0")
+    if c < 1:
+        # c=0 with a 0-based rank list divides by zero, which Spark
+        # (non-ANSI) evaluates to NULL — the top document's contribution
+        # would silently vanish from the sum
+        raise ValueError(f"c ({c}) must be >= 1")
     u = None
     for r in rankings:
         piece = r.select(

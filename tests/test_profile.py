@@ -136,3 +136,21 @@ def test_profile_diff_flags_drift_and_schema_changes(spark):
     # schema evolution: the new column appears one-sided
     assert m[("extra", "non_null")].before is None
     assert m[("extra", "non_null")].changed
+
+
+def test_profile_diff_one_sided_null_valued_metric_is_changed(spark):
+    """A column that appears with ALL-NULL values (broken upstream join)
+    emits null-valued metric rows; its one-sided presence must still be
+    flagged changed — eqNullSafe(absent, null-valued) alone would not."""
+    from lyssandra_spark.operators.profile import profile_diff
+
+    v1 = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+    v2 = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, broken double"
+    )
+    diff = profile_diff(profile_table(v1), profile_table(v2)).toPandas()
+    m = {(r.column, r.metric): r for r in diff.itertuples()}
+    # 'broken' min/max/mean are null-valued AND one-sided: changed
+    for metric in ("min", "max", "mean"):
+        assert m[("broken", metric)].changed, metric
+        assert m[("broken", metric)].before is None

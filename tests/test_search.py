@@ -164,3 +164,18 @@ def test_rrf_hybrid_bm25_composition(spark, sf_dir):
     assert (fused.groupby("qid").rk.max() <= 5).all()
     src_docs = set(ra.toPandas().doc_id) | set(rb.toPandas().doc_id)
     assert set(fused.doc_id) <= src_docs
+
+
+def test_bm25_tokenless_corpus_and_rrf_c_guard(spark):
+    from lyssandra_spark.operators.search import rrf_fuse
+
+    tokenless = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "!!! ... ###")], "doc_id long, text string"
+    )
+    q = spark.createDataFrame([(1, "anything")], "qid long, qtext string")
+    with pytest.raises(ValueError, match="tokenizes to any term"):
+        bm25_topk(tokenless, q)
+
+    r = spark.createDataFrame([(1, 10, 0)], "qid long, doc_id long, rk int")
+    with pytest.raises(ValueError, match="c \\(0\\)"):
+        rrf_fuse([r], c=0)  # 0-based rank + c=0 would null out the top doc
