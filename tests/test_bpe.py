@@ -166,3 +166,27 @@ def test_bpe_counts_feed_sequence_packing(spark):
     assert set(pdf.doc_id) == set(range(len(CORPUS)))  # exactly once
     per_bin = pdf.groupby("bin_id").n_tokens.sum()  # packer's output name
     assert (per_bin <= 64).all()
+
+
+def test_train_bpe_incremental_equals_naive_property(spark):
+    """Property sweep: the incremental pair-count/inverted-index trainer
+    must be BIT-EQUAL to the naive full-recount formulation on adversarial
+    small-alphabet corpora (heavy count ties exercise the lexicographic
+    tie-break; repeated merges into existing words exercise the
+    frequency-fold path). Deterministic seeds, many shapes."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(12):
+        alpha = "ab" if trial % 3 == 0 else "abc"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 5)))
+                for _ in range(rng.randint(1, 6))
+            )
+            for _ in range(rng.randint(1, 8))
+        ]
+        n_merges = rng.randint(0, 12)
+        got = train_bpe(_docs(spark, texts), n_merges=n_merges)
+        want = _oracle_train(texts, n_merges)
+        assert got == want, (trial, texts, n_merges)

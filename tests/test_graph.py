@@ -321,3 +321,49 @@ def test_retain_best_with_labels_matches_pair_path(spark, tmp_path):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(want, got_inc)
+
+
+def test_update_components_random_batching_property(spark, tmp_path_factory):
+    """Property sweep: incremental labels == union-find oracle for random
+    graph topologies AND random batch routings — including chain graphs
+    (deep diameter), dense blobs (heavy merging), and batches that only
+    touch existing components."""
+    from lyssandra_spark.operators.incremental import update_components
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        shape = trial % 3
+        if shape == 0:  # chains: deep components
+            edges = [(i, i + 1) for i in range(0, 60, 2)] + [
+                (i, i + 2) for i in range(0, 50, 10)
+            ]
+        elif shape == 1:  # dense random blob: many merges per batch
+            edges = [
+                (int(min(a, b)), int(max(a, b)))
+                for a, b in rng.integers(0, 40, size=(80, 2))
+                if a != b
+            ]
+        else:  # sparse wide graph
+            edges = [
+                (int(min(a, b)), int(max(a, b)))
+                for a, b in rng.integers(0, 300, size=(60, 2))
+                if a != b
+            ]
+        n_batches = int(rng.integers(2, 5))
+        route = rng.integers(0, n_batches, size=len(edges))
+        cat = ParquetCatalog(
+            spark, str(tmp_path_factory.mktemp(f"ucp_{trial}"))
+        )
+        for r in range(n_batches):
+            chunk = [e for e, b in zip(edges, route) if b == r]
+            if not chunk:
+                continue
+            update_components(
+                cat, "lab",
+                spark.createDataFrame(chunk, "id_a long, id_b long"),
+            )
+        got = {
+            r["id"]: r["component"] for r in cat.read("lab").collect()
+        }
+        assert got == _uf_oracle(edges), (trial, shape, n_batches)
