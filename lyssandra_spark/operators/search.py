@@ -12,9 +12,11 @@ Spark-first shape (everything JVM, no Python crossing):
 - postings are ONE explode + groupBy((doc, term)) with map-side partial
   counts — natural-language term skew is absorbed exactly like
   :func:`~lyssandra_spark.functions.textstats.token_frequencies`;
-- document-frequency / IDF and average-length statistics derive from the
-  postings with two more bounded aggregations (one row per term, one
-  scalar);
+- corpus statistics are two scalars (row count, total token count, so
+  avgdl covers ALL docs — standard Okapi); document frequencies / IDF
+  are counted over the postings AFTER pruning to the query vocabulary
+  (exact — df(t) only counts rows of term t — and never a
+  full-vocabulary aggregation);
 - queries are TINY next to the corpus: their distinct terms broadcast,
   so candidate generation is a broadcast-hash semi-join on term — only
   postings matching SOME query term ever shuffle again, keyed on
@@ -74,13 +76,19 @@ def bm25_topk(
 
     with the standard smoothed ``idf(t) = ln(1 + (N - df + 0.5) /
     (df + 0.5))``. Repeated query terms count once (set-of-terms
-    semantics — the common practice for short queries). Returns
-    (qid, id, bm25, rk) with deterministic ties (score desc, id asc).
+    semantics — the common practice for short queries). ``avg_len`` is
+    the standard Okapi avgdl over ALL ``N`` corpus documents — a doc
+    that tokenizes to nothing counts as length 0, so the length
+    statistic and the IDF's ``N`` always describe the same document
+    universe. Returns (qid, id, bm25, rk) with deterministic ties
+    (score desc, id asc).
 
-    Plan: postings + IDF from the corpus (see :func:`build_postings`),
-    query terms DISTINCT + broadcast, broadcast-hash join prunes the
-    postings to matching terms only, one (qid, id) keyed aggregation,
-    one bounded per-qid top-k window.
+    Plan: postings from the corpus (see :func:`build_postings`), query
+    terms DISTINCT + broadcast, broadcast-hash semi-join prunes the
+    postings to matching terms BEFORE document frequencies are counted
+    (df of a term is unchanged by dropping other terms' rows, so IDF is
+    exact and no full-vocabulary aggregation ever runs), one (qid, id)
+    keyed aggregation, one bounded per-qid top-k window.
     """
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
@@ -95,8 +103,55 @@ def bm25_topk(
     n_docs = docs.count()
     if n_docs == 0:
         raise ValueError("bm25_topk requires a non-empty corpus")
+    # sum of per-(doc, term) tfs IS the corpus token total — no distinct
+    # exchange; avgdl = total / N over ALL docs (zero-token docs count
+    # as length 0: the standard Okapi avgdl convention)
+    total_len = post.agg(F.sum("tf")).collect()[0][0]
+    if total_len is None:
+        # non-empty corpus but ZERO tokens anywhere (all-null/empty/
+        # punctuation-only text): nothing is retrievable — say so
+        # instead of an opaque float(None) TypeError below
+        raise ValueError(
+            "bm25_topk: no document in the corpus tokenizes to any term "
+            "(all text null/empty/non-alphanumeric)"
+        )
+    avg_len = float(total_len) / float(n_docs)
+    qterms = (
+        queries.select(
+            qid_col, F.explode(word_tokens(qtext_col)).alias("term")
+        )
+        .distinct()  # set-of-terms query semantics
+    )
+    return _score_postings(
+        post, qterms, n_docs, avg_len, k,
+        id_col=id_col, qid_col=qid_col, k1=k1, b=b,
+    )
+
+
+def _score_postings(
+    post: DataFrame,
+    qterms: DataFrame,
+    n_docs: int,
+    avg_len: float,
+    k: int,
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score pruned postings against distinct (qid, term) query rows —
+    the shared tail of :func:`bm25_topk` and :func:`bm25_topk_indexed`.
+
+    The query vocabulary broadcasts and SEMI-JOIN-prunes the postings
+    first; document frequencies (hence IDF) are then counted over the
+    pruned rows — exact, because df(t) only ever counts rows of term t.
+    One (qid, id) aggregation, one bounded per-qid top-k window; the
+    only corpus-sized shuffle is the pruned-postings score aggregation.
+    """
+    uterms = qterms.select("term").distinct()
+    pruned = post.join(F.broadcast(uterms), "term", "left_semi")
     idf = (
-        post.groupBy("term")
+        pruned.groupBy("term")
         # postings are unique per (doc, term): a plain count IS the
         # document frequency — no two-phase distinct aggregate needed
         .agg(F.count("*").alias("df"))
@@ -110,24 +165,6 @@ def bm25_topk(
         )
         .select("term", "idf")
     )
-    avg_len = (
-        post.select(id_col, "doc_len").distinct()
-        .agg(F.avg("doc_len")).collect()[0][0]
-    )
-    if avg_len is None:
-        # non-empty corpus but ZERO tokens anywhere (all-null/empty/
-        # punctuation-only text): nothing is retrievable — say so
-        # instead of an opaque float(None) TypeError below
-        raise ValueError(
-            "bm25_topk: no document in the corpus tokenizes to any term "
-            "(all text null/empty/non-alphanumeric)"
-        )
-    qterms = (
-        queries.select(
-            qid_col, F.explode(word_tokens(qtext_col)).alias("term")
-        )
-        .distinct()  # set-of-terms query semantics
-    )
     tf_part = (
         F.col("tf") * (k1 + 1)
         / (
@@ -136,9 +173,8 @@ def bm25_topk(
         )
     )
     scored = (
-        post.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(idf.join(qterms.select("term").distinct(), "term")),
-              "term")
+        pruned.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
         .groupBy(qid_col, id_col)
         .agg(F.round(F.sum(F.col("idf") * tf_part), 6).alias("bm25"))
     )

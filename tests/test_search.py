@@ -19,8 +19,9 @@ def _oracle(docs, queries, k, k1=1.2, b=0.75):
     """Independent BM25: plain dict/Counter formulation."""
     toks = {d: _tok(t) for d, t in docs.items()}
     n = len(docs)
-    lens = {d: len(ts) for d, ts in toks.items() if ts}
-    avg = sum(lens.values()) / len(lens)
+    # standard Okapi avgdl: over ALL docs (zero-token docs count as 0)
+    lens = {d: len(ts) for d, ts in toks.items()}
+    avg = sum(lens.values()) / n
     tfs = {d: Counter(ts) for d, ts in toks.items()}
     dfs = Counter(t for d in toks for t in set(toks[d]))
     out = {}
