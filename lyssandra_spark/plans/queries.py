@@ -562,45 +562,11 @@ def q3_shipping_priority(spark, sf_dir):
     )
 
 
-@q(
-    "q5_region_revenue",
-    """
-    SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
-    """,
-)
-def q5_region_revenue(spark, sf_dir):
-    """TPC-H Q5 flavor: 6-way join chain with small-dim broadcasts."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
+# (The historical q5_region_revenue row — a 6-way TPC-H Q5 join chain —
+# was retired in round 6: its join/broadcast coverage fully overlaps
+# q3_shipping_priority + join_customer_nation_region, and the freed
+# driver slot went to an oracled LLM-pipeline row. The multi-dim
+# broadcast-chain shape stays pytest-covered in tests/test_plans.py.)
 
 
 # ---------------------------------------------------------------------------
@@ -698,52 +664,112 @@ def rollup_cube_orders(spark, sf_dir):
 # B19: scalar functions (string / date / JSON-ish extraction)
 # ---------------------------------------------------------------------------
 
-@q(
-    "scalar_props_extract",
-    r"""
-    SELECT event_id,
-           TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_val,
-           date_trunc('day', ts) AS day,
-           upper(event_type) AS etype,
-           length(props) AS props_len
+_SCALAR_SUITE_SQL = r"""
+    SELECT 'events' AS src, event_id AS id,
+           upper(event_type) AS str_a,
+           CAST(NULL AS VARCHAR) AS str_b,
+           date_trunc('day', ts) AS ts_a,
+           TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS lng_a,
+           CAST(length(props) AS BIGINT) AS lng_b,
+           CAST(NULL AS BIGINT) AS lng_c,
+           CAST(NULL AS DOUBLE) AS dbl_a, CAST(NULL AS DOUBLE) AS dbl_b,
+           CAST(NULL AS DOUBLE) AS dbl_c, CAST(NULL AS DOUBLE) AS dbl_d,
+           CAST(NULL AS DOUBLE) AS dbl_e, CAST(NULL AS DOUBLE) AS dbl_f,
+           CAST(NULL AS DOUBLE) AS dbl_g
     FROM events
-    """,
-)
-def scalar_props_extract(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_val"),
-        F.date_trunc("day", "ts").alias("day"),
-        F.upper("event_type").alias("etype"),
-        F.length("props").alias("props_len"),
-    )
-
-
-@q(
-    "scalar_string_funcs",
-    """
-    SELECT p_partkey,
-           substring(p_name, 1, 8) AS name8,
-           upper(p_brand) AS brand_u,
-           instr(p_type, 'a') AS a_pos,
-           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
-           levenshtein(p_brand, p_type) AS brand_type_dist,
-           length(concat(p_name, '-', p_brand)) AS full_len
+    UNION ALL
+    SELECT 'part', p_partkey,
+           substring(p_name, 1, 8),
+           upper(p_brand) || '|' || lpad(CAST(p_size AS VARCHAR), 4, '0'),
+           CAST(NULL AS TIMESTAMP),
+           CAST(instr(p_type, 'a') AS BIGINT),
+           CAST(levenshtein(p_brand, p_type) AS BIGINT),
+           CAST(length(p_name || '-' || p_brand) AS BIGINT),
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL
     FROM part
-    """,
-)
-def scalar_string_funcs(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.substring("p_name", 1, 8).alias("name8"),
-        F.upper("p_brand").alias("brand_u"),
-        F.instr("p_type", "a").cast("long").alias("a_pos"),
-        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
-        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
-        F.length(F.concat_ws("-", "p_name", "p_brand")).cast("long").alias("full_len"),
+    UNION ALL
+    SELECT 'lineitem', CAST(l_orderkey * 100 + l_linenumber AS BIGINT),
+           CASE WHEN l_discount > 0.05 THEN 'deep'
+                WHEN l_discount > 0 THEN 'some' ELSE 'none' END,
+           coalesce(nullif(l_returnflag, 'N'), 'kept'),
+           CAST(NULL AS TIMESTAMP),
+           CAST(ceil(l_tax * 100) AS BIGINT),
+           CAST(floor(l_quantity / 7.0) AS BIGINT),
+           CAST(NULL AS BIGINT),
+           round(sqrt(l_quantity), 6),
+           round(pow(1.0 + l_discount, 3), 6),
+           round(ln(1.0 + l_extendedprice), 6),
+           abs(l_quantity - 25.0),
+           round(mod(l_extendedprice, 97.0), 6),
+           greatest(l_tax, l_discount),
+           least(l_quantity, 10.0)
+    FROM lineitem
+    """
+
+_NULL_DBL = ("dbl_a", "dbl_b", "dbl_c", "dbl_d", "dbl_e", "dbl_f", "dbl_g")
+
+
+@q("scalar_function_suite", _SCALAR_SUITE_SQL)
+def scalar_function_suite(spark, sf_dir):
+    """B19 scalar-function library in ONE driver row: the historical
+    scalar_props_extract (regex/JSON-ish extraction + date_trunc + string
+    casing over events), scalar_string_funcs (substring/lpad/instr/
+    levenshtein/concat over part) and scalar_math_conditional (sqrt/pow/
+    ln/abs/mod/ceil/floor + CASE/greatest/least/nullif/coalesce over
+    lineitem) rows union-typed into a shared (src, id, str_*, ts_*,
+    lng_*, dbl_*) schema — every scalar function stays hash-checked
+    against DuckDB, three registry slots become one (freed for the
+    oracled LLM-pipeline rows below). Map-only projections + a
+    plan-level union: zero shuffles."""
+    e = _t(spark, sf_dir, "events")
+    nd = [F.lit(None).cast("double").alias(c) for c in _NULL_DBL]
+    ev = e.select(
+        F.lit("events").alias("src"),
+        F.col("event_id").alias("id"),
+        F.upper("event_type").alias("str_a"),
+        F.lit(None).cast("string").alias("str_b"),
+        F.date_trunc("day", "ts").alias("ts_a"),
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("lng_a"),
+        F.length("props").cast("long").alias("lng_b"),
+        F.lit(None).cast("long").alias("lng_c"),
+        *nd,
     )
+    p = _t(spark, sf_dir, "part")
+    pt = p.select(
+        F.lit("part").alias("src"),
+        F.col("p_partkey").alias("id"),
+        F.substring("p_name", 1, 8).alias("str_a"),
+        F.concat_ws(
+            "|", F.upper("p_brand"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0"),
+        ).alias("str_b"),
+        F.lit(None).cast("timestamp").alias("ts_a"),
+        F.instr("p_type", "a").cast("long").alias("lng_a"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("lng_b"),
+        F.length(F.concat_ws("-", "p_name", "p_brand")).cast("long").alias("lng_c"),
+        *nd,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    ln = li.select(
+        F.lit("lineitem").alias("src"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).cast("long").alias("id"),
+        F.when(F.col("l_discount") > 0.05, "deep")
+        .when(F.col("l_discount") > 0, "some")
+        .otherwise("none").alias("str_a"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("kept")).alias("str_b"),
+        F.lit(None).cast("timestamp").alias("ts_a"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("lng_a"),
+        F.floor(F.col("l_quantity") / 7.0).cast("long").alias("lng_b"),
+        F.lit(None).cast("long").alias("lng_c"),
+        F.round(F.sqrt("l_quantity"), 6).alias("dbl_a"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 3), 6).alias("dbl_b"),
+        F.round(F.log(F.lit(1.0) + F.col("l_extendedprice")), 6).alias("dbl_c"),
+        F.abs(F.col("l_quantity") - 25.0).alias("dbl_d"),
+        F.round(F.col("l_extendedprice") % 97.0, 6).alias("dbl_e"),
+        F.greatest("l_tax", "l_discount").alias("dbl_f"),
+        F.least(F.col("l_quantity"), F.lit(10.0)).alias("dbl_g"),
+    )
+    return ev.unionByName(pt).unionByName(ln)
 
 
 @q(
@@ -810,48 +836,6 @@ def scalar_array_funcs(spark, sf_dir):
         F.element_at("toks", -1).alias("last_tok"),
         F.array_contains("toks", "the").cast("int").alias("has_the"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
-    )
-
-
-@q(
-    "scalar_math_conditional",
-    """
-    SELECT l_orderkey, l_linenumber,
-           round(sqrt(l_quantity), 6) AS sqrt_qty,
-           round(pow(1.0 + l_discount, 3), 6) AS disc_cubed,
-           round(ln(1.0 + l_extendedprice), 6) AS log_price,
-           abs(l_quantity - 25.0) AS dev_from_25,
-           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
-           CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_div7,
-           round(mod(l_extendedprice, 97.0), 6) AS price_mod,
-           CASE WHEN l_discount > 0.05 THEN 'deep' WHEN l_discount > 0 THEN 'some'
-                ELSE 'none' END AS disc_band,
-           greatest(l_tax, l_discount) AS max_rate,
-           least(l_quantity, 10.0) AS capped_qty,
-           coalesce(nullif(l_returnflag, 'N'), 'kept') AS flag_or_kept
-    FROM lineitem
-    """,
-)
-def scalar_math_conditional(spark, sf_dir):
-    """B19 math functions + conditional expressions (same lineitem grain)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey", "l_linenumber",
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
-        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 3), 6).alias("disc_cubed"),
-        F.round(F.log(F.lit(1.0) + F.col("l_extendedprice")), 6).alias("log_price"),
-        F.abs(F.col("l_quantity") - 25.0).alias("dev_from_25"),
-        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
-        F.floor(F.col("l_quantity") / 7.0).cast("long").alias("qty_div7"),
-        F.round(F.col("l_extendedprice") % 97.0, 6).alias("price_mod"),
-        F.when(F.col("l_discount") > 0.05, "deep")
-        .when(F.col("l_discount") > 0, "some")
-        .otherwise("none").alias("disc_band"),
-        F.greatest("l_tax", "l_discount").alias("max_rate"),
-        F.least(F.col("l_quantity"), F.lit(10.0)).alias("capped_qty"),
-        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("kept")).alias(
-            "flag_or_kept"
-        ),
     )
 
 
@@ -1211,3 +1195,186 @@ def embedding_norm_stats(spark, sf_dir):
     return e.groupBy("label").agg(
         F.count("*").alias("n"), F.round(F.avg(nrm), 6).alias("avg_norm")
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline rows (round 6): BM25 retrieval, corpus-level paragraph
+# dedup, and reciprocal-rank fusion — each hash-checked against a full
+# independent DuckDB re-implementation of the operator's math.
+# ---------------------------------------------------------------------------
+
+# fixed query workload for the retrieval rows: terms drawn from the
+# documents table's actual vocabulary with very different df (the/table
+# are near-ubiquitous, vector/spark are selective) so IDF has bite
+_BM25_QUERY_ROWS = [
+    (1, "spark window agg"),
+    (2, "customer table scan"),
+    (3, "fast merge batch join"),
+    (4, "vector the hash"),
+]
+_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERY_ROWS)
+
+# ranked-BM25 CTE chain shared by the bm25 and rrf oracles: the same
+# tokenizer as every text op (lower + split on non-alnum), tf per
+# (doc, term), avgdl over ALL docs (Okapi convention, matching
+# search.bm25_topk), smoothed IDF, per-(qid, doc) score sum rounded to
+# 6 (the exact rounding the Spark side applies before ranking).
+_BM25_RANKED_CTES = f"""
+    q(qid, qtext) AS (VALUES {_BM25_VALUES}),
+    tok AS (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS term
+            FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    lens AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+    stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+                     (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) AS total_len),
+    qt AS (SELECT DISTINCT qid, term FROM
+             (SELECT qid,
+                     unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+                                        x -> x <> '')) AS term
+              FROM q)),
+    idf AS (SELECT term, count(*) AS df FROM tf
+            WHERE term IN (SELECT term FROM qt) GROUP BY term),
+    scored AS (
+      SELECT qt.qid, tf.doc_id,
+             round(sum(ln(1 + (s.n_docs - i.df + 0.5) / (i.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.doc_len
+                                         / (s.total_len / s.n_docs)))), 6) AS bm25
+      FROM tf
+      JOIN qt USING (term)
+      JOIN idf i USING (term)
+      JOIN lens l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt.qid, tf.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, bm25,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY bm25 DESC, doc_id ASC) AS rk
+      FROM scored)"""
+
+
+def _bm25_query_df(spark):
+    return spark.createDataFrame(_BM25_QUERY_ROWS, "qid long, qtext string")
+
+
+@q(
+    "bm25_topk_documents",
+    f"""
+    WITH {_BM25_RANKED_CTES}
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, bm25, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def bm25_topk_documents(spark, sf_dir):
+    """Okapi BM25 top-10 per query over the documents table, hash-checked
+    against a from-scratch DuckDB BM25 (tf/df/avgdl/IDF all re-derived in
+    SQL — see operators/search.py for the distributed plan shape)."""
+    from lyssandra_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, _bm25_query_df(spark), k=10)
+
+
+@q(
+    "rrf_hybrid_documents",
+    f"""
+    WITH {_BM25_RANKED_CTES},
+    lenrank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rk
+      FROM (SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents)
+      QUALIFY rk <= 10),
+    contrib AS (
+      SELECT qid, doc_id, 1.0 / (60 + rk) AS c FROM ranked WHERE rk <= 10
+      UNION ALL
+      SELECT qv.qid, l.doc_id, 1.0 / (60 + l.rk)
+      FROM (SELECT DISTINCT qid FROM q) qv CROSS JOIN lenrank l),
+    fused AS (SELECT qid, doc_id, round(sum(c), 8) AS rrf_score
+              FROM contrib GROUP BY qid, doc_id)
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf_score,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY rrf_score DESC, doc_id ASC)
+                AS INTEGER) AS rk
+    FROM fused QUALIFY rk <= 10
+    """,
+)
+def rrf_hybrid_documents(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack 2009) of two REAL rankers — BM25
+    top-10 and a longest-documents top-10 (a deterministic stand-in for a
+    second retrieval mode, same for every query) — hash-checked against a
+    DuckDB re-derivation of both rankings and the fused 1/(60+rank)
+    scores. The global length ranking is a driver-scale window (one
+    partition); production rankers are per-query-bounded upstream."""
+    from lyssandra_spark.functions.textstats import word_tokens
+    from lyssandra_spark.operators.search import bm25_topk, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qdf = _bm25_query_df(spark)
+    ra = bm25_topk(d, qdf, k=10).select("qid", "doc_id", "rk")
+    wl = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    lenrank = (
+        d.select("doc_id", F.size(word_tokens("text")).alias("n_tokens"))
+        .withColumn("rk", F.row_number().over(wl))
+        .where(F.col("rk") <= 10)
+        .select("doc_id", "rk")
+    )
+    rb = qdf.select("qid").distinct().crossJoin(lenrank)
+    return rrf_fuse([ra, rb], k=10)
+
+
+_BANNER = "Subscribe to our newsletter today"
+
+
+@q(
+    "dedup_paragraphs_documents",
+    rf"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || chr(10) || '{_BANNER}'
+                  ELSE text END AS text
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(range(len(parts))) AS pos,
+             unnest(parts) AS para
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d)),
+    t AS (SELECT doc_id, pos, para,
+                 regexp_replace(para, '^\s+|\s+$', '', 'g') AS tp
+          FROM p),
+    hot AS (SELECT tp FROM t WHERE tp <> ''
+            GROUP BY tp HAVING count(*) >= 2),
+    m AS (SELECT doc_id, pos, para,
+                 (tp <> '' AND tp IN (SELECT tp FROM hot)) AS dup
+          FROM t)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT dup THEN para END,
+                               chr(10) ORDER BY pos), '') AS text,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM m GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs_documents(spark, sf_dir):
+    """Corpus-level repeated-paragraph removal (Gopher/C4 boilerplate
+    strip) with a planted cross-document banner on every 3rd doc, so the
+    hot set is non-trivial at every sf — hash-checked against a DuckDB
+    re-derivation (split, trim, corpus-wide count >= 2, ordered
+    reassembly). See operators/dedup.py:dedup_paragraphs for the
+    one-count-shuffle plan shape."""
+    from lyssandra_spark.operators.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws("\n", F.col("text"), F.lit(_BANNER)),
+        ).otherwise(F.col("text")),
+    )
+    return dedup_paragraphs(planted)

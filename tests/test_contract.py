@@ -31,6 +31,14 @@ def test_registry_shape():
                 "dedup_minhash_clusters", "simhash_neardup_pairs",
                 "ann_topk_variants"):
         assert key in qs, key
+    # round-6 registry swap: the flagship LLM ops hold ORACLED rows (the
+    # scalar_* rows were consolidated + q5 retired to free the slots)
+    for key in ("bm25_topk_documents", "rrf_hybrid_documents",
+                "dedup_paragraphs_documents", "scalar_function_suite"):
+        assert key in qs and key in osql, key
+    for gone in ("q5_region_revenue", "scalar_props_extract",
+                 "scalar_string_funcs", "scalar_math_conditional"):
+        assert gone not in qs, f"{gone} was retired in round 6"
 
 
 def test_every_oracle_sql_binds_in_duckdb():

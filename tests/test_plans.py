@@ -72,6 +72,40 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(j)
 
 
+def test_six_way_join_chain_broadcasts_dims(spark, sf_dir):
+    """The TPC-H Q5-shaped 6-way join chain (fact-fact joins + three
+    explicitly-broadcast small dims) keeps its broadcast-chain plan —
+    this pins the shape the retired q5_region_revenue driver row used
+    to cover (its correctness overlaps q3/join_customer_nation_region;
+    the slot went to an oracled LLM-pipeline row in round 6)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "ASIA"
+    )
+    out = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"))
+    )
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    rows = out.collect()
+    assert all(row.revenue > 0 for row in rows)
+
+
 def test_agg_has_partial_and_codegen(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
