@@ -44,6 +44,13 @@ from pyspark.sql import types as T
 
 __all__ = ["PRETOKEN_RE", "pretokenize", "train_bpe", "bpe_token_counts"]
 
+# per-partition apply-memo bound: past this many distinct words the memo
+# stops admitting entries (Zipf means the hot words are already in, so
+# the hit rate is preserved; the worst case — adversarial high-entropy
+# text like base64 blobs or random ids — degrades to uncached encoding
+# instead of unbounded Python-worker memory growth)
+_MEMO_CAP = 1_000_000
+
 # Python-re flavor of the GPT-2-style pre-tokenizer (see
 # textstats.bpe_like_tokens for the JVM flavor and the documented
 # Java-vs-Python unicode class divergences). Whitespace segments are
@@ -209,7 +216,10 @@ def bpe_token_counts(
     the pass is one map-only ``mapInArrow`` with a per-partition
     distinct-word memo — Zipf makes almost every word a cache hit, so
     the greedy merge loop runs roughly once per distinct word per
-    partition, not once per occurrence.
+    partition, not once per occurrence. The memo is bounded
+    (``_MEMO_CAP`` distinct words): a high-cardinality partition
+    (random ids, code, base64) stops caching past the cap instead of
+    growing Python-worker memory without bound.
     """
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     if len(ranks) != len(merges):
@@ -235,7 +245,8 @@ def bpe_token_counts(
                     n = memo.get(w)
                     if n is None:
                         n = _encode_word(w, R)
-                        memo[w] = n
+                        if len(memo) < _MEMO_CAP:
+                            memo[w] = n
                     total += n
                 ns.append(total)
             yield pa.RecordBatch.from_arrays(

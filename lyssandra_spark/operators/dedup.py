@@ -97,28 +97,37 @@ def dedup_paragraphs(
 
     Returns (id, text, n_paras, n_removed) with surviving paragraphs
     rejoined by ``sep`` in original order. Paragraph identity is
-    ``trim(paragraph)`` (exact, case-sensitive — the Gopher convention);
-    blank/whitespace-only paragraphs are STRUCTURE, never counted or
-    removed, so a document with nothing repeated round-trips
-    byte-identically (split + rejoin on the literal separator is exact;
-    property-tested). ``sep`` is treated as a literal string, not a
-    regex. Documents whose every non-blank paragraph was boilerplate
-    keep their row (empty-ish text, ``n_removed`` accounting). Null-text
+    ``trim(paragraph)`` ITSELF (exact, case-sensitive — the Gopher
+    convention; the 64-bit hash that rides alongside is only the
+    group/join key prefix, and the trimmed text is always compared too,
+    so a hash collision can neither strip an innocent paragraph nor
+    inflate a count); blank/whitespace-only paragraphs are STRUCTURE,
+    never counted or removed, so a document with nothing repeated
+    round-trips byte-identically (split + rejoin on the literal
+    separator is exact; property-tested). ``sep`` is treated as a
+    literal string, not a regex (embedded ``\\E`` is re-quoted).
+    Documents whose every non-blank paragraph was boilerplate keep
+    their row (empty-ish text, ``n_removed`` accounting). Null-text
     documents yield no row (no paragraphs — same convention as the LM
     scorer).
 
     Plan at 100 TB: posexplode (map-only) -> ONE count shuffle keyed on
-    the paragraph hash, with map-side partial counts absorbing the hot
-    boilerplate key (a 10^7-copy cookie banner crosses the wire once per
-    task, not once per copy) -> join the (filtered, small: only hashes
-    that actually repeat) hot set back -> ONE groupBy(id) to reassemble.
-    The hot-set join is left to AQE: it usually broadcasts, but the
-    operator does not force it since the dup-hash set is corpus-sized in
-    the worst case.
+    (hash, trimmed paragraph), with map-side partial counts absorbing
+    the hot boilerplate key (a 10^7-copy cookie banner crosses the wire
+    once per task, not once per copy; the shuffle row carries the
+    trimmed text of each distinct paragraph once per task — the price
+    of exact identity) -> join the (filtered, small: only paragraphs
+    that actually repeat) hot set back -> ONE groupBy(id) to
+    reassemble. The hot-set join is left to AQE: it usually broadcasts,
+    but the operator does not force it since the dup set is
+    corpus-sized in the worst case.
     """
     if min_dup < 2:
         raise ValueError(f"min_dup ({min_dup}) must be >= 2")
-    pat = "\\Q" + sep + "\\E"  # literal separator, never a regex
+    # literal separator, never a regex: \Q..\E quoting, with any \E
+    # embedded in sep itself re-quoted (close the quote, emit a literal
+    # \E, reopen) — otherwise the remainder would parse as a pattern
+    pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     # unicode-aware trim for paragraph IDENTITY and blankness: Spark's
     # trim() strips ASCII spaces only, so a tab/NBSP-only line would be
     # hashed as content and stripped as "boilerplate" corpus-wide —
@@ -128,17 +137,18 @@ def dedup_paragraphs(
         id_col,
         F.posexplode(F.split(F.col(text_col), pat, -1)).alias("pos", "para"),
     ).withColumn(
-        "__h",
-        F.when(utrim != "", F.xxhash64(utrim)),
+        "__t", F.when(utrim != "", utrim)
+    ).withColumn(
+        "__h", F.xxhash64("__t")  # null __t -> null __h (blank: structure)
     )
     hot = (
-        parts.where(F.col("__h").isNotNull())
-        .groupBy("__h")
+        parts.where(F.col("__t").isNotNull())
+        .groupBy("__h", "__t")  # exact: colliding texts count separately
         .agg(F.count("*").alias("__n"))
         .where(F.col("__n") >= min_dup)
-        .select("__h", F.lit(True).alias("__dup"))
+        .select("__h", "__t", F.lit(True).alias("__dup"))
     )
-    marked = parts.join(hot, "__h", "left")
+    marked = parts.join(hot, ["__h", "__t"], "left")
     return marked.groupBy(id_col).agg(
         F.concat_ws(
             sep,

@@ -270,8 +270,15 @@ def mix_sources(
     together; stable across runs, partitionings, and executor counts;
     ``salt`` namespaces it from split/sample decisions).
 
-    Cost at 100 TB: one count() per source (a metadata-cheap aggregate),
-    then map-only filters + a plan-level union — no shuffle anywhere.
+    Cost at 100 TB: one count() per positive-weight source — a
+    column-pruned full-scan job, cheap on parquet because row-group
+    metadata answers it without materializing columns, but a scan job
+    nonetheless (cache or catalog-stat the sources if counts are hot) —
+    then map-only filters + a plan-level union: no shuffle anywhere.
+    Proportions are enforced at KEY granularity (leakage consistency:
+    all rows of a key survive or drop together), so realized ROW
+    proportions drift from ``weights`` when rows-per-key distributions
+    differ across sources — size by rows-per-key if that matters.
     Sources must share a schema up to column order (unionByName;
     missing-column drift fails loudly rather than null-filling a corpus).
     """

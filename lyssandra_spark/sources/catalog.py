@@ -26,16 +26,18 @@ import json
 import os
 import time
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["ParquetCatalog", "zorder_key"]
+__all__ = ["ParquetCatalog", "with_zorder_key"]
 
 _Z_BUCKETS = 256  # 8 bits per column in the interleaved key
 
 
-def zorder_key(df: DataFrame, cols: list[str]) -> Column:
-    """Morton/Z-order key over numeric/timestamp columns: each column is
+def with_zorder_key(
+    df: DataFrame, cols: list[str], out_col: str = "__z"
+) -> DataFrame:
+    """Add a Morton/Z-order key column: each input column is
     quantile-bucketed to 8 bits (one ``approx_percentile`` sketch job for
     the cutoffs — data-adaptive, so skewed columns still spread across
     buckets), and the bucket bits are interleaved. Sorting/range-
@@ -44,6 +46,16 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
     pruning, where a plain sort gives tight bounds on the first column
     and full-range stripes on every other (the Iceberg OPTIMIZE ZORDER
     rationale). Nulls bucket to 0 (cluster together, first files).
+
+    Returns ``df`` with ``out_col`` appended (a DataFrame, not a bare
+    Column, ON PURPOSE: each column's bucket — a 255-literal cutoff
+    array filter — is materialized ONCE in its own projection and the
+    bit-interleave tree references it by attribute. Catalyst does not
+    CSE repeated subtrees inside one projection, so the single-Column
+    form would embed every bucket expression 8x — up to 56 copies per
+    row at 7 columns; CollapseProject keeps the split because the
+    bucket attributes are non-cheap and referenced 8 times each,
+    asserted in tests/test_catalog.py).
 
     Columns must be numeric, date, or timestamp (temporal types are
     bucketed via their epoch value); strings have no meaningful linear
@@ -92,7 +104,14 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
         for c in cols
     ]).collect()[0]
     n = len(cols)
-    z = F.lit(0).cast("long")
+    tmp = [f"__zb{j}" for j in range(n)]
+    clash = sorted(set(tmp + [out_col]) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"columns {clash} are reserved by the zorder key builder; "
+            "rename them first"
+        )
+    out = df
     for j, c in enumerate(cols):
         cuts = [v for v in (cuts_row[c] or []) if v is not None]
         bucket = F.size(
@@ -101,15 +120,19 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
                 lambda cut: cut <= casted[c],
             )
         ) if cuts else F.lit(0)
-        bucket = F.coalesce(bucket, F.lit(0)).cast("long")  # null -> 0
+        # null -> 0; one projection per bucket so the interleave below
+        # references an attribute, never a copy of the filter tree
+        out = out.withColumn(tmp[j], F.coalesce(bucket, F.lit(0)).cast("long"))
+    z = F.lit(0).cast("long")
+    for j in range(n):
         for b in range(8):
             z = z.bitwiseOR(
                 F.shiftleft(
-                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    F.shiftright(F.col(tmp[j]), b).bitwiseAND(F.lit(1)),
                     n * b + j,
                 )
             )
-    return z
+    return out.withColumn(out_col, z).drop(*tmp)
 
 
 class ParquetCatalog:
@@ -161,7 +184,7 @@ class ParquetCatalog:
         to expect.
         ``zorder_by`` (Iceberg OPTIMIZE ZORDER analogue, mutually
         exclusive with ``sort_by``) range-partitions + sorts on a
-        :func:`zorder_key` over >= 2 numeric/temporal columns into
+        :func:`with_zorder_key` over >= 2 numeric/temporal columns into
         ``n_files`` clustered files: every file then bounds a compact
         box in ALL the columns, so min/max pruning works for predicates
         on ANY of them — a plain sort gives full-range stripes on every
@@ -253,9 +276,8 @@ class ParquetCatalog:
             try:
                 if df.storageLevel == StorageLevel.NONE:
                     zpersisted = df.persist()
-                zk = zorder_key(df, list(zorder_by))
                 out = (
-                    out.withColumn("__z", zk)
+                    with_zorder_key(out, list(zorder_by), "__z")
                     .repartitionByRange(n_files, F.col("__z"))
                     .sortWithinPartitions("__z")
                     .drop("__z")

@@ -425,6 +425,36 @@ def test_catalog_zorder_layout(spark, cat):
         cat.write(df, "zerr", zorder_by=["a", "b"], n_files=0)
 
 
+def test_zorder_bucket_computed_once_per_column(spark):
+    """The 255-literal cutoff-array bucket expression must appear ONCE
+    per z-ordered column in the optimized plan, not 8x (one per bit):
+    with_zorder_key materializes each bucket in its own projection and
+    the interleave references the attribute; Catalyst must keep the
+    split (CollapseProject declines to inline non-cheap expressions
+    referenced 8 times) rather than re-duplicating the filter tree."""
+    from lyssandra_spark.sources.catalog import with_zorder_key
+
+    n = 64
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"),
+        F.floor(F.col("id") / n).alias("b"),
+    )
+    out = with_zorder_key(df, ["a", "b"], "__z")
+    assert "__z" in out.columns and "__zb0" not in out.columns
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # each column's bucket filter appears exactly once in the whole plan
+    assert plan.count("lambdafunction") == 2, plan.count("lambdafunction")
+    # round-trips: the key is identical to the straight-line recompute
+    first = out.orderBy("a", "b").select("__z").limit(3).collect()
+    again = (
+        with_zorder_key(df, ["a", "b"], "__z")
+        .orderBy("a", "b").select("__z").limit(3).collect()
+    )
+    assert first == again
+    with pytest.raises(ValueError, match="reserved"):
+        with_zorder_key(df.withColumn("__zb0", F.lit(1)), ["a", "b"])
+
+
 def test_compact_with_zorder_recluster(spark, cat):
     """The production pairing: unclustered hot appends all day, then ONE
     compaction rewrite that also buys the Z-order clustering."""

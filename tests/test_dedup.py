@@ -471,3 +471,26 @@ def test_dedup_paragraphs_roundtrip_and_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_dedup_paragraphs_separator_containing_quote_end(spark):
+    r"""A separator containing the literal sequence \E must stay a
+    literal: naive \Q<sep>\E quoting would end the quote early and parse
+    the remainder ('[' here) as a regex, throwing or mis-splitting."""
+    sep = "\\E["
+    texts = [
+        f"dup para{sep}unique A{sep}tail",
+        f"dup para{sep}unique B",
+        "no separator here",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = (
+        DD.dedup_paragraphs(docs, sep=sep, min_dup=2)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "text"] == f"unique A{sep}tail"
+    assert out.loc[0, "n_paras"] == 3 and out.loc[0, "n_removed"] == 1
+    assert out.loc[1, "text"] == "unique B"
+    assert out.loc[2, "text"] == "no separator here"
