@@ -38,7 +38,10 @@ from pyspark.sql import Window
 
 from lyssandra_spark.functions.textstats import word_tokens
 
-__all__ = ["build_postings", "bm25_topk", "rrf_fuse"]
+__all__ = [
+    "build_postings", "bm25_topk", "bm25_topk_indexed",
+    "refresh_postings", "rrf_fuse",
+]
 
 
 def build_postings(
@@ -184,6 +187,164 @@ def _score_postings(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
+    )
+
+
+def refresh_postings(
+    catalog,
+    src_table: str,
+    postings_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Incremental BM25 index maintenance: keep ``postings_table`` equal
+    to :func:`build_postings` over ``src_table``'s full chain by folding
+    ONLY the source snapshots appended since the last refresh — the
+    production answer to :func:`bm25_topk` re-scanning the corpus per
+    call. Same shape as
+    :func:`~lyssandra_spark.operators.incremental.refresh_aggregate`:
+    the postings snapshot meta records ``postings_last_snap`` (newest
+    source snapshot folded) plus ``n_docs`` (TOTAL docs folded, counted
+    from the source — zero-token docs leave no postings row but must
+    still count toward Okapi's N and avgdl denominators). Returns the
+    postings table's snapshot id.
+
+    Why appends suffice (no keyed merge): a (doc, term) tf row belongs
+    to exactly one document, and each document arrives in exactly one
+    source snapshot — delta postings never collide with indexed rows,
+    so each batch is ``build_postings(delta)`` landed as one APPEND.
+    Doc identity is the id (the :func:`~lyssandra_spark.operators
+    .incremental.dedup_new_batch` convention): re-ingested ids are
+    anti-joined out against the indexed ids before signing, so
+    re-feeding yesterday's docs can't double tfs. (A re-ingested doc
+    that tokenizes to NOTHING is invisible to the postings and would
+    double-count N only — negligible for scoring and documented here.)
+    A source OVERWRITE resets its chain: detected via the chain-start
+    snapshot id, triggering a full rebuild instead of folding deltas
+    onto stale rows.
+
+    At 100 TB: per batch this scans ONLY the delta snapshots' text (one
+    explode + one (doc, term) count shuffle over the delta), one
+    column-pruned delta count, and one distinct-id scan of the indexed
+    postings for the re-ingest guard; the corpus text is never re-read.
+    """
+    spec = {"src": src_table, "id_col": id_col, "text_col": text_col}
+    src_snaps = catalog.snapshots(src_table)
+    if not src_snaps:
+        raise FileNotFoundError(f"no snapshots for source {src_table!r}")
+    newest = src_snaps[-1]["id"]
+    chain_start = 0
+    for s in src_snaps:
+        if s["mode"] == "overwrite":
+            chain_start = s["id"]
+    post_snaps = catalog.snapshots(postings_table)
+    head_meta = post_snaps[-1].get("meta", {}) if post_snaps else {}
+    if post_snaps and head_meta.get("postings_spec") != spec:
+        raise ValueError(
+            f"refresh spec {spec} does not match the postings table's "
+            f"{head_meta.get('postings_spec')} — use a different "
+            "postings_table or rebuild"
+        )
+    last = head_meta.get("postings_last_snap")
+    if last is None or last < chain_start:
+        # first build, or the source chain was overwritten under us
+        docs = catalog.read(src_table).dropDuplicates([id_col])
+        n_docs = docs.count()
+        return catalog.write(
+            build_postings(docs, id_col, text_col), postings_table,
+            mode="overwrite",
+            meta={"postings_spec": spec, "postings_last_snap": newest,
+                  "n_docs": n_docs},
+        )
+    if last >= newest:
+        return post_snaps[-1]["id"]  # nothing new: no-op
+    delta = None
+    for s in src_snaps:
+        if s["id"] <= last:
+            continue
+        piece = catalog.read_snapshot(src_table, s["id"]).select(
+            id_col, text_col
+        )
+        delta = piece if delta is None else delta.unionByName(piece)
+    delta = delta.dropDuplicates([id_col])
+    # re-ingest guard: an id already in the index must not land a second
+    # set of tf rows (they would read as doubled term frequencies)
+    indexed_ids = catalog.read(postings_table).select(id_col).distinct()
+    delta = delta.join(indexed_ids, id_col, "left_anti")
+    n_new = delta.count()
+    if n_new == 0:
+        # ids all re-ingested: advance the watermark only (no data dir)
+        return catalog.write(
+            catalog.read(postings_table).limit(0), postings_table,
+            mode="append",
+            meta={"postings_spec": spec, "postings_last_snap": newest,
+                  "n_docs": head_meta["n_docs"]},
+        )
+    return catalog.write(
+        build_postings(delta, id_col, text_col), postings_table,
+        mode="append",
+        meta={"postings_spec": spec, "postings_last_snap": newest,
+              "n_docs": head_meta["n_docs"] + n_new},
+    )
+
+
+def bm25_topk_indexed(
+    catalog,
+    postings_table: str,
+    queries: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`bm25_topk` semantics served from a PERSISTED postings
+    index (maintained by :func:`refresh_postings`) — the corpus text is
+    never touched: the plan reads the postings parquet, prunes it to
+    the broadcast query vocabulary, re-derives IDF/avgdl from the
+    pruned rows + the manifest's ``n_docs``, and runs the same bounded
+    score/top-k tail (:func:`_score_postings`). Bit-identical to
+    ``bm25_topk`` over the same corpus (pytest-pinned), because tf,
+    df, N, and total length are all exactly reconstructable from the
+    index. Unlike the corpus path's localCheckpoint, the heavy shuffle
+    result here survives executor loss — it IS the catalog table.
+    """
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    snaps = catalog.snapshots(postings_table)
+    if not snaps:
+        raise FileNotFoundError(
+            f"no snapshots for postings table {postings_table!r} — run "
+            "refresh_postings first"
+        )
+    meta = snaps[-1].get("meta", {})
+    n_docs = meta.get("n_docs")
+    if not n_docs:
+        raise ValueError(
+            f"postings table {postings_table!r} has no n_docs meta — it "
+            "was not written by refresh_postings"
+        )
+    spec = meta.get("postings_spec", {})
+    id_col = spec.get("id_col", "doc_id")
+    post = catalog.read(postings_table).select(id_col, "term", "tf", "doc_len")
+    # avgdl from the index: sum of tfs is the corpus token total (the
+    # aggregation runs over grouped postings rows, never raw tokens)
+    total_len = post.agg(F.sum("tf")).collect()[0][0]
+    if total_len is None:
+        raise ValueError(
+            "bm25_topk_indexed: postings table is empty (no document "
+            "tokenized to any term)"
+        )
+    avg_len = float(total_len) / float(n_docs)
+    qterms = (
+        queries.select(
+            qid_col, F.explode(word_tokens(qtext_col)).alias("term")
+        )
+        .distinct()
+    )
+    return _score_postings(
+        post, qterms, n_docs, avg_len, k,
+        id_col=id_col, qid_col=qid_col, k1=k1, b=b,
     )
 
 

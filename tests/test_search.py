@@ -114,6 +114,97 @@ def test_bm25_on_documents_table_and_plan(spark, sf_dir):
         bm25_topk(empty, q)
 
 
+def test_incremental_postings_equal_full_rebuild(spark, sf_dir, tmp_path):
+    """refresh_postings folding two batches == build_postings over the
+    full corpus (bit-equal rows, N counts zero-token docs), and
+    bm25_topk_indexed == bm25_topk over the same corpus — while its plan
+    reads ONLY the postings table, never the docs table."""
+    from lyssandra_spark.operators.search import (
+        bm25_topk_indexed,
+        refresh_postings,
+    )
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = d.where(F.col("doc_id") < 60)
+    # batch 2 includes a zero-token doc: no postings row, but it must
+    # count toward Okapi's N / avgdl denominators
+    b2 = d.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)).unionByName(
+        spark.createDataFrame([(999999, "!!! ...")], "doc_id long, text string")
+    )
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(b1, "docs", mode="overwrite")
+    s1 = refresh_postings(cat, "docs", "postings")
+    cat.write(b2, "docs", mode="append")
+    s2 = refresh_postings(cat, "docs", "postings")
+    assert s2 > s1
+
+    full = b1.unionByName(b2)
+    got = (
+        cat.read("postings").toPandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    want = (
+        build_postings(full).toPandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[list(want.columns)], want)
+    assert cat.snapshots("postings")[-1]["meta"]["n_docs"] == full.count()
+
+    q = spark.createDataFrame(
+        [(1, "table scan value"), (2, "spark merge batch")],
+        "qid long, qtext string",
+    )
+    gi = (
+        bm25_topk_indexed(cat, "postings", q, k=5).toPandas()
+        .sort_values(["qid", "rk"]).reset_index(drop=True)
+    )
+    gc = (
+        bm25_topk(full, q, k=5).toPandas()
+        .sort_values(["qid", "rk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gi, gc)
+
+    # the indexed plan scans the postings chain, never the corpus text
+    plan = (
+        bm25_topk_indexed(cat, "postings", q, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "postings" in plan
+    assert "docs/snap" not in plan
+
+    # no new source snapshot -> no-op, same postings snapshot id
+    assert refresh_postings(cat, "docs", "postings") == s2
+
+    # wholesale re-ingest: watermark advances, postings rows unchanged
+    cat.write(b1, "docs", mode="append")
+    n_rows = cat.read("postings").count()
+    s4 = refresh_postings(cat, "docs", "postings")
+    assert s4 > s2
+    assert cat.read("postings").count() == n_rows
+    assert cat.snapshots("postings")[-1]["meta"]["n_docs"] == full.count()
+
+    # spec drift fails loudly; source overwrite triggers a full rebuild
+    with pytest.raises(ValueError, match="spec"):
+        refresh_postings(cat, "docs", "postings", text_col="body")
+    cat.write(b2, "docs", mode="overwrite")
+    refresh_postings(cat, "docs", "postings")
+    assert (
+        cat.snapshots("postings")[-1]["meta"]["n_docs"] == b2.count()
+    )
+    rebuilt = (
+        cat.read("postings").toPandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    want2 = (
+        build_postings(b2).toPandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(rebuilt[list(want2.columns)], want2)
+
+
 def test_rrf_fusion_known_values(spark):
     """RRF (Cormack 2009): a doc ranked mid in BOTH lists beats docs top
     in only one (1/(60+3)+1/(60+3) > 1/(60+1)); exact hand-computed
