@@ -212,6 +212,7 @@ def update_components(
     new_pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    broadcast_limit: int = 5_000_000,
     **cc_kwargs,
 ) -> int:
     """Incremental cluster maintenance: keep a persisted ``(id,
@@ -234,7 +235,14 @@ def update_components(
     against the label table — untouched components are never shuffled
     (plan-asserted in pytest) — and only rows whose label actually
     changed go through the catalog's keyed merge. New-pair endpoints
-    never seen before enter as new label rows.
+    never seen before enter as new label rows. The broadcast is
+    GUARDED: if the remap exceeds ``broadcast_limit`` rows (a bulk
+    backfill routed through the incremental path instead of the
+    bootstrap branch, where the frontier ~ the corpus), the relabel
+    falls back to a shuffle join — labels identical, driver intact —
+    instead of OOMing the driver on a corpus-scale broadcast. The
+    count probing the size is cheap: ``connected_components`` returns
+    a localCheckpointed result.
 
     At 100 TB: per batch this costs one bounded CC over the contracted
     frontier graph + one broadcast-join scan of the label table; the
@@ -276,12 +284,17 @@ def update_components(
     remap = connected_components(
         contracted, src="u", dst="v", **cc_kwargs
     ).select(F.col("id").alias("node"), F.col("component").alias("__new"))
+    # size-guard the remap before broadcasting: daily frontiers are tiny
+    # (broadcast — the label table is scanned once, never shuffled), but
+    # a corpus-scale remap must shuffle-join instead of OOMing the
+    # driver. The count reads the CC result's checkpointed blocks.
+    remap_j = (
+        F.broadcast(remap) if remap.count() <= broadcast_limit else remap
+    )
 
-    # relabel members of touched components: broadcast the remap so the
-    # label table is scanned once, never shuffled; keep only real changes
+    # relabel members of touched components; keep only real changes
     changed_old = (
-        labels.join(F.broadcast(remap),
-                    labels["component"] == remap["node"])
+        labels.join(remap_j, labels["component"] == remap_j["node"])
         .where(F.col("component") != F.col("__new"))
         .select("id", F.col("__new").alias("component"))
     )
@@ -292,7 +305,7 @@ def update_components(
     # the id of an already-labeled member).
     new_labeled = (
         m.where(~F.col("__known"))
-        .join(F.broadcast(remap), "node")
+        .join(remap_j, "node")
         .select("id", F.col("__new").alias("component"))
     )
     delta = changed_old.unionByName(new_labeled).localCheckpoint(eager=True)

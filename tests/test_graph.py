@@ -179,6 +179,38 @@ def test_update_components_incremental_equals_full(spark, tmp_path):
     assert len(cat.snapshots("labels")) == head
 
 
+def test_update_components_bulk_batch_shuffle_fallback(spark, tmp_path):
+    """Broadcast guard: a bulk batch whose frontier ~ the corpus, fed
+    through the incremental path with broadcast_limit=0 (every remap
+    overflows), must take the shuffle-join fallback and still produce
+    labels bit-identical to the union-find oracle — no driver blow-up,
+    no behavior change."""
+    from lyssandra_spark.operators.incremental import update_components
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    rng = np.random.default_rng(41)
+    edges = [
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, 300, size=(200, 2))
+        if a != b
+    ]
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    seed = edges[:10]
+    update_components(
+        cat, "lab",
+        spark.createDataFrame(seed, "id_a long, id_b long"),
+    )
+    # bulk backfill: the remaining 95% of pairs in ONE batch, forced
+    # through the non-broadcast path
+    update_components(
+        cat, "lab",
+        spark.createDataFrame(edges[10:], "id_a long, id_b long"),
+        broadcast_limit=0,
+    )
+    got = {r["id"]: r["component"] for r in cat.read("lab").collect()}
+    assert got == _uf_oracle(edges)
+
+
 def test_update_components_merges_components_and_bridges(spark, tmp_path):
     """Planted topology: batch 1 builds two components {1,2,3} and
     {10,11}; batch 2 bridges them via a NEW id and starts a fresh
