@@ -25,12 +25,17 @@ Spark-first shape, in the only place Python is genuinely required:
   Zipf that is a >90% hit rate, so the hot path is a dict lookup.
 
 Conventions (stated because counts are only comparable under them):
-symbols are CHARACTERS (not bytes — no byte-fallback table in this
-dependency-free sandbox), pre-tokenization is the GPT-2-style regex
-(Python ``re`` flavor on both the train and apply paths, so they always
-agree; the JVM ``bpe_like_tokens`` proxy documents its own Java-regex
-divergences), merges never cross pre-token boundaries, and ties in pair
-frequency break lexicographically so training is deterministic.
+symbols are CHARACTERS by default, or UTF-8 BYTES with ``level="byte"``
+(GPT-2 proper is byte-level: no unknown symbol can ever exist, and
+multibyte characters merge back together only if the data earns it —
+bytes are aliased to latin-1 characters internally, which is exactly
+GPT-2's bytes-to-unicode trick restricted to what counting needs).
+``level`` is part of the tokenizer's identity: train and apply must use
+the same one. Pre-tokenization is the GPT-2-style regex (Python ``re``
+flavor on both the train and apply paths, so they always agree; the JVM
+``bpe_like_tokens`` proxy documents its own Java-regex divergences),
+merges never cross pre-token boundaries, and ties in pair frequency
+break lexicographically so training is deterministic.
 """
 
 from __future__ import annotations
@@ -74,6 +79,21 @@ def pretokenize(text: str) -> list[str]:
     return [s for s in PRETOKEN_RE.findall(text) if not s.isspace()]
 
 
+def _to_syms(word: str, level: str) -> tuple[str, ...]:
+    """A pre-token as its BPE symbol tuple: characters, or UTF-8 bytes
+    aliased to latin-1 characters (each byte b is the one-char string
+    chr(b) — lossless, keeps every symbol a plain str so the trainer,
+    merge table, and encoder are level-agnostic)."""
+    if level == "byte":
+        return tuple(word.encode("utf-8").decode("latin-1"))
+    return tuple(word)
+
+
+def _check_level(level: str) -> None:
+    if level not in ("char", "byte"):
+        raise ValueError(f"level must be 'char' or 'byte', got {level!r}")
+
+
 def _merge_word(
     word: tuple[str, ...], pair: tuple[str, str]
 ) -> tuple[str, ...]:
@@ -95,6 +115,7 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 1_000,
     max_words: int = 50_000,
+    level: str = "char",
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the ranked
     merge list (rank = list index, lower merges first).
@@ -106,8 +127,12 @@ def train_bpe(
     rare to move pair statistics — and is logged in no silent way: it is
     THE documented contract). Merge learning is then driver-side over
     the bounded (word, count) table, exactly Sennrich Alg. 1 with
-    deterministic lexicographic tie-breaks.
+    deterministic lexicographic tie-breaks. ``level="byte"`` learns
+    merges over UTF-8 bytes (GPT-2 proper) instead of characters; the
+    scan and driver loop are identical — only the initial symbol
+    decomposition changes (see :func:`_to_syms`).
     """
+    _check_level(level)
     if n_merges < 0:
         raise ValueError(f"n_merges ({n_merges}) must be >= 0")
     if max_words < 1:
@@ -136,8 +161,10 @@ def train_bpe(
         .limit(max_words)
         .collect()
     )
+    # the UTF-8/latin-1 alias is injective, so distinct words map to
+    # distinct symbol tuples at either level
     vocab: dict[tuple[str, ...], int] = {
-        tuple(r["word"]): r["cnt"] for r in counts
+        _to_syms(r["word"], level): r["cnt"] for r in counts
     }
     # incremental trainer state: exact pair counts + an inverted index
     # pair -> words containing it. Each merge then touches ONLY the words
@@ -210,6 +237,7 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "n_bpe_tokens",
+    level: str = "char",
 ) -> DataFrame:
     """Per-document REAL BPE token counts under a trained merge list:
     (id, ``out_col``). The merge ranks broadcast (a vocab is KBs–MBs);
@@ -219,8 +247,11 @@ def bpe_token_counts(
     partition, not once per occurrence. The memo is bounded
     (``_MEMO_CAP`` distinct words): a high-cardinality partition
     (random ids, code, base64) stops caching past the cap instead of
-    growing Python-worker memory without bound.
+    growing Python-worker memory without bound. ``level`` must match
+    the one the merges were trained with (``level="byte"`` counts
+    tokens over UTF-8 byte symbols — GPT-2 proper).
     """
+    _check_level(level)
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     if len(ranks) != len(merges):
         raise ValueError("merges contains duplicate pairs")
@@ -236,6 +267,7 @@ def bpe_token_counts(
 
         R = bc.value
         memo: dict[str, int] = {}
+        byte_level = level == "byte"
         for batch in it:
             ids = batch.column(0)
             ns = []
@@ -244,7 +276,11 @@ def bpe_token_counts(
                 for w in pretokenize(t or ""):
                     n = memo.get(w)
                     if n is None:
-                        n = _encode_word(w, R)
+                        syms = (
+                            w.encode("utf-8").decode("latin-1")
+                            if byte_level else w
+                        )
+                        n = _encode_word(syms, R)
                         if len(memo) < _MEMO_CAP:
                             memo[w] = n
                     total += n

@@ -38,6 +38,7 @@ from lyssandra_spark.functions.embed import arrow_string_buffer, rolling_hashes
 __all__ = [
     "exact_dedup",
     "dedup_paragraphs",
+    "dedup_spans",
     "minhash_signatures",
     "band_signatures",
     "est_jaccard",
@@ -165,6 +166,109 @@ def dedup_paragraphs(
         F.count("*").cast("long").alias("n_paras"),
         F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
         .cast("long").alias("n_removed"),
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_sents: int = 3,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Remove every ``n_sents``-sentence SPAN that repeats >= ``min_dup``
+    times across the corpus — the C4 three-sentence-span occurrence
+    filter (Raffel et al. 2020 §2.2 drop spans occurring more than once;
+    Lee et al. 2021 generalize to exact substrings), one granularity
+    below :func:`dedup_paragraphs`: a boilerplate block pasted MID-
+    paragraph never matches a whole trimmed paragraph, but its sentence
+    window does.
+
+    Sentences are zero-width-split chunks — the text is split at
+    ``(?<=[.!?])(?=\\s)`` (after terminal punctuation, before
+    whitespace), so every chunk KEEPS its leading whitespace and the
+    concatenation of all chunks is byte-identical to the input. A doc
+    with no repeated span therefore round-trips exactly
+    (property-tested). Span identity is the unicode-trimmed chunks
+    joined by one space (inter-sentence whitespace/newlines normalized;
+    intra-sentence spacing preserved — the trim convention of
+    ``dedup_paragraphs``), compared as TEXT with the 64-bit hash only a
+    key prefix, so collisions cannot strip innocent spans. Removal takes
+    the UNION of all hot spans' sentence windows (overlapping hot spans
+    compose). Docs with fewer than ``n_sents`` sentences are untouched;
+    null-text docs yield no row (the corpus-dedup convention).
+
+    Returns (id, text, n_sents_total, n_removed_sents).
+
+    Plan at 100 TB: span keys are built per-row with array expressions
+    (map-only — no per-sentence explode for construction) -> posexplode
+    -> ONE count shuffle keyed on (hash, span text) with map-side
+    partials absorbing the hot banner span -> hot-set join -> ONE
+    groupBy(id) over HOT rows only (docs without boilerplate never
+    enter it) -> id-keyed join back to the chunk arrays (AQE broadcasts
+    the hot-position side when the affected-doc set is small).
+    """
+    if n_sents < 1:
+        raise ValueError(f"n_sents ({n_sents}) must be >= 1")
+    if min_dup < 2:
+        raise ValueError(f"min_dup ({min_dup}) must be >= 2")
+    chunks = F.split(F.col(text_col), r"(?<=[.!?])(?=\s)")
+    trim = lambda c: F.regexp_replace(c, r"(?U)^\s+|\s+$", "")  # noqa: E731
+    n = F.size("__chunks")
+    span_keys = F.when(
+        n >= n_sents,
+        F.transform(
+            F.sequence(F.lit(0), n - n_sents),
+            lambda i: F.array_join(
+                F.transform(F.slice("__chunks", i + 1, n_sents), trim), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(id_col, chunks.alias("__chunks"))
+        .withColumn("__spans", span_keys)
+    )
+    spans = (
+        base.select(id_col, F.posexplode("__spans").alias("span_pos", "__t"))
+        .where(F.col("__t") != "")
+        .withColumn("__h", F.xxhash64("__t"))
+    )
+    hot = (
+        spans.groupBy("__h", "__t")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= min_dup)
+        .select("__h", "__t")
+    )
+    hot_pos = (
+        spans.join(hot, ["__h", "__t"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("span_pos").alias("__hot_pos"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("__hot_pos", F.array().cast("array<int>")),
+                lambda p: F.sequence(p, p + n_sents - 1),
+            )
+        )
+    )
+    out = (
+        base.join(hot_pos, id_col, "left")
+        .withColumn("__cov", covered)
+        # materialize the surviving chunks once (referenced 3x below;
+        # Catalyst does not CSE inside a projection)
+        .withColumn(
+            "__kept",
+            F.filter("__chunks", lambda c, i: ~F.array_contains("__cov", i)),
+        )
+    )
+    return out.select(
+        id_col,
+        F.array_join("__kept", "").alias(text_col),
+        F.size("__chunks").cast("long").alias("n_sents_total"),
+        (F.size("__chunks") - F.size("__kept")).cast("long")
+        .alias("n_removed_sents"),
     )
 
 

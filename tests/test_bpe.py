@@ -32,9 +32,13 @@ def _docs(spark, texts):
 # order at encode time (not the greedy lowest-rank loop) — the two are
 # equivalent for BPE, so agreement is meaningful.
 
-def _oracle_train(texts, n_merges):
+def _syms(w, level):
+    return list(w.encode("utf-8").decode("latin-1")) if level == "byte" else list(w)
+
+
+def _oracle_train(texts, n_merges, level="char"):
     wc = Counter(w for t in texts for w in pretokenize(t))
-    words = [(list(w), c) for w, c in sorted(wc.items())]
+    words = [(_syms(w, level), c) for w, c in sorted(wc.items())]
     merges = []
     for _ in range(n_merges):
         pairs = Counter()
@@ -57,10 +61,10 @@ def _oracle_train(texts, n_merges):
     return merges
 
 
-def _oracle_encode_count(text, merges):
+def _oracle_encode_count(text, merges, level="char"):
     total = 0
     for w in pretokenize(text):
-        syms = list(w)
+        syms = _syms(w, level)
         for a, b in merges:  # rank order == greedy lowest-rank
             i = 0
             while i < len(syms) - 1:
@@ -78,6 +82,47 @@ def test_train_bpe_matches_textbook_oracle(spark):
     assert got == want
     # sanity on content: frequent subwords are learned early
     assert ("l", "o") in got[:6] or ("lo", "w") in got[:6]
+
+
+def test_byte_level_bpe_matches_oracle_on_multibyte(spark):
+    """level='byte' (GPT-2 proper): symbols are UTF-8 bytes, so
+    multibyte characters start split and merge only if the data earns
+    it — textbook-oracle parity on accented/multibyte text, and the
+    untrained byte count equals the UTF-8 byte length of the
+    pre-tokens (not the character count)."""
+    corpus = [
+        "héllo héllo héllo naïve café",
+        "naïve café héllo — déjà vu déjà vu",
+        "日本語 テスト 日本語 héllo",
+    ]
+    docs = _docs(spark, corpus)
+    got = train_bpe(docs, n_merges=12, level="byte")
+    want = _oracle_train(corpus, 12, level="byte")
+    assert got == want
+    # merges exist that glue a multibyte character's bytes together:
+    # every learned symbol is a latin-1 byte string
+    assert all(all(ord(ch) < 256 for ch in a + b) for a, b in got)
+
+    counts = dict(
+        bpe_token_counts(docs, got, level="byte")
+        .collect()
+    )
+    for i, t in enumerate(corpus):
+        assert counts[i] == _oracle_encode_count(t, got, level="byte"), i
+    # zero merges: count == total UTF-8 bytes of the pre-tokens
+    zero = dict(bpe_token_counts(docs, [], level="byte").collect())
+    for i, t in enumerate(corpus):
+        want_bytes = sum(len(w.encode("utf-8")) for w in pretokenize(t))
+        assert zero[i] == want_bytes, i
+    # and char level counts characters, strictly fewer on this corpus
+    zc = dict(bpe_token_counts(docs, [], level="char").collect())
+    assert all(zc[i] < zero[i] for i in range(len(corpus)))
+
+    # level is part of tokenizer identity: unknown levels fail loudly
+    with pytest.raises(ValueError, match="level"):
+        train_bpe(docs, n_merges=1, level="bytes")
+    with pytest.raises(ValueError, match="level"):
+        bpe_token_counts(docs, got, level="Byte")
 
 
 def test_pretokenize_keeps_underscores():

@@ -473,6 +473,104 @@ def test_dedup_paragraphs_roundtrip_and_plan(spark, sf_dir):
     assert "partial_count" in plan or "partial count" in plan.lower()
 
 
+def _span_oracle(texts, n_sents=3, min_dup=2):
+    """Independent python C4-span dedup: zero-width sentence split,
+    corpus-wide span counts, union of hot windows removed."""
+    import re
+    from collections import Counter
+
+    chunks = {
+        i: re.split(r"(?<=[.!?])(?=\s)", t)
+        for i, t in texts.items() if t is not None
+    }
+
+    def key(cs):
+        return " ".join(c.strip() for c in cs)
+
+    counts = Counter()
+    for cs in chunks.values():
+        for j in range(len(cs) - n_sents + 1):
+            k = key(cs[j:j + n_sents])
+            if k:
+                counts[k] += 1
+    hot = {k for k, c in counts.items() if c >= min_dup}
+    out = {}
+    for i, cs in chunks.items():
+        cov = set()
+        for j in range(len(cs) - n_sents + 1):
+            if key(cs[j:j + n_sents]) in hot:
+                cov.update(range(j, j + n_sents))
+        out[i] = (
+            "".join(c for j, c in enumerate(cs) if j not in cov),
+            len(cs),
+            len(cov),
+        )
+    return out
+
+
+def test_dedup_spans_python_oracle(spark):
+    """C4 three-sentence-span removal vs an independent python oracle —
+    incl. the case paragraph dedup MISSES (boilerplate pasted
+    mid-paragraph), whitespace-normalized span identity across newline
+    vs space joins, overlapping hot windows, and short docs."""
+    banner = "Accept cookies. See our policy. Close this box."
+    texts = {
+        0: f"Real intro. {banner} Real tail here.",      # mid-paragraph
+        1: f"Other doc start. {banner} Different end.",
+        2: banner + " Unique suffix sentence.",
+        3: "Accept cookies.\nSee our policy. Close this box. More text.",
+        4: "No repeats here. Just two sentences.",
+        5: "Too short.",                                  # < n_sents
+        6: "One. Two. Three. One. Two. Three. One. Two. Three. Four.",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = (
+        DD.dedup_spans(docs, n_sents=3, min_dup=2)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    want = _span_oracle(texts, n_sents=3, min_dup=2)
+    for i, (wtext, wn, wrem) in want.items():
+        assert got.loc[i, "text"] == wtext, (i, got.loc[i, "text"], wtext)
+        assert got.loc[i, "n_sents_total"] == wn
+        assert got.loc[i, "n_removed_sents"] == wrem
+    # the banner really was removed from the mid-paragraph docs
+    assert banner not in got.loc[0, "text"]
+    # and paragraph-level dedup would NOT have caught doc 0 vs doc 1
+    # (their trimmed paragraphs all differ)
+    para = (
+        DD.dedup_paragraphs(docs.where(F.col("doc_id") < 2), min_dup=2)
+        .toPandas().set_index("doc_id")
+    )
+    assert (para.n_removed == 0).all()
+
+    with pytest.raises(ValueError, match="n_sents"):
+        DD.dedup_spans(docs, n_sents=0)
+    with pytest.raises(ValueError, match="min_dup"):
+        DD.dedup_spans(docs, min_dup=1)
+
+
+def test_dedup_spans_roundtrip_and_plan(spark, sf_dir):
+    """Span-free corpus round-trips byte-identically (the zero-width
+    split consumes no characters), null-text docs drop, and the span
+    count shuffle carries a map-side partial."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = DD.dedup_spans(d, min_dup=10**9)
+    joined = (
+        d.alias("a").join(out.alias("b"), "doc_id")
+        .where(F.col("a.text") != F.col("b.text"))
+    )
+    assert joined.count() == 0
+    assert out.count() == d.where(F.col("text").isNotNull()).count()
+    plan = (
+        DD.dedup_spans(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
 def test_dedup_paragraphs_separator_containing_quote_end(spark):
     r"""A separator containing the literal sequence \E must stay a
     literal: naive \Q<sep>\E quoting would end the quote early and parse
