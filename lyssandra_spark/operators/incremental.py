@@ -101,7 +101,11 @@ def dedup_new_batch(
     }
     prior = catalog.snapshots(table)
     if prior:
-        head = prior[-1].get("meta", {}).get("lsh_params")
+        # newest snapshot CARRYING the params (a compact() of the index
+        # interposes an audit-only snapshot; the identity must survive)
+        head = (catalog.latest_meta(table, "lsh_params") or {}).get(
+            "lsh_params"
+        )
         if head != params:
             raise ValueError(
                 f"LSH params {params} do not match the index's {head}: "
@@ -338,6 +342,10 @@ def refresh_aggregate(
     source snapshots -> no-op (returns the current agg snapshot id). A
     source OVERWRITE resets its chain, so the refresh detects it and
     recomputes from scratch rather than folding deltas onto stale state.
+    The watermark is read via :meth:`ParquetCatalog.latest_meta`, so a
+    ``compact()`` of the AGG table itself (an audit-only snapshot that
+    doesn't re-state the meta) never tricks the next refresh into a
+    spurious rebuild.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     sum_cols = [sum_cols] if isinstance(sum_cols, str) else list(sum_cols)
@@ -357,12 +365,15 @@ def refresh_aggregate(
         )
 
     agg_snaps = catalog.snapshots(agg_table)
-    last = (
-        agg_snaps[-1].get("meta", {}).get("agg_last_snap") if agg_snaps else None
+    # watermark survives an audit-only compact() of the agg table itself
+    agg_meta = (
+        (catalog.latest_meta(agg_table, "agg_last_snap") or {})
+        if agg_snaps else {}
     )
+    last = agg_meta.get("agg_last_snap")
     spec = {"src": src_table, "keys": keys, "sum_cols": sum_cols}
     if agg_snaps:
-        head_spec = agg_snaps[-1].get("meta", {}).get("agg_spec")
+        head_spec = agg_meta.get("agg_spec")
         if head_spec != spec:
             # snapshot ids from one table are meaningless in another's id
             # space, and a different grouping would fold apples onto

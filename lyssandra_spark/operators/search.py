@@ -238,7 +238,13 @@ def refresh_postings(
         if s["mode"] == "overwrite":
             chain_start = s["id"]
     post_snaps = catalog.snapshots(postings_table)
-    head_meta = post_snaps[-1].get("meta", {}) if post_snaps else {}
+    # newest snapshot CARRYING the watermark (not necessarily the head:
+    # a compact() of the postings table itself interposes an audit-only
+    # snapshot, and the watermark must survive it)
+    head_meta = (
+        (catalog.latest_meta(postings_table, "postings_spec") or {})
+        if post_snaps else {}
+    )
     if post_snaps and head_meta.get("postings_spec") != spec:
         raise ValueError(
             f"refresh spec {spec} does not match the postings table's "
@@ -317,7 +323,7 @@ def bm25_topk_indexed(
             f"no snapshots for postings table {postings_table!r} — run "
             "refresh_postings first"
         )
-    meta = snaps[-1].get("meta", {})
+    meta = catalog.latest_meta(postings_table, "n_docs") or {}
     n_docs = meta.get("n_docs")
     if not n_docs:
         raise ValueError(

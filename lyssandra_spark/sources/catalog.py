@@ -619,6 +619,22 @@ class ParquetCatalog:
     def snapshots(self, name: str) -> list[dict]:
         return self._manifest(name)["snapshots"]
 
+    def latest_meta(self, name: str, key: str) -> dict | None:
+        """The meta dict of the most recent snapshot whose meta carries
+        ``key`` (newest-first scan — the layout-intent inheritance rule
+        applied to consumer metadata). Watermark-style records
+        (``agg_last_snap``, ``postings_last_snap``, ``lsh_params``)
+        must survive snapshots that don't re-state them: a
+        :meth:`compact` rewrites the DATA as one overwrite snapshot but
+        is not a consumer and carries only its audit meta, so the
+        incremental jobs keyed on those watermarks read them through
+        this lookup instead of assuming the chain head wrote them.
+        Returns None if no snapshot carries the key."""
+        for s in reversed(self.snapshots(name)):
+            if key in s.get("meta", {}):
+                return s["meta"]
+        return None
+
     def tables(self) -> list[str]:
         return sorted(
             d for d in os.listdir(self.root)

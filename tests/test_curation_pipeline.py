@@ -156,7 +156,9 @@ def test_incremental_curation_pipeline(spark, sf_dir, tmp_path_factory):
     signature table (dedup_new_batch), its pairs fold into the persisted
     component labels (update_components), retention re-derives from
     labels alone (retain_best_with_labels — no graph pass), per-day
-    stats maintain incrementally (refresh_aggregate), and the month-end
+    stats maintain incrementally (refresh_aggregate), the BM25 search
+    index folds only the day's delta (refresh_postings) and serves
+    queries identical to a full-corpus build, and the month-end
     compact + expire reclaims the snapshot chain without changing reads.
     Final retention must equal the all-at-once batch pipeline."""
     from lyssandra_spark.operators.dedup import minhash_lsh_pairs
@@ -169,6 +171,11 @@ def test_incremental_curation_pipeline(spark, sf_dir, tmp_path_factory):
         dedup_new_batch,
         refresh_aggregate,
         update_components,
+    )
+    from lyssandra_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        refresh_postings,
     )
     from lyssandra_spark.sources.catalog import ParquetCatalog
 
@@ -200,6 +207,7 @@ def test_incremental_curation_pipeline(spark, sf_dir, tmp_path_factory):
         cat.write(batch.withColumn("day", F.lit(r)), "docs", mode="append")
         refresh_aggregate(cat, "docs", "daily_stats", keys="day",
                           sum_cols="quality")
+        refresh_postings(cat, "docs", "postings")
 
     # retention from the PERSISTED labels == the one-shot batch pipeline
     kept_inc = retain_best_with_labels(
@@ -235,9 +243,42 @@ def test_incremental_curation_pipeline(spark, sf_dir, tmp_path_factory):
         assert abs(stats.loc[d_, "sum_quality"]
                    - direct.loc[d_, "sum_quality"]) < 1e-6
 
-    # month-end maintenance: compact + expire; reads unchanged
+    # month-end maintenance: compact + expire; reads unchanged — the
+    # postings chain compacts like any other catalog table, and the
+    # refresh watermark/n_docs meta must SURVIVE the audit-only
+    # compaction snapshot (latest_meta lookup)
     n_before = cat.read("docs").count()
     cat.compact("docs")
     assert cat.expire("docs")  # reclaimed something
     assert cat.read("docs").count() == n_before
+    n_post = cat.read("postings").count()
+    cat.compact("postings")
+    assert cat.read("postings").count() == n_post
+
+    # the incrementally-maintained, freshly-compacted search index
+    # answers queries exactly like a from-scratch full-corpus BM25
+    # (and never re-reads the text)
+    q = spark.createDataFrame(
+        [(1, "table scan value"), (2, "spark merge batch")],
+        "qid long, qtext string",
+    )
+    gi = (
+        bm25_topk_indexed(cat, "postings", q, k=5).toPandas()
+        .sort_values(["qid", "rk"]).reset_index(drop=True)
+    )
+    gf = (
+        bm25_topk(corpus.select("doc_id", "text"), q, k=5).toPandas()
+        .sort_values(["qid", "rk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gi, gf)
+    # the SOURCE was compacted above (chain reset), so the next refresh
+    # is the documented one-time full rebuild; the one after that is a
+    # clean no-op — and queries still match throughout
+    s_rebuild = refresh_postings(cat, "docs", "postings")
+    assert refresh_postings(cat, "docs", "postings") == s_rebuild
+    gi2 = (
+        bm25_topk_indexed(cat, "postings", q, k=5).toPandas()
+        .sort_values(["qid", "rk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gi2, gf)
     corpus.unpersist()
