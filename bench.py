@@ -171,7 +171,13 @@ def run_bench(spark, sf_dir: str) -> dict:
 def llm_bench(spark, sf_dir: str) -> dict:
     """Throughput of the LLM-curation operators over the documents table
     (`python bench.py --llm`; separate from the driver's headline JSON).
-    Each op is timed end-to-end with a noop sink, best of 2."""
+    Each op is timed end-to-end with a noop sink, best of 2.
+
+    The corpus is replicated LLM_MULT x (default 24, distinct doc_ids —
+    the same treatment the encode scaling bench applies to transcripts)
+    so op wall times rise well above the ~0.3-0.5 s Spark job-overhead
+    floor and round-over-round deltas carry signal; exact replicas also
+    make the dedup ops run against real corpus-wide duplicate mass."""
     from pyspark.sql import functions as F
 
     from lyssandra_spark.functions.lm import score_char_lm, train_char_lm
@@ -188,9 +194,21 @@ def llm_bench(spark, sf_dir: str) -> dict:
     def timed(name, fn, reps: int = 2):
         return _timed(timings, name, fn, reps)
 
+    llm_mult = int(os.environ.get("SPARK_GRAFT_BENCH_LLM_MULT", "24"))
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
-    ).cache()
+    )
+    if llm_mult > 1:
+        rep = spark.range(llm_mult).select(F.col("id").alias("__rep"))
+        d = (
+            d.crossJoin(F.broadcast(rep))
+            .withColumn(
+                "doc_id",
+                F.col("doc_id") + F.col("__rep") * F.lit(100_000_000),
+            )
+            .drop("__rep")
+        )
+    d = d.repartition(CPUS * 2).cache()
     n_docs = d.count()
 
     timed("exact_dedup", lambda: _force(exact_dedup(d)))
@@ -218,7 +236,7 @@ def llm_bench(spark, sf_dir: str) -> dict:
 
     # round-5 ops
     from lyssandra_spark.functions.bpe import bpe_token_counts, train_bpe
-    from lyssandra_spark.operators.dedup import dedup_paragraphs
+    from lyssandra_spark.operators.dedup import dedup_paragraphs, dedup_spans
 
     timed("paragraph_dedup", lambda: _force(dedup_paragraphs(d)))
 
@@ -227,13 +245,27 @@ def llm_bench(spark, sf_dir: str) -> dict:
         _force(bpe_token_counts(d, merges))
     timed("bpe_train200_plus_count", bpe_round)
 
+    # round-6 ops
+    from lyssandra_spark.operators.search import bm25_topk
+
+    timed("span_dedup", lambda: _force(dedup_spans(d)))
+
+    def bm25_round():
+        q = spark.createDataFrame(
+            [(1, "table scan value"), (2, "spark merge batch"),
+             (3, "customer window join"), (4, "fast vector hash")],
+            "qid long, qtext string",
+        )
+        _force(bm25_topk(d, q, k=10))
+    timed("bm25_top10_4q", bm25_round)
+
     d.unpersist()
     total = round(sum(timings.values()), 3)
     slowest = max(timings.values())
     return {
         "metric": "LLM-curation ops wall sec over documents (best of 2 each)",
         "value": total, "unit": "sec", "queries": timings, "sf": sf_dir,
-        "n_docs": n_docs, "cores": CPUS,
+        "n_docs": n_docs, "cores": CPUS, "llm_mult": llm_mult,
         "docs_per_sec_slowest_op": round(n_docs / slowest, 1),
     }
 
