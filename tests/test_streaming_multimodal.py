@@ -341,6 +341,74 @@ def test_streaming_bpe_counts_match_batch(spark, sf_dir, tmp_path_factory):
     assert (exp.n_bpe_tokens > 0).any()
 
 
+def test_streaming_postings_maintenance_matches_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """BM25 index maintenance runs AS A STREAM: each micro-batch lands
+    in the docs catalog table and folds into the postings index via
+    foreachBatch (refresh_postings) — the final index equals one
+    build_postings over everything, and indexed queries equal the
+    full-corpus bm25_topk. Micro-batch boundaries are just another
+    sharding of the append chain."""
+    from lyssandra_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_postings,
+        refresh_postings,
+    )
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(200)
+    src = str(tmp_path_factory.mktemp("post_stream") / "docs")
+    corpus.repartition(3).write.parquet(src)
+
+    cat = ParquetCatalog(spark, str(tmp_path_factory.mktemp("post_cat")))
+
+    def fold(batch_df, batch_id):
+        if batch_df.rdd.isEmpty():
+            return
+        cat.write(batch_df, "docs", mode="append")
+        refresh_postings(cat, "docs", "postings")
+
+    sdf = ST.read_transcript_stream(
+        spark, src, corpus.schema, max_files=1
+    )
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation",
+                str(tmp_path_factory.mktemp("post_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = (
+        cat.read("postings").toPandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    want = (
+        build_postings(corpus).toPandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[list(want.columns)], want)
+
+    qdf = spark.createDataFrame(
+        [(1, "table scan value"), (2, "spark merge batch")],
+        "qid long, qtext string",
+    )
+    gi = (
+        bm25_topk_indexed(cat, "postings", qdf, k=5).toPandas()
+        .sort_values(["qid", "rk"]).reset_index(drop=True)
+    )
+    gf = (
+        bm25_topk(corpus, qdf, k=5).toPandas()
+        .sort_values(["qid", "rk"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gi, gf)
+
+
 def test_streaming_incremental_dedup_pipeline(spark, sf_dir, tmp_path_factory):
     """The daily incremental dedup pipeline runs AS A STREAM: each
     micro-batch near-dup-indexes against the persisted signature table
