@@ -551,6 +551,53 @@ def test_dedup_spans_python_oracle(spark):
         DD.dedup_spans(docs, min_dup=1)
 
 
+_SENT_END = hst.sampled_from([".", "!", "?"])
+_SENT_SEP = hst.sampled_from([" ", "  ", "\n", "\n\n", "\t"])
+_WORD = hst.sampled_from(
+    ["accept", "cookies", "policy", "close", "real", "text", "héllo", "x1"]
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs_spec=hst.lists(
+        hst.lists(  # each doc = a list of sentences
+            hst.tuples(hst.lists(_WORD, min_size=1, max_size=4),
+                       _SENT_END, _SENT_SEP),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=10,
+    ),
+    n_sents=hst.integers(1, 3),
+)
+def test_dedup_spans_random_docs_property(spark, docs_spec, n_sents):
+    """dedup_spans == the independent python oracle for ANY random
+    corpus built from a tiny vocabulary (so cross-doc span repeats are
+    common), any sentence separators (space/newline/tab — identity must
+    normalize them), and any window size 1-3; docs with no hot span
+    round-trip byte-identically by construction of the oracle."""
+    texts = {}
+    for i, sents in enumerate(docs_spec):
+        parts = []
+        for j, (words, end, sep) in enumerate(sents):
+            if j:
+                parts.append(sep)
+            parts.append(" ".join(words) + end)
+        texts[i] = "".join(parts)
+    sdocs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = (
+        DD.dedup_spans(sdocs, n_sents=n_sents, min_dup=2)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    want = _span_oracle(texts, n_sents=n_sents, min_dup=2)
+    for i, (wtext, wn, wrem) in want.items():
+        assert got.loc[i, "text"] == wtext, (i, texts[i])
+        assert got.loc[i, "n_sents_total"] == wn
+        assert got.loc[i, "n_removed_sents"] == wrem
+
+
 def test_dedup_spans_roundtrip_and_plan(spark, sf_dir):
     """Span-free corpus round-trips byte-identically (the zero-width
     split consumes no characters), null-text docs drop, and the span
