@@ -140,7 +140,10 @@ def dedup_paragraphs(
     ).withColumn(
         "__t", F.when(utrim != "", utrim)
     ).withColumn(
-        "__h", F.xxhash64("__t")  # null __t -> null __h (blank: structure)
+        # xxhash64(null) is the SEED (42), not null — blanks stay out of
+        # the hot set because the null __t KEY never equality-matches in
+        # the group/join below, not because of the hash
+        "__h", F.xxhash64("__t")
     )
     hot = (
         parts.where(F.col("__t").isNotNull())
@@ -212,7 +215,11 @@ def dedup_spans(
         raise ValueError(f"n_sents ({n_sents}) must be >= 1")
     if min_dup < 2:
         raise ValueError(f"min_dup ({min_dup}) must be >= 2")
-    chunks = F.split(F.col(text_col), r"(?<=[.!?])(?=\s)")
+    # (?U): Java \s is ASCII-only without UNICODE_CHARACTER_CLASS — an
+    # NBSP/ideographic-space sentence boundary would silently never
+    # split (and the python-oracle tests use unicode \s), the same
+    # pitfall the trim below documents
+    chunks = F.split(F.col(text_col), r"(?U)(?<=[.!?])(?=\s)")
     trim = lambda c: F.regexp_replace(c, r"(?U)^\s+|\s+$", "")  # noqa: E731
     n = F.size("__chunks")
     span_keys = F.when(

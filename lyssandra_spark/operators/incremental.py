@@ -372,7 +372,10 @@ def refresh_aggregate(
     )
     last = agg_meta.get("agg_last_snap")
     spec = {"src": src_table, "keys": keys, "sum_cols": sum_cols}
-    if agg_snaps:
+    # a found-but-different spec is corruption (loud error); NO spec
+    # found means the watermark died at a destructive overwrite (user
+    # reset) — that is the full-rebuild path below, not a mismatch
+    if agg_snaps and agg_meta:
         head_spec = agg_meta.get("agg_spec")
         if head_spec != spec:
             # snapshot ids from one table are meaningless in another's id

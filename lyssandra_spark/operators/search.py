@@ -245,7 +245,10 @@ def refresh_postings(
         (catalog.latest_meta(postings_table, "postings_spec") or {})
         if post_snaps else {}
     )
-    if post_snaps and head_meta.get("postings_spec") != spec:
+    # empty head_meta = the watermark died at a destructive overwrite
+    # (user reset): that takes the full-rebuild path below, not the
+    # spec-mismatch error
+    if post_snaps and head_meta and head_meta.get("postings_spec") != spec:
         raise ValueError(
             f"refresh spec {spec} does not match the postings table's "
             f"{head_meta.get('postings_spec')} — use a different "
@@ -253,8 +256,19 @@ def refresh_postings(
         )
     last = head_meta.get("postings_last_snap")
     if last is None or last < chain_start:
-        # first build, or the source chain was overwritten under us
-        docs = catalog.read(src_table).dropDuplicates([id_col])
+        # first build, or the source chain was overwritten under us.
+        # Duplicate-id collapse must be DETERMINISTIC (dropDuplicates
+        # keeps a partitioning-dependent winner): take the minimum text
+        # per id. Ids re-ingested with a DIFFERENT text are invalid
+        # input by contract (see above), so for valid corpora this is
+        # the identity; for invalid ones the index is at least stable
+        # across reruns (though the winner may differ from the
+        # incremental path's first-ingested row).
+        docs = (
+            catalog.read(src_table)
+            .groupBy(id_col)
+            .agg(F.min(text_col).alias(text_col))
+        )
         n_docs = docs.count()
         return catalog.write(
             build_postings(docs, id_col, text_col), postings_table,
@@ -325,7 +339,9 @@ def bm25_topk_indexed(
         )
     meta = catalog.latest_meta(postings_table, "n_docs") or {}
     n_docs = meta.get("n_docs")
-    if not n_docs:
+    # `is None`, not falsy: n_docs == 0 IS refresh_postings meta (empty
+    # source) and must reach the accurate empty-postings error below
+    if n_docs is None:
         raise ValueError(
             f"postings table {postings_table!r} has no n_docs meta — it "
             "was not written by refresh_postings"

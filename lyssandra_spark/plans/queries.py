@@ -1374,7 +1374,10 @@ def dedup_paragraphs_documents(spark, sf_dir):
         "text",
         F.when(
             F.col("doc_id") % 3 == 0,
-            F.concat_ws("\n", F.col("text"), F.lit(_BANNER)),
+            # concat (null-propagating), NOT concat_ws (null-skipping):
+            # the oracle's `text || chr(10) || banner` is NULL for a
+            # null-text doc, and both engines must then drop the row
+            F.concat(F.col("text"), F.lit("\n" + _BANNER)),
         ).otherwise(F.col("text")),
     )
     return dedup_paragraphs(planted)

@@ -98,19 +98,20 @@ def with_zorder_key(
                 "timestamp columns have the linear locality Z-ordering "
                 "preserves"
             )
-    cuts_row = df.agg(*[
-        F.percentile_approx(casted[c], F.array(*[F.lit(q) for q in qs]))
-        .alias(c)
-        for c in cols
-    ]).collect()[0]
     n = len(cols)
     tmp = [f"__zb{j}" for j in range(n)]
+    # validate the cheap things BEFORE paying the quantile-sketch scan
     clash = sorted(set(tmp + [out_col]) & set(df.columns))
     if clash:
         raise ValueError(
             f"columns {clash} are reserved by the zorder key builder; "
             "rename them first"
         )
+    cuts_row = df.agg(*[
+        F.percentile_approx(casted[c], F.array(*[F.lit(q) for q in qs]))
+        .alias(c)
+        for c in cols
+    ]).collect()[0]
     out = df
     for j, c in enumerate(cols):
         cuts = [v for v in (cuts_row[c] or []) if v is not None]
@@ -629,10 +630,20 @@ class ParquetCatalog:
         is not a consumer and carries only its audit meta, so the
         incremental jobs keyed on those watermarks read them through
         this lookup instead of assuming the chain head wrote them.
-        Returns None if no snapshot carries the key."""
+
+        The scan STOPS at a destructive boundary: an ``overwrite``
+        snapshot that neither carries the key nor is a compaction
+        (``compaction_of`` audit meta) REPLACED the table's data — a
+        user reset — and resurrecting a pre-reset watermark would fold
+        deltas onto unrelated state; consumers then see None and take
+        their safe full-rebuild path. Returns None if no snapshot
+        within the boundary carries the key."""
         for s in reversed(self.snapshots(name)):
-            if key in s.get("meta", {}):
-                return s["meta"]
+            meta = s.get("meta", {})
+            if key in meta:
+                return meta
+            if s["mode"] == "overwrite" and "compaction_of" not in meta:
+                return None  # data was replaced: the watermark died here
         return None
 
     def tables(self) -> list[str]:

@@ -228,6 +228,58 @@ def test_refresh_aggregate_incremental_equals_full(spark, cat):
     assert cat.read("agg").toPandas().n_rows.sum() == 100
 
 
+def test_watermark_meta_compaction_vs_destructive_overwrite(spark, cat):
+    """latest_meta's boundary rule, end-to-end through refresh_aggregate:
+    compacting the AGG table itself (audit-only overwrite) must keep the
+    watermark alive (next refresh is a no-op, not a rebuild), while a
+    meta-less USER overwrite of the agg table kills it (next refresh
+    takes the safe full rebuild instead of folding deltas onto the
+    replaced, unrelated rows)."""
+    from lyssandra_spark.operators.incremental import refresh_aggregate
+
+    def shard(lo, hi):
+        return spark.range(lo, hi).select(
+            F.pmod("id", F.lit(5)).alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+
+    cat.write(shard(0, 200), "srcw", mode="overwrite")
+    refresh_aggregate(cat, "srcw", "aggw", keys="k", sum_cols="v")
+    cat.write(shard(200, 300), "srcw", mode="append")
+    s2 = refresh_aggregate(cat, "srcw", "aggw", keys="k", sum_cols="v")
+
+    # compact() on an agg table is a single-snapshot no-op (every
+    # refresh writes an overwrite), and the watermark stays intact
+    # (the APPEND-chain compaction-survival case — postings — is pinned
+    # in test_curation_pipeline); refresh stays a no-op either way
+    s_compact = cat.compact("aggw")
+    assert s_compact == s2
+    assert refresh_aggregate(cat, "srcw", "aggw", keys="k", sum_cols="v") \
+        == s_compact
+    assert cat.read("aggw").toPandas().n_rows.sum() == 300
+
+    # destructive reset: a user overwrites the agg table with garbage
+    # and no meta — the stale watermark must NOT be resurrected, so the
+    # next refresh fully rebuilds correct values instead of folding
+    # only-new-deltas onto the garbage
+    garbage = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(999.0).alias("sum_v"),
+        F.lit(999).alias("n_rows"),
+    )
+    cat.write(garbage, "aggw", mode="overwrite")
+    assert cat.latest_meta("aggw", "agg_last_snap") is None
+    cat.write(shard(300, 350), "srcw", mode="append")
+    refresh_aggregate(cat, "srcw", "aggw", keys="k", sum_cols="v")
+    got = cat.read("aggw").toPandas().sort_values("k").reset_index(drop=True)
+    want = (
+        shard(0, 350).groupBy("k")
+        .agg(F.sum("v").alias("sum_v"), F.count("*").alias("n_rows"))
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert not (got.n_rows == 999).any()  # garbage gone
+
+
 def test_refresh_aggregate_spec_guard_and_schema_evolution(spark, cat):
     from lyssandra_spark.operators.incremental import refresh_aggregate
 

@@ -522,6 +522,10 @@ def test_dedup_spans_python_oracle(spark):
         4: "No repeats here. Just two sentences.",
         5: "Too short.",                                  # < n_sents
         6: "One. Two. Three. One. Two. Three. One. Two. Three. Four.",
+        # NBSP sentence separators: the split must be UNICODE-aware
+        # ((?U) — Java \s alone is ASCII-only and would never split)
+        7: "Buy now. Great deal. Act fast.",
+        8: "Other one. Buy now. Great deal. Act fast.",
     }
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
@@ -537,6 +541,9 @@ def test_dedup_spans_python_oracle(spark):
         assert got.loc[i, "n_removed_sents"] == wrem
     # the banner really was removed from the mid-paragraph docs
     assert banner not in got.loc[0, "text"]
+    # the NBSP-separated boilerplate was split, matched, and removed
+    assert got.loc[7, "n_removed_sents"] == 3
+    assert "Buy now" not in got.loc[8, "text"]
     # and paragraph-level dedup would NOT have caught doc 0 vs doc 1
     # (their trimmed paragraphs all differ)
     para = (
