@@ -39,6 +39,7 @@ __all__ = [
     "exact_dedup",
     "dedup_paragraphs",
     "dedup_spans",
+    "dedup_token_spans",
     "minhash_signatures",
     "band_signatures",
     "est_jaccard",
@@ -213,21 +214,80 @@ def dedup_spans(
     """
     if n_sents < 1:
         raise ValueError(f"n_sents ({n_sents}) must be >= 1")
-    if min_dup < 2:
-        raise ValueError(f"min_dup ({min_dup}) must be >= 2")
     # (?U): Java \s is ASCII-only without UNICODE_CHARACTER_CLASS — an
     # NBSP/ideographic-space sentence boundary would silently never
     # split (and the python-oracle tests use unicode \s), the same
-    # pitfall the trim below documents
-    chunks = F.split(F.col(text_col), r"(?U)(?<=[.!?])(?=\s)")
+    # pitfall the trim documents
+    return _dedup_window_spans(
+        df, id_col, text_col, r"(?U)(?<=[.!?])(?=\s)", n_sents, min_dup,
+        "n_sents_total", "n_removed_sents",
+    )
+
+
+def dedup_token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Remove every ``span_tokens``-token sliding window that repeats
+    >= ``min_dup`` times across the corpus — the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better")
+    repeated-substring filter at its canonical 50-token granularity,
+    the finest unit in the paragraph -> sentence-span -> token-span
+    family (tokens here are whitespace-delimited words — the
+    dependency-free analogue of the paper's BPE tokens; stride is 1, so
+    any shared run of >= ``span_tokens`` tokens is covered by at least
+    one hot window and the UNION of windows removes the whole run).
+
+    Same zero-width-chunk machinery as :func:`dedup_spans` (chunks
+    split at ``(?<=\\S)(?=\\s)`` keep their leading whitespace, so
+    span-free docs round-trip byte-identically; identity is the
+    unicode-trimmed tokens joined by one space, text-compared).
+    Returns (id, text, n_tokens_total, n_removed_tokens).
+
+    Scale note: stride-1 token windows emit ~one span per token — the
+    count shuffle carries ~n_tokens rows per doc (each ~span_tokens
+    words long). That is the price Lee et al. pay via suffix arrays;
+    here map-side partial counts absorb the hot keys and everything
+    else stays the one-count-shuffle shape. Prefer
+    :func:`dedup_spans`/:func:`dedup_paragraphs` when coarser units
+    suffice.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens ({span_tokens}) must be >= 1")
+    return _dedup_window_spans(
+        df, id_col, text_col, r"(?U)(?<=\S)(?=\s)", span_tokens, min_dup,
+        "n_tokens_total", "n_removed_tokens",
+    )
+
+
+def _dedup_window_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_re: str,
+    n_units: int,
+    min_dup: int,
+    total_name: str,
+    removed_name: str,
+) -> DataFrame:
+    """Shared corpus-wide sliding-window removal pipeline: zero-width
+    chunk split (concat of chunks == input), per-row span-key arrays,
+    one (hash, span-text) count shuffle, hot-set semi-join, union of
+    hot windows removed (see the public wrappers for semantics)."""
+    if min_dup < 2:
+        raise ValueError(f"min_dup ({min_dup}) must be >= 2")
+    chunks = F.split(F.col(text_col), split_re)
     trim = lambda c: F.regexp_replace(c, r"(?U)^\s+|\s+$", "")  # noqa: E731
     n = F.size("__chunks")
     span_keys = F.when(
-        n >= n_sents,
+        n >= n_units,
         F.transform(
-            F.sequence(F.lit(0), n - n_sents),
+            F.sequence(F.lit(0), n - n_units),
             lambda i: F.array_join(
-                F.transform(F.slice("__chunks", i + 1, n_sents), trim), " "
+                F.transform(F.slice("__chunks", i + 1, n_units), trim), " "
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -256,7 +316,7 @@ def dedup_spans(
         F.flatten(
             F.transform(
                 F.coalesce("__hot_pos", F.array().cast("array<int>")),
-                lambda p: F.sequence(p, p + n_sents - 1),
+                lambda p: F.sequence(p, p + n_units - 1),
             )
         )
     )
@@ -273,9 +333,9 @@ def dedup_spans(
     return out.select(
         id_col,
         F.array_join("__kept", "").alias(text_col),
-        F.size("__chunks").cast("long").alias("n_sents_total"),
+        F.size("__chunks").cast("long").alias(total_name),
         (F.size("__chunks") - F.size("__kept")).cast("long")
-        .alias("n_removed_sents"),
+        .alias(removed_name),
     )
 
 

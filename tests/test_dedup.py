@@ -473,14 +473,15 @@ def test_dedup_paragraphs_roundtrip_and_plan(spark, sf_dir):
     assert "partial_count" in plan or "partial count" in plan.lower()
 
 
-def _span_oracle(texts, n_sents=3, min_dup=2):
-    """Independent python C4-span dedup: zero-width sentence split,
-    corpus-wide span counts, union of hot windows removed."""
+def _span_oracle(texts, n_sents=3, min_dup=2, split=r"(?<=[.!?])(?=\s)"):
+    """Independent python span dedup: zero-width chunk split (sentence
+    or token boundary), corpus-wide span counts, union of hot windows
+    removed."""
     import re
     from collections import Counter
 
     chunks = {
-        i: re.split(r"(?<=[.!?])(?=\s)", t)
+        i: re.split(split, t)
         for i, t in texts.items() if t is not None
     }
 
@@ -603,6 +604,65 @@ def test_dedup_spans_random_docs_property(spark, docs_spec, n_sents):
         assert got.loc[i, "text"] == wtext, (i, texts[i])
         assert got.loc[i, "n_sents_total"] == wn
         assert got.loc[i, "n_removed_sents"] == wrem
+
+
+def test_dedup_token_spans_python_oracle_and_long_runs(spark):
+    """Lee-2021-style token-window dedup: any shared run of
+    >= span_tokens whitespace tokens is fully removed (stride-1 windows
+    cover the whole run), shorter shared runs survive, and the python
+    oracle agrees exactly — incl. punctuation-free text no sentence
+    split could ever segment."""
+    boiler = "one two three four five six seven eight"  # 8 tokens
+    texts = {
+        0: f"alpha beta {boiler} gamma delta",
+        1: f"start {boiler} end words here",
+        2: "alpha beta gamma delta unrelated text",
+        3: "one two three short overlap only",    # < span_tokens shared
+        4: f"{boiler}",                            # exactly the run
+    }
+    got = (
+        DD.dedup_token_spans(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": list(texts),
+                              "text": list(texts.values())})
+            ),
+            span_tokens=5, min_dup=2,
+        )
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    want = _span_oracle(
+        texts, n_sents=5, min_dup=2, split=r"(?<=\S)(?=\s)"
+    )
+    for i, (wtext, wn, wrem) in want.items():
+        assert got.loc[i, "text"] == wtext, (i, got.loc[i, "text"])
+        assert got.loc[i, "n_tokens_total"] == wn
+        assert got.loc[i, "n_removed_tokens"] == wrem
+    # the full 8-token boilerplate run is gone from every carrier
+    for i in (0, 1, 4):
+        assert "three four five" not in got.loc[i, "text"], i
+    # the 3-token overlap (below the 5-token window) survives
+    assert "one two three" in got.loc[3, "text"]
+
+    with pytest.raises(ValueError, match="span_tokens"):
+        DD.dedup_token_spans(
+            spark.createDataFrame(pd.DataFrame({"doc_id": [1],
+                                                "text": ["x"]})),
+            span_tokens=0,
+        )
+
+
+def test_dedup_token_spans_roundtrip(spark, sf_dir):
+    """Hot-set-free corpus round-trips byte-identically through the
+    token-boundary zero-width split."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = DD.dedup_token_spans(d, min_dup=10**9)
+    diff = (
+        d.alias("a").join(out.alias("b"), "doc_id")
+        .where(F.col("a.text") != F.col("b.text"))
+    )
+    assert diff.count() == 0
 
 
 def test_dedup_spans_roundtrip_and_plan(spark, sf_dir):
