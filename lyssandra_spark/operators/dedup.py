@@ -82,12 +82,52 @@ def exact_dedup(df: DataFrame, text_col: str = "text", keys=("doc_id",)) -> Data
     )
 
 
+def paragraph_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus paragraph frequencies: (para, n) over unicode-trimmed,
+    non-blank paragraphs — the SUM-MERGEABLE aggregate behind
+    :func:`dedup_paragraphs`' hot set. Persist per-batch outputs to a
+    catalog table and maintain the corpus-wide totals with
+    :func:`~lyssandra_spark.operators.incremental.refresh_aggregate`
+    (``keys="para", sum_cols="n"``): boilerplate stripping of a NEW
+    batch then needs only the maintained table (filter ``sum_n >=
+    min_dup`` -> pass as ``hot=`` to ``dedup_paragraphs``) — the
+    historical corpus is never re-split. One explode + one count
+    shuffle with map-side partials; same split/trim conventions as
+    ``dedup_paragraphs`` by construction (shared helpers)."""
+    pat = _quote_sep(sep)
+    parts = df.select(
+        F.explode(F.split(F.col(text_col), pat, -1)).alias("para")
+    ).select(_utrim("para").alias("para"))
+    return (
+        parts.where(F.col("para") != "")
+        .groupBy("para")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _quote_sep(sep: str) -> str:
+    """Literal separator as a regex: \\Q..\\E quoting, with any \\E
+    embedded in sep itself re-quoted (close the quote, emit a literal
+    \\E, reopen) — otherwise the remainder would parse as a pattern."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _utrim(col) -> "Column":
+    """Unicode-aware trim (Spark's trim() strips ASCII spaces only)."""
+    return F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
     min_dup: int = 2,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Remove paragraphs repeated >= ``min_dup`` times ACROSS THE CORPUS
     from every document — the repeated-span boilerplate removal of
@@ -113,6 +153,15 @@ def dedup_paragraphs(
     documents yield no row (no paragraphs — same convention as the LM
     scorer).
 
+    ``hot`` (optional) supplies the boilerplate set EXTERNALLY — a
+    DataFrame with a trimmed-paragraph ``para`` column, typically the
+    incrementally-maintained :func:`paragraph_counts` table filtered
+    to ``sum_n >= min_dup``. With ``hot`` given, this operator never
+    counts the input corpus: the plan is explode -> join against the
+    supplied set -> reassemble, which is how a NEW batch is stripped
+    against historical corpus statistics without re-splitting 100 TB
+    (``min_dup`` is then the maintainer's threshold, unused here).
+
     Plan at 100 TB: posexplode (map-only) -> ONE count shuffle keyed on
     (hash, trimmed paragraph), with map-side partial counts absorbing
     the hot boilerplate key (a 10^7-copy cookie banner crosses the wire
@@ -126,15 +175,12 @@ def dedup_paragraphs(
     """
     if min_dup < 2:
         raise ValueError(f"min_dup ({min_dup}) must be >= 2")
-    # literal separator, never a regex: \Q..\E quoting, with any \E
-    # embedded in sep itself re-quoted (close the quote, emit a literal
-    # \E, reopen) — otherwise the remainder would parse as a pattern
-    pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    pat = _quote_sep(sep)  # literal separator, never a regex
     # unicode-aware trim for paragraph IDENTITY and blankness: Spark's
     # trim() strips ASCII spaces only, so a tab/NBSP-only line would be
     # hashed as content and stripped as "boilerplate" corpus-wide —
     # exactly the structure this operator promises never to touch
-    utrim = F.regexp_replace("para", r"(?U)^\s+|\s+$", "")
+    utrim = _utrim("para")
     parts = df.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), pat, -1)).alias("pos", "para"),
@@ -146,14 +192,25 @@ def dedup_paragraphs(
         # the group/join below, not because of the hash
         "__h", F.xxhash64("__t")
     )
-    hot = (
-        parts.where(F.col("__t").isNotNull())
-        .groupBy("__h", "__t")  # exact: colliding texts count separately
-        .agg(F.count("*").alias("__n"))
-        .where(F.col("__n") >= min_dup)
-        .select("__h", "__t", F.lit(True).alias("__dup"))
-    )
-    marked = parts.join(hot, ["__h", "__t"], "left")
+    if hot is None:
+        hot_set = (
+            parts.where(F.col("__t").isNotNull())
+            .groupBy("__h", "__t")  # exact: colliding texts count apart
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") >= min_dup)
+            .select("__h", "__t", F.lit(True).alias("__dup"))
+        )
+    else:
+        # external (e.g. incrementally-maintained) boilerplate set:
+        # blank entries are structure by contract — never removable
+        hot_set = (
+            hot.select(_utrim("para").alias("__t"))
+            .where(F.col("__t") != "")
+            .distinct()
+            .select(F.xxhash64("__t").alias("__h"), "__t",
+                    F.lit(True).alias("__dup"))
+        )
+    marked = parts.join(hot_set, ["__h", "__t"], "left")
     return marked.groupBy(id_col).agg(
         F.concat_ws(
             sep,

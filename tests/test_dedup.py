@@ -685,6 +685,66 @@ def test_dedup_spans_roundtrip_and_plan(spark, sf_dir):
     assert "partial_count" in plan or "partial count" in plan.lower()
 
 
+def test_incremental_paragraph_counts_and_hot_set_strip(spark, tmp_path):
+    """The paragraph hot set maintained INCREMENTALLY (per-batch
+    paragraph_counts appended to a catalog table, corpus totals folded
+    by refresh_aggregate) + dedup_paragraphs(hot=...) over one batch
+    must equal the one-shot full-corpus dedup_paragraphs restricted to
+    that batch — the new-batch boilerplate strip that never re-splits
+    the historical corpus."""
+    from lyssandra_spark.operators.incremental import refresh_aggregate
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    banner = "accept our cookies"
+    texts = {
+        0: f"intro A\n{banner}\ncontent A",
+        1: "unique B\nalso unique",
+        2: f"{banner}\ncontent C",
+        3: "batch2 doc\nshared line",
+        4: f"shared line\n{banner}",
+        5: f"batch3 doc\n{banner}\nshared line\ntail",
+        6: "plain batch3 doc",
+    }
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    batches = [
+        corpus.where(F.col("doc_id") < 3),
+        corpus.where((F.col("doc_id") >= 3) & (F.col("doc_id") < 5)),
+        corpus.where(F.col("doc_id") >= 5),
+    ]
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    for b in batches:
+        cat.write(DD.paragraph_counts(b), "pc_src", mode="append")
+        refresh_aggregate(cat, "pc_src", "pc", keys="para", sum_cols="n")
+
+    hot = cat.read("pc").where(F.col("sum_n") >= 2).select("para")
+    # maintained totals == one-shot corpus counts
+    got_counts = (
+        cat.read("pc").toPandas().sort_values("para").reset_index(drop=True)
+    )
+    want_counts = (
+        DD.paragraph_counts(corpus).toPandas()
+        .sort_values("para").reset_index(drop=True)
+    )
+    assert list(got_counts.para) == list(want_counts.para)
+    assert list(got_counts.sum_n) == list(want_counts.n)
+
+    # strip batch 3 against the PERSISTED hot set: no corpus re-split
+    got = (
+        DD.dedup_paragraphs(batches[2], hot=hot)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    want = (
+        DD.dedup_paragraphs(corpus, min_dup=2)
+        .toPandas().set_index("doc_id").sort_index()
+        .loc[[5, 6]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert banner not in got.loc[5, "text"]
+    assert "shared line" not in got.loc[5, "text"]
+
+
 def test_dedup_paragraphs_separator_containing_quote_end(spark):
     r"""A separator containing the literal sequence \E must stay a
     literal: naive \Q<sep>\E quoting would end the quote early and parse
