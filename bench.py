@@ -246,9 +246,14 @@ def llm_bench(spark, sf_dir: str) -> dict:
     timed("bpe_train200_plus_count", bpe_round)
 
     # round-6 ops
+    from lyssandra_spark.operators.dedup import dedup_token_spans
     from lyssandra_spark.operators.search import bm25_topk
 
     timed("span_dedup", lambda: _force(dedup_spans(d)))
+    # span_tokens=20 (not the Lee-2021 default 50): the synthetic docs
+    # run ~30-40 words, so 50-token windows would find nothing
+    timed("token_span_dedup_20", lambda: _force(
+        dedup_token_spans(d, span_tokens=20)))
 
     def bm25_round():
         q = spark.createDataFrame(
