@@ -651,6 +651,48 @@ def test_dedup_token_spans_python_oracle_and_long_runs(spark):
         )
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    docs_spec=hst.lists(
+        hst.lists(_WORD, min_size=0, max_size=12),  # each doc = words
+        min_size=1, max_size=10,
+    ),
+    sep_choice=hst.lists(_SENT_SEP, min_size=1, max_size=3),
+    span_tokens=hst.integers(1, 4),
+)
+def test_dedup_token_spans_random_docs_property(
+    spark, docs_spec, sep_choice, span_tokens
+):
+    """dedup_token_spans == the python oracle for random small-vocab
+    corpora (cross-doc window repeats common), mixed whitespace
+    separators, window sizes 1-4."""
+    texts = {}
+    for i, words in enumerate(docs_spec):
+        parts = []
+        for j, w in enumerate(words):
+            if j:
+                parts.append(sep_choice[j % len(sep_choice)])
+            parts.append(w)
+        texts[i] = "".join(parts)
+    got = (
+        DD.dedup_token_spans(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": list(texts),
+                              "text": list(texts.values())})
+            ),
+            span_tokens=span_tokens, min_dup=2,
+        )
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    want = _span_oracle(
+        texts, n_sents=span_tokens, min_dup=2, split=r"(?<=\S)(?=\s)"
+    )
+    for i, (wtext, wn, wrem) in want.items():
+        assert got.loc[i, "text"] == wtext, (i, texts[i])
+        assert got.loc[i, "n_tokens_total"] == wn
+        assert got.loc[i, "n_removed_tokens"] == wrem
+
+
 def test_dedup_token_spans_roundtrip(spark, sf_dir):
     """Hot-set-free corpus round-trips byte-identically through the
     token-boundary zero-width split."""
