@@ -262,24 +262,53 @@ def _asof_dim(spark, sf_dir):
     return W.dedup_latest(o, ["o_custkey", "o_orderdate"], "o_orderkey", desc=True)
 
 
-@q(
-    "asof_backward_latest_order",
-    f"""
-    WITH dim AS ({_ASOF_DIM_SQL})
-    SELECT e.event_id, d.o_orderkey, d.o_totalprice
-    FROM events e
-    ASOF LEFT JOIN dim d
-      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
-    """,
-)
-def asof_backward_latest_order(spark, sf_dir):
+def _asof_backward(spark, sf_dir, strategy: str):
     e = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "o_custkey")
     dim = _asof_dim(spark, sf_dir)
     out = asof_join(
         e, dim, on="o_custkey", ts_col="ts", valid_col="o_orderdate",
-        direction="backward", strategy="broadcast",
+        direction="backward", strategy=strategy,
     )
     return out.select("event_id", "o_orderkey", "o_totalprice")
+
+
+def asof_backward_latest_order(spark, sf_dir):
+    """UNREGISTERED bench workload: the broadcast-strategy backward
+    as-of alone (bench.py's `asof_backward` timing key measures this
+    same work every round; the driver row moved to the tagged two-
+    strategy union `asof_backward_strategies` in round 6, which would
+    double the timed work and fake a 2x regression)."""
+    return _asof_backward(spark, sf_dir, "broadcast")
+
+
+@q(
+    "asof_backward_strategies",
+    f"""
+    WITH dim AS ({_ASOF_DIM_SQL}),
+    j AS (
+      SELECT e.event_id, d.o_orderkey, d.o_totalprice
+      FROM events e
+      ASOF LEFT JOIN dim d
+        ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate)
+    SELECT 'broadcast' AS strategy, * FROM j
+    UNION ALL
+    SELECT 'union' AS strategy, * FROM j
+    """,
+)
+def asof_backward_strategies(spark, sf_dir):
+    """B1 backward as-of through BOTH physical strategies in one tagged
+    row: the broadcast path and the shuffle/union path must each
+    hash-match the single DuckDB ASOF JOIN (strategy equivalence is the
+    point — the historical asof_backward_latest_order +
+    asof_union_strategy_equivalence rows merged in round 6 to free a
+    driver slot for an oracled LLM-op row)."""
+    b = _asof_backward(spark, sf_dir, "broadcast").select(
+        F.lit("broadcast").alias("strategy"), "*"
+    )
+    u = _asof_backward(spark, sf_dir, "union").select(
+        F.lit("union").alias("strategy"), "*"
+    )
+    return b.unionByName(u)
 
 
 @q(
@@ -305,27 +334,6 @@ def asof_forward_first_event(spark, sf_dir):
         direction="forward", strategy="broadcast",
     )
     return out.select("o_orderkey", F.col("event_id").alias("next_event_id"))
-
-
-@q(
-    "asof_union_strategy_equivalence",
-    f"""
-    WITH dim AS ({_ASOF_DIM_SQL})
-    SELECT e.event_id, d.o_orderkey, d.o_totalprice
-    FROM events e
-    ASOF LEFT JOIN dim d
-      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
-    """,
-)
-def asof_union_strategy_equivalence(spark, sf_dir):
-    """Same as-of semantics via the shuffle-based union strategy (B1 strat b)."""
-    e = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "o_custkey")
-    dim = _asof_dim(spark, sf_dir)
-    out = asof_join(
-        e, dim, on="o_custkey", ts_col="ts", valid_col="o_orderdate",
-        direction="backward", strategy="union",
-    )
-    return out.select("event_id", "o_orderkey", "o_totalprice")
 
 
 @q(
@@ -1381,3 +1389,95 @@ def dedup_paragraphs_documents(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return dedup_paragraphs(planted)
+
+
+_SPAN_BANNER = "Accept all cookies. See our policy. Close this box."
+
+
+@q(
+    "dedup_spans_documents",
+    rf"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN text || '. ' || '{_SPAN_BANNER}'
+                  ELSE text END AS text
+      FROM documents
+      WHERE text IS NOT NULL),
+    b AS (
+      SELECT doc_id, text,
+             list_filter(range(1, length(text)), i ->
+                 substr(text, CAST(i AS INTEGER), 1) IN ('.', '!', '?')
+                 AND substr(text, CAST(i AS INTEGER) + 1, 1)
+                     IN (' ', chr(9), chr(10), chr(13))) AS bnds
+      FROM d),
+    c AS (
+      SELECT doc_id, text,
+             list_prepend(0, bnds) AS starts,
+             list_append(bnds, length(text)) AS ends
+      FROM b),
+    ch AS (
+      SELECT doc_id,
+             list_transform(range(len(starts)), k ->
+                 substr(text, CAST(starts[k + 1] AS INTEGER) + 1,
+                        CAST(ends[k + 1] - starts[k + 1] AS INTEGER))) AS chunks
+      FROM c),
+    sp AS (
+      SELECT doc_id, chunks,
+             CASE WHEN len(chunks) >= 3 THEN
+               list_transform(range(len(chunks) - 2), j ->
+                 array_to_string(
+                   list_transform(
+                     [chunks[CAST(j AS INTEGER) + 1],
+                      chunks[CAST(j AS INTEGER) + 2],
+                      chunks[CAST(j AS INTEGER) + 3]],
+                     s -> regexp_replace(s, '^\s+|\s+$', '', 'g')), ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS spans
+      FROM ch),
+    spe AS (
+      SELECT doc_id,
+             unnest(range(len(spans))) AS pos,
+             unnest(spans) AS s
+      FROM sp),
+    hot AS (SELECT s FROM spe WHERE s <> '' GROUP BY s HAVING count(*) >= 2),
+    hp AS (
+      SELECT doc_id, list(pos) AS hotpos
+      FROM spe WHERE s IN (SELECT s FROM hot)
+      GROUP BY doc_id),
+    o AS (
+      SELECT ch.doc_id, ch.chunks,
+             list_distinct(flatten(list_transform(
+                 coalesce(hp.hotpos, CAST([] AS BIGINT[])),
+                 p -> [p, p + 1, p + 2]))) AS cv
+      FROM ch LEFT JOIN hp USING (doc_id))
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_filter(range(len(chunks)), k -> NOT list_contains(cv, k)),
+               k -> chunks[CAST(k AS INTEGER) + 1]), '') AS text,
+           CAST(len(chunks) AS BIGINT) AS n_sents_total,
+           CAST(len(cv) AS BIGINT) AS n_removed_sents
+    FROM o
+    """,
+)
+def dedup_spans_documents(spark, sf_dir):
+    """C4-style repeated three-sentence-SPAN removal with a banner
+    planted MID-TEXT-STREAM on every 4th doc (preceded by '. ' so the
+    corpus-unique prefix sentence and the corpus-repeated banner spans
+    are distinct — exactly the case paragraph dedup cannot catch),
+    hash-checked against a full DuckDB re-derivation. RE2 has no
+    lookbehind, so the oracle rebuilds the zero-width sentence chunking
+    with character-position list ops (boundary = [.!?] followed by
+    whitespace), then spans, corpus counts, hot-window union, and
+    index-filtered reassembly — byte-for-byte the operator's contract.
+    See operators/dedup.py:dedup_spans for the distributed plan shape."""
+    from lyssandra_spark.operators.dedup import dedup_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(". " + _SPAN_BANNER)),
+        ).otherwise(F.col("text")),
+    )
+    return dedup_spans(planted, n_sents=3, min_dup=2)

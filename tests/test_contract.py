@@ -32,12 +32,16 @@ def test_registry_shape():
                 "ann_topk_variants"):
         assert key in qs, key
     # round-6 registry swap: the flagship LLM ops hold ORACLED rows (the
-    # scalar_* rows were consolidated + q5 retired to free the slots)
+    # scalar_* rows were consolidated, q5 retired, and the two backward
+    # as-of strategy rows merged into one tagged union to free slots)
     for key in ("bm25_topk_documents", "rrf_hybrid_documents",
-                "dedup_paragraphs_documents", "scalar_function_suite"):
+                "dedup_paragraphs_documents", "dedup_spans_documents",
+                "scalar_function_suite", "asof_backward_strategies"):
         assert key in qs and key in osql, key
     for gone in ("q5_region_revenue", "scalar_props_extract",
-                 "scalar_string_funcs", "scalar_math_conditional"):
+                 "scalar_string_funcs", "scalar_math_conditional",
+                 "asof_backward_latest_order",
+                 "asof_union_strategy_equivalence"):
         assert gone not in qs, f"{gone} was retired in round 6"
 
 
