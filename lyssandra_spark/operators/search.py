@@ -273,6 +273,12 @@ def refresh_postings(
         return catalog.write(
             build_postings(docs, id_col, text_col), postings_table,
             mode="overwrite",
+            # SORT ORDER on term: parquet row-group min/max stats then
+            # prune the query-vocabulary scans bm25_topk_indexed runs —
+            # a query touches a handful of terms, so a term-clustered
+            # layout skips most of the index per query (no extra
+            # shuffle: sortWithinPartitions only)
+            sort_by=["term"],
             meta={"postings_spec": spec, "postings_last_snap": newest,
                   "n_docs": n_docs},
         )
@@ -303,6 +309,7 @@ def refresh_postings(
     return catalog.write(
         build_postings(delta, id_col, text_col), postings_table,
         mode="append",
+        sort_by=["term"],  # per-snapshot term clustering (see rebuild)
         meta={"postings_spec": spec, "postings_last_snap": newest,
               "n_docs": head_meta["n_docs"] + n_new},
     )
