@@ -40,6 +40,8 @@ __all__ = [
     "dedup_paragraphs",
     "dedup_spans",
     "dedup_token_spans",
+    "paragraph_counts",
+    "span_counts",
     "minhash_signatures",
     "band_signatures",
     "est_jaccard",
@@ -230,12 +232,48 @@ def dedup_paragraphs(
     )
 
 
+_SENT_SPLIT_RE = r"(?U)(?<=[.!?])(?=\s)"
+_TOKEN_SPLIT_RE = r"(?U)(?<=\S)(?=\s)"
+
+
+def span_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_units: int = 3,
+    unit: str = "sentence",
+) -> DataFrame:
+    """Corpus span frequencies: (span, n) over the sliding windows
+    :func:`dedup_spans` (``unit="sentence"``) or
+    :func:`dedup_token_spans` (``unit="token"``) would count — the
+    SUM-MERGEABLE aggregate behind their hot sets, the span-granularity
+    twin of :func:`paragraph_counts`. Persist per-batch outputs and
+    fold with ``refresh_aggregate(keys="span", sum_cols="n")``; strip a
+    NEW batch by passing the maintained table (filtered to ``sum_n >=
+    min_dup``) as ``hot=`` — history is never re-split. Span identity
+    is exactly the dedup operators' key (trimmed chunks joined by one
+    space), by construction: the key arrays come from the same helper.
+    """
+    split_re = {"sentence": _SENT_SPLIT_RE, "token": _TOKEN_SPLIT_RE}.get(unit)
+    if split_re is None:
+        raise ValueError(f"unit must be 'sentence' or 'token', got {unit!r}")
+    if n_units < 1:
+        raise ValueError(f"n_units ({n_units}) must be >= 1")
+    base = _span_key_arrays(df, None, text_col, split_re, n_units)
+    return (
+        base.select(F.explode("__spans").alias("span"))
+        .where(F.col("span") != "")
+        .groupBy("span")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def dedup_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_sents: int = 3,
     min_dup: int = 2,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Remove every ``n_sents``-sentence SPAN that repeats >= ``min_dup``
     times across the corpus — the C4 three-sentence-span occurrence
@@ -274,10 +312,14 @@ def dedup_spans(
     # (?U): Java \s is ASCII-only without UNICODE_CHARACTER_CLASS — an
     # NBSP/ideographic-space sentence boundary would silently never
     # split (and the python-oracle tests use unicode \s), the same
-    # pitfall the trim documents
+    # pitfall the trim documents. ``hot`` (a DataFrame with a ``span``
+    # column, e.g. the refresh_aggregate-maintained span_counts table
+    # filtered to the threshold) strips against EXTERNAL corpus
+    # statistics without counting the input — see paragraph_counts for
+    # the maintenance recipe.
     return _dedup_window_spans(
-        df, id_col, text_col, r"(?U)(?<=[.!?])(?=\s)", n_sents, min_dup,
-        "n_sents_total", "n_removed_sents",
+        df, id_col, text_col, _SENT_SPLIT_RE, n_sents, min_dup,
+        "n_sents_total", "n_removed_sents", hot=hot,
     )
 
 
@@ -287,6 +329,7 @@ def dedup_token_spans(
     text_col: str = "text",
     span_tokens: int = 50,
     min_dup: int = 2,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Remove every ``span_tokens``-token sliding window that repeats
     >= ``min_dup`` times across the corpus — the Lee et al. 2021
@@ -315,27 +358,22 @@ def dedup_token_spans(
     if span_tokens < 1:
         raise ValueError(f"span_tokens ({span_tokens}) must be >= 1")
     return _dedup_window_spans(
-        df, id_col, text_col, r"(?U)(?<=\S)(?=\s)", span_tokens, min_dup,
-        "n_tokens_total", "n_removed_tokens",
+        df, id_col, text_col, _TOKEN_SPLIT_RE, span_tokens, min_dup,
+        "n_tokens_total", "n_removed_tokens", hot=hot,
     )
 
 
-def _dedup_window_spans(
+def _span_key_arrays(
     df: DataFrame,
-    id_col: str,
+    id_col: str | None,
     text_col: str,
     split_re: str,
     n_units: int,
-    min_dup: int,
-    total_name: str,
-    removed_name: str,
 ) -> DataFrame:
-    """Shared corpus-wide sliding-window removal pipeline: zero-width
-    chunk split (concat of chunks == input), per-row span-key arrays,
-    one (hash, span-text) count shuffle, hot-set semi-join, union of
-    hot windows removed (see the public wrappers for semantics)."""
-    if min_dup < 2:
-        raise ValueError(f"min_dup ({min_dup}) must be >= 2")
+    """(id?, __chunks, __spans) per non-null-text row: zero-width chunk
+    split (concat of chunks == input) and the sliding-window span keys
+    (unicode-trimmed chunks joined by one space) — the identity shared
+    by the dedup operators and :func:`span_counts`."""
     chunks = F.split(F.col(text_col), split_re)
     trim = lambda c: F.regexp_replace(c, r"(?U)^\s+|\s+$", "")  # noqa: E731
     n = F.size("__chunks")
@@ -348,24 +386,56 @@ def _dedup_window_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = (
+    keep = [id_col] if id_col is not None else []
+    return (
         df.where(F.col(text_col).isNotNull())
-        .select(id_col, chunks.alias("__chunks"))
+        .select(*keep, chunks.alias("__chunks"))
         .withColumn("__spans", span_keys)
     )
+
+
+def _dedup_window_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_re: str,
+    n_units: int,
+    min_dup: int,
+    total_name: str,
+    removed_name: str,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """Shared corpus-wide sliding-window removal pipeline: zero-width
+    chunk split (concat of chunks == input), per-row span-key arrays,
+    one (hash, span-text) count shuffle (or an externally-supplied hot
+    set — no counting), hot-set semi-join, union of hot windows removed
+    (see the public wrappers for semantics)."""
+    if min_dup < 2:
+        raise ValueError(f"min_dup ({min_dup}) must be >= 2")
+    base = _span_key_arrays(df, id_col, text_col, split_re, n_units)
     spans = (
         base.select(id_col, F.posexplode("__spans").alias("span_pos", "__t"))
         .where(F.col("__t") != "")
         .withColumn("__h", F.xxhash64("__t"))
     )
-    hot = (
-        spans.groupBy("__h", "__t")
-        .agg(F.count("*").alias("__n"))
-        .where(F.col("__n") >= min_dup)
-        .select("__h", "__t")
-    )
+    if hot is None:
+        hot_set = (
+            spans.groupBy("__h", "__t")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") >= min_dup)
+            .select("__h", "__t")
+        )
+    else:
+        # external (incrementally-maintained) span set: entries are
+        # span KEYS (already normalized by span_counts)
+        hot_set = (
+            hot.select(F.col("span").alias("__t"))
+            .where(F.col("__t").isNotNull() & (F.col("__t") != ""))
+            .distinct()
+            .select(F.xxhash64("__t").alias("__h"), "__t")
+        )
     hot_pos = (
-        spans.join(hot, ["__h", "__t"], "left_semi")
+        spans.join(hot_set, ["__h", "__t"], "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("span_pos").alias("__hot_pos"))
     )

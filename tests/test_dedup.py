@@ -693,6 +693,56 @@ def test_dedup_token_spans_random_docs_property(
         assert got.loc[i, "n_removed_tokens"] == wrem
 
 
+def test_incremental_span_counts_and_hot_set_strip(spark, tmp_path):
+    """Span-granularity twin of the paragraph hot-set composition: the
+    3-sentence span hot set maintained incrementally (per-batch
+    span_counts folded by refresh_aggregate) + dedup_spans(hot=...)
+    over one batch == full-corpus dedup_spans restricted to that
+    batch."""
+    from lyssandra_spark.operators.incremental import refresh_aggregate
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    banner = "Accept cookies. See policy. Close box."
+    texts = {
+        0: f"Intro alpha. {banner} Tail one.",
+        1: "Unique doc one. Nothing shared here. At all really.",
+        2: f"Start two. {banner} Endcap.",
+        3: f"Batch two doc. {banner} Different tail.",
+        4: "Another plain doc. Short one.",
+        5: f"Batch three doc. {banner} Final words here.",
+        6: "Last plain doc. Still unique. Completely so.",
+    }
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    batches = [
+        corpus.where(F.col("doc_id") < 3),
+        corpus.where((F.col("doc_id") >= 3) & (F.col("doc_id") < 5)),
+        corpus.where(F.col("doc_id") >= 5),
+    ]
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    for b in batches:
+        cat.write(DD.span_counts(b, n_units=3), "sc_src", mode="append")
+        refresh_aggregate(cat, "sc_src", "sc", keys="span", sum_cols="n")
+
+    hot = cat.read("sc").where(F.col("sum_n") >= 2).select("span")
+    got = (
+        DD.dedup_spans(batches[2], n_sents=3, hot=hot)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    want = (
+        DD.dedup_spans(corpus, n_sents=3, min_dup=2)
+        .toPandas().set_index("doc_id").sort_index()
+        .loc[[5, 6]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert "Accept cookies" not in got.loc[5, "text"]
+    assert got.loc[6, "n_removed_sents"] == 0
+
+    with pytest.raises(ValueError, match="unit"):
+        DD.span_counts(corpus, unit="word")
+
+
 def test_dedup_token_spans_roundtrip(spark, sf_dir):
     """Hot-set-free corpus round-trips byte-identically through the
     token-boundary zero-width split."""
