@@ -1,0 +1,432 @@
+"""Persisted ANN indexes through the snapshot catalog — the embedding
+analogue of :func:`~lyssandra_spark.operators.search.refresh_postings`.
+
+The per-call operators (:func:`~lyssandra_spark.operators.similarity
+.ivf_topk` / :func:`~lyssandra_spark.operators.similarity.pq_topk`)
+re-train their coarse quantizer / codebooks and re-scan the corpus on
+every invocation — correct, but not how a production vector index works.
+This module persists the trained artifacts and the per-vector
+assignments once, then serves queries from the index alone:
+
+- :func:`refresh_ivf_index` — train IVF centroids once (deterministic
+  sample + optional distributed Lloyd refinement), assign every vector
+  its cell, and land (id, embedding, cell) as a catalog table sorted by
+  cell (parquet row-group min/max stats then prune each query's probe
+  scan to its nprobe cells). Delta source snapshots are assigned
+  incrementally under the FROZEN centroids — the historical corpus is
+  never re-assigned, and the centroids live in the snapshot manifest
+  meta (they ARE the index identity, like ``lsh_params``).
+- :func:`ivf_topk_indexed` — :func:`ivf_topk` semantics served from the
+  persisted table: no training, no corpus re-assignment; the plan is a
+  parquet scan joined to the broadcast probed queries.
+- :func:`refresh_pq_index` / :func:`pq_topk_indexed` — same shape for
+  product quantization: codebooks in the manifest, one persisted
+  ``array<int>`` code per vector; the ADC scan reads ONLY (id, code)
+  columns (parquet is columnar — the 64x bandwidth win PQ exists for),
+  and the exact re-rank touches true vectors for the candidate set
+  only.
+
+Freshness semantics (shared with the postings index): a watermark in
+the manifest meta records the newest source snapshot folded in; a
+source overwrite or an expired delta snapshot routes to a full rebuild;
+meta survives audit-only compaction via ``latest_meta`` and dies at a
+destructive overwrite. Frozen-artifact caveat, stated plainly: delta
+batches are quantized under the ORIGINAL centroids/codebooks, so if the
+embedding distribution drifts, recall decays until a rebuild — exactly
+the re-train/re-index cadence real IVF/PQ deployments schedule. The
+assignments themselves stay exact (assignment is deterministic given
+the artifacts), so indexed results always equal the per-call operator
+run with the same artifacts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.similarity import (
+    _as_double,
+    _dot,
+    _lloyd_centroids,
+    _norm,
+    kmeans_refine,
+    pq_assign_codes,
+    pq_refine,
+    pq_train,
+    tag_cell,
+    tag_probe_cells,
+)
+
+__all__ = [
+    "refresh_ivf_index", "ivf_topk_indexed",
+    "refresh_pq_index", "pq_topk_indexed",
+]
+
+
+def _chain_state(catalog, src_table: str, index_table: str, spec_key: str,
+                 spec: dict):
+    """Shared watermark bookkeeping: returns (src_snaps, newest,
+    needs_rebuild, last, head_meta). Loud error on a spec mismatch; a
+    dead watermark (destructive overwrite) or an expired delta snapshot
+    routes to rebuild."""
+    src_snaps = catalog.snapshots(src_table)
+    if not src_snaps:
+        raise FileNotFoundError(f"no snapshots for source {src_table!r}")
+    newest = src_snaps[-1]["id"]
+    chain_start = 0
+    for s in src_snaps:
+        if s["mode"] == "overwrite":
+            chain_start = s["id"]
+    idx_snaps = catalog.snapshots(index_table)
+    head_meta = (
+        (catalog.latest_meta(index_table, spec_key) or {}) if idx_snaps else {}
+    )
+    if idx_snaps and head_meta and head_meta.get(spec_key) != spec:
+        raise ValueError(
+            f"refresh spec {spec} does not match the index table's "
+            f"{head_meta.get(spec_key)} — use a different index_table or "
+            "rebuild"
+        )
+    last = head_meta.get(spec_key[:-5] + "_last_snap") if head_meta else None
+    delta_expired = last is not None and any(
+        s["id"] > last and s.get("expired") for s in src_snaps
+    )
+    needs_rebuild = last is None or last < chain_start or delta_expired
+    return src_snaps, newest, needs_rebuild, last, idx_snaps
+
+
+def _dedup_src(catalog, src_table: str, id_col: str, emb_col: str) -> DataFrame:
+    """Full-chain read collapsed to one row per id, deterministically
+    (min embedding per id — identity for valid unique-id corpora, the
+    refresh_postings convention)."""
+    return (
+        catalog.read(src_table)
+        .select(id_col, F.col(emb_col).cast("array<double>").alias(emb_col))
+        .groupBy(id_col)
+        .agg(F.min(emb_col).alias(emb_col))
+    )
+
+
+def _delta_new_rows(catalog, src_table: str, index_table: str, src_snaps,
+                    last: int, id_col: str, cols: list[str]) -> DataFrame:
+    """Union the delta snapshots, collapse duplicate ids, anti-join the
+    already-indexed ids (re-ingest guard — the id IS the identity)."""
+    delta = None
+    for s in src_snaps:
+        if s["id"] <= last:
+            continue
+        piece = catalog.read_snapshot(src_table, s["id"]).select(*cols)
+        delta = piece if delta is None else delta.unionByName(piece)
+    delta = delta.dropDuplicates([id_col])
+    indexed_ids = catalog.read(index_table).select(id_col).distinct()
+    return delta.join(indexed_ids, id_col, "left_anti")
+
+
+def refresh_ivf_index(
+    catalog,
+    src_table: str,
+    index_table: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    sample_rows: int = 2048,
+    seed: int = 23,
+    refine_iters: int = 0,
+) -> int:
+    """Keep ``index_table`` = (id, embedding, cell) over ``src_table``'s
+    full chain, training centroids ONCE (on rebuild) and assigning only
+    the delta snapshots since the last refresh. Returns the index
+    table's snapshot id. Centroids are the deterministic
+    :func:`~lyssandra_spark.operators.similarity.ivf_topk` training
+    (ordered sample + seeded Lloyd, optional full-corpus refinement),
+    recorded in the manifest meta — delta batches are assigned under
+    them unchanged, so an indexed query equals the per-call operator
+    with the same artifacts. Rows land sorted by cell
+    (sortWithinPartitions — no extra shuffle) so each query's probe
+    scan prunes to its cells' row groups.
+    """
+    spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
+            "n_cells": n_cells, "sample_rows": sample_rows, "seed": seed,
+            "refine_iters": refine_iters}
+    src_snaps, newest, rebuild, last, idx_snaps = _chain_state(
+        catalog, src_table, index_table, "ivf_spec", spec
+    )
+    if rebuild:
+        corpus = _dedup_src(catalog, src_table, id_col, emb_col)
+        sample = np.asarray(
+            [r[emb_col] for r in
+             corpus.orderBy(id_col).limit(sample_rows).collect()],
+            dtype=np.float64,
+        )
+        if sample.size == 0:
+            raise ValueError("refresh_ivf_index requires a non-empty source")
+        C = _lloyd_centroids(sample, n_cells, seed=seed)
+        if refine_iters > 0:
+            C = kmeans_refine(corpus, C, emb_col=emb_col, n_iter=refine_iters)
+        tagged = tag_cell(corpus, C, emb_col, out_col="cell")
+        return catalog.write(
+            tagged, index_table, mode="overwrite", sort_by=["cell"],
+            meta={"ivf_spec": spec, "ivf_last_snap": newest,
+                  "centroids": [[float(v) for v in row] for row in C]},
+        )
+    if last >= newest:
+        return idx_snaps[-1]["id"]  # nothing new: no-op
+    delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
+                            id_col, [id_col, emb_col])
+    delta = delta.select(
+        id_col, F.col(emb_col).cast("array<double>").alias(emb_col)
+    )
+    if delta.rdd.isEmpty():
+        # all ids re-ingested: advance the watermark only
+        return catalog.write(
+            catalog.read(index_table).limit(0), index_table, mode="append",
+            meta={"ivf_spec": spec, "ivf_last_snap": newest},
+        )
+    C = np.asarray(
+        (catalog.latest_meta(index_table, "centroids") or {})["centroids"],
+        dtype=np.float64,
+    )
+    return catalog.write(
+        tag_cell(delta, C, emb_col, out_col="cell"), index_table,
+        mode="append", sort_by=["cell"],
+        meta={"ivf_spec": spec, "ivf_last_snap": newest},
+    )
+
+
+def ivf_topk_indexed(
+    catalog,
+    index_table: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str | None = None,
+    emb_col: str | None = None,
+) -> DataFrame:
+    """:func:`~lyssandra_spark.operators.similarity.ivf_topk` semantics
+    served from the persisted index: NO training, NO corpus assignment —
+    the plan tags the (tiny, broadcast) query side with its ``nprobe``
+    probe cells under the manifest centroids, joins it to the index
+    parquet on cell (the sort-by-cell layout prunes row groups), and
+    exactly re-ranks the probed candidates. Output (qid, id, cos_sim,
+    rk), identical to the per-call operator under the same artifacts
+    (pytest-pinned)."""
+    meta = catalog.latest_meta(index_table, "centroids")
+    if meta is None:
+        raise ValueError(
+            f"index table {index_table!r} has no centroids meta — run "
+            "refresh_ivf_index first"
+        )
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    spec = (catalog.latest_meta(index_table, "ivf_spec") or {}).get(
+        "ivf_spec", {}
+    )
+    id_col = id_col or spec.get("id_col", "vec_id")
+    emb_col = emb_col or spec.get("emb_col", "embedding")
+    idx = catalog.read(index_table).select(
+        id_col, F.col(emb_col).alias("emb"), "cell"
+    )
+    q = _as_double(queries, id_col, emb_col, "qemb").withColumnRenamed(
+        id_col, "qid"
+    )
+    qtag = tag_probe_cells(q, C, "qemb", nprobe=nprobe, out_col="qcell")
+    cand = idx.join(
+        F.broadcast(qtag),
+        (F.col("cell") == F.col("qcell")) & (F.col(id_col) != F.col("qid")),
+    ).select("qid", id_col, "qemb", "emb").dropDuplicates(["qid", id_col])
+    sims = cand.select(
+        "qid", id_col,
+        (_dot(F.col("qemb"), F.col("emb"))
+         / (_norm(F.col("qemb")) * _norm(F.col("emb")))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def refresh_pq_index(
+    catalog,
+    src_table: str,
+    index_table: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 2048,
+    seed: int = 29,
+    refine_iters: int = 0,
+) -> int:
+    """Keep ``index_table`` = (id, embedding, code) over ``src_table``'s
+    chain: codebooks trained once (rebuild) exactly as
+    :func:`~lyssandra_spark.operators.similarity.pq_topk` trains them
+    (normalized ordered sample, optional distributed refinement),
+    recorded in the manifest meta; deltas are quantized under the frozen
+    codebooks. The embedding column rides along ONLY for the exact
+    re-rank — parquet's columnar layout means the ADC scan reads just
+    (id, code), ~64x less bandwidth than the vectors. Returns the index
+    snapshot id."""
+    spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
+            "m": m, "n_codes": n_codes, "sample_rows": sample_rows,
+            "seed": seed, "refine_iters": refine_iters}
+    src_snaps, newest, rebuild, last, idx_snaps = _chain_state(
+        catalog, src_table, index_table, "pq_spec", spec
+    )
+    if rebuild:
+        corpus = _dedup_src(catalog, src_table, id_col, emb_col)
+        sample = np.asarray(
+            [r[emb_col] for r in
+             corpus.orderBy(id_col).limit(sample_rows).collect()],
+            dtype=np.float64,
+        )
+        if sample.size == 0:
+            raise ValueError("refresh_pq_index requires a non-empty source")
+        nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+        books = pq_train(sample / np.maximum(nrm, 1e-300), m=m,
+                         n_codes=n_codes, seed=seed)
+        if refine_iters > 0:
+            books = pq_refine(corpus, books, emb_col=emb_col,
+                              n_iter=refine_iters)
+        coded = pq_assign_codes(corpus, books, id_col, emb_col)
+        return catalog.write(
+            coded, index_table, mode="overwrite",
+            meta={"pq_spec": spec, "pq_last_snap": newest,
+                  "codebooks": books.tolist()},
+        )
+    if last >= newest:
+        return idx_snaps[-1]["id"]
+    delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
+                            id_col, [id_col, emb_col])
+    if delta.rdd.isEmpty():
+        return catalog.write(
+            catalog.read(index_table).limit(0), index_table, mode="append",
+            meta={"pq_spec": spec, "pq_last_snap": newest},
+        )
+    books = np.asarray(
+        (catalog.latest_meta(index_table, "codebooks") or {})["codebooks"],
+        dtype=np.float64,
+    )
+    return catalog.write(
+        pq_assign_codes(delta, books, id_col, emb_col), index_table,
+        mode="append",
+        meta={"pq_spec": spec, "pq_last_snap": newest},
+    )
+
+
+def pq_topk_indexed(
+    catalog,
+    index_table: str,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 64,
+    id_col: str | None = None,
+    emb_col: str | None = None,
+) -> DataFrame:
+    """:func:`~lyssandra_spark.operators.similarity.pq_topk` semantics
+    from the persisted code table: the ADC scan streams ONLY (id, code)
+    — never the vectors, never a re-quantization — gathers each query's
+    broadcast LUT, emits per-batch top-``rerank`` candidates, and the
+    exact cosine re-rank joins true vectors for the bounded candidate
+    set alone. Identical output to the per-call operator under the same
+    codebooks (the per-batch partial top-k union provably contains the
+    global top-``rerank`` regardless of partitioning)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    meta = catalog.latest_meta(index_table, "codebooks")
+    if meta is None:
+        raise ValueError(
+            f"index table {index_table!r} has no codebooks meta — run "
+            "refresh_pq_index first"
+        )
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    spec = (catalog.latest_meta(index_table, "pq_spec") or {}).get(
+        "pq_spec", {}
+    )
+    id_col = id_col or spec.get("id_col", "vec_id")
+    emb_col = emb_col or spec.get("emb_col", "embedding")
+    q = queries.select(
+        F.col(id_col).cast("long"), F.col(emb_col).cast("array<double>")
+    ).collect()
+    if not q:
+        return queries.sparkSession.createDataFrame(
+            [], f"qid long, {id_col} long, cos_sim double, rk int"
+        )
+    qids = np.asarray([r[0] for r in q], dtype=np.int64)
+    Q = np.asarray([r[1] for r in q], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    luts = np.einsum("ijs,jcs->ijc", Qn.reshape(len(Qn), m, dsub), books)
+    bc = queries.sparkSession.sparkContext.broadcast((qids, luts))
+    out_schema = T.StructType([
+        T.StructField("qid", T.LongType(), False),
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("approx_ip", T.DoubleType(), False),
+    ])
+    # the ADC scan's input: id + code ONLY (columnar prune — the
+    # embedding column never leaves the parquet footer here)
+    codes_src = catalog.read(index_table).select(
+        F.col(id_col).cast("long").alias("vid"), F.col("code")
+    )
+
+    def scan(it):
+        qids_, luts_ = bc.value
+        nq = len(qids_)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            codes = (
+                batch.column(1).flatten().to_numpy(zero_copy_only=False)
+                .reshape(n, m)
+            )
+            approx = np.zeros((n, nq))
+            for j in range(m):
+                approx += luts_[:, j, codes[:, j]].T
+            approx[ids[:, None] == qids_[None, :]] = -np.inf
+            rr = min(rerank, n)
+            rows = np.concatenate([
+                np.lexsort((ids, -approx[:, i]))[:rr] for i in range(nq)
+            ])
+            cols = np.repeat(np.arange(nq), rr)
+            vals = approx[rows, cols]
+            keep = np.isfinite(vals)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids_[cols[keep]], pa.int64()),
+                    pa.array(ids[rows[keep]], pa.int64()),
+                    pa.array(vals[keep], pa.float64()),
+                ],
+                names=["qid", id_col, "approx_ip"],
+            )
+
+    partial = codes_src.mapInArrow(scan, out_schema)
+    w0 = Window.partitionBy("qid").orderBy(
+        F.col("approx_ip").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        partial.withColumn("crk", F.row_number().over(w0))
+        .where(F.col("crk") <= rerank)
+        .select("qid", id_col)
+    )
+    qdf = queries.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
+        "qid long, qemb array<double>",
+    )
+    c = catalog.read(index_table).select(
+        id_col, F.col(emb_col).alias("emb")
+    )
+    sims = (
+        c.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid", id_col,
+            (_dot(F.col("qemb"), F.col("emb"))
+             / (_norm(F.col("qemb")) * _norm(F.col("emb")))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -47,6 +47,7 @@ __all__ = [
     "est_jaccard",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_bands",
     "simhash_neardup_pairs",
     "simhash_pairs_from_hashes",
     "embedding_neardup_pairs",
@@ -239,7 +240,7 @@ _TOKEN_SPLIT_RE = r"(?U)(?<=\S)(?=\s)"
 def span_counts(
     df: DataFrame,
     text_col: str = "text",
-    n_units: int = 3,
+    n_units: int | None = None,
     unit: str = "sentence",
 ) -> DataFrame:
     """Corpus span frequencies: (span, n) over the sliding windows
@@ -252,10 +253,20 @@ def span_counts(
     min_dup``) as ``hot=`` — history is never re-split. Span identity
     is exactly the dedup operators' key (trimmed chunks joined by one
     space), by construction: the key arrays come from the same helper.
+
+    ``n_units`` MUST equal the consuming dedup operator's window length
+    (``n_sents`` / ``span_tokens``): span keys are window-length-
+    dependent, so a hot set built at a different length silently matches
+    nothing. The default therefore tracks each wrapper's default —
+    3 for ``unit="sentence"`` (:func:`dedup_spans`), 50 for
+    ``unit="token"`` (:func:`dedup_token_spans`); pass it explicitly
+    whenever the dedup side overrides its default.
     """
     split_re = {"sentence": _SENT_SPLIT_RE, "token": _TOKEN_SPLIT_RE}.get(unit)
     if split_re is None:
         raise ValueError(f"unit must be 'sentence' or 'token', got {unit!r}")
+    if n_units is None:
+        n_units = {"sentence": 3, "token": 50}[unit]
     if n_units < 1:
         raise ValueError(f"n_units ({n_units}) must be >= 1")
     base = _span_key_arrays(df, None, text_col, split_re, n_units)
@@ -301,11 +312,11 @@ def dedup_spans(
 
     Plan at 100 TB: span keys are built per-row with array expressions
     (map-only — no per-sentence explode for construction) -> posexplode
-    -> ONE count shuffle keyed on (hash, span text) with map-side
-    partials absorbing the hot banner span -> hot-set join -> ONE
-    groupBy(id) over HOT rows only (docs without boilerplate never
-    enter it) -> id-keyed join back to the chunk arrays (AQE broadcasts
-    the hot-position side when the affected-doc set is small).
+    -> an 8-byte-key hash count shuffle, then exact (hash, text)
+    verification of hot hashes only (the two-phase discovery of
+    :func:`_dedup_window_spans` — span strings never ride the corpus-
+    wide exchange) -> shuffle-based reassembly over AFFECTED docs only
+    (docs without boilerplate never leave the map side).
     """
     if n_sents < 1:
         raise ValueError(f"n_sents ({n_sents}) must be >= 1")
@@ -316,7 +327,10 @@ def dedup_spans(
     # column, e.g. the refresh_aggregate-maintained span_counts table
     # filtered to the threshold) strips against EXTERNAL corpus
     # statistics without counting the input — see paragraph_counts for
-    # the maintenance recipe.
+    # the maintenance recipe; its keys are unicode-re-trimmed on entry
+    # (identity for proper span_counts keys — only hand-built sets
+    # with stray whitespace behave differently, matching now instead
+    # of never), the dedup_paragraphs convention.
     return _dedup_window_spans(
         df, id_col, text_col, _SENT_SPLIT_RE, n_sents, min_dup,
         "n_sents_total", "n_removed_sents", hot=hot,
@@ -347,13 +361,17 @@ def dedup_token_spans(
     unicode-trimmed tokens joined by one space, text-compared).
     Returns (id, text, n_tokens_total, n_removed_tokens).
 
-    Scale note: stride-1 token windows emit ~one span per token — the
-    count shuffle carries ~n_tokens rows per doc (each ~span_tokens
-    words long). That is the price Lee et al. pay via suffix arrays;
-    here map-side partial counts absorb the hot keys and everything
-    else stays the one-count-shuffle shape. Prefer
+    Scale note: stride-1 token windows emit ~one span per token, but
+    the corpus-wide count shuffle carries only the 8-byte span HASH per
+    window (phase 1 of :func:`_dedup_window_spans`); the ~span_tokens-
+    word span strings cross the wire only for windows whose hash is hot
+    (phase 2's exact text verification), so distinct (non-duplicated)
+    text — the bulk of a real corpus — never inflates the shuffle.
+    Suffix arrays are how Lee et al. pay this cost; prefer
     :func:`dedup_spans`/:func:`dedup_paragraphs` when coarser units
-    suffice.
+    suffice. An external ``hot`` set is matched on re-trimmed span
+    keys (proper :func:`span_counts` keys are unchanged; see
+    :func:`_dedup_window_spans`).
     """
     if span_tokens < 1:
         raise ValueError(f"span_tokens ({span_tokens}) must be >= 1")
@@ -407,9 +425,31 @@ def _dedup_window_spans(
 ) -> DataFrame:
     """Shared corpus-wide sliding-window removal pipeline: zero-width
     chunk split (concat of chunks == input), per-row span-key arrays,
-    one (hash, span-text) count shuffle (or an externally-supplied hot
-    set — no counting), hot-set semi-join, union of hot windows removed
-    (see the public wrappers for semantics)."""
+    TWO-PHASE hot-span discovery, shuffle-based reassembly of affected
+    docs only (see the public wrappers for semantics).
+
+    Phase 1 counts on ``xxhash64(span)`` ALONE: grouping by the hash
+    projects the span TEXT out of the map-side partial aggregate, so
+    the corpus-wide count shuffle carries 8-byte keys — not the
+    ~n_units-word strings that made stride-1 token windows ship ~20x
+    the corpus in shuffle bytes. Phase 2 re-derives only the rows whose
+    hash is hot (a broadcastable hash set in realistic corpora) and
+    counts exactly on (hash, span text): a text with >= min_dup copies
+    always has a hot hash (phase-1 counts upper-bound per-text counts),
+    and a colliding innocent text is filtered here — so exactness is
+    identical to the historical one-phase (hash, text) count while
+    distinct (non-duplicated) text never crosses the wire. The final
+    hot-position pass also pre-filters on the broadcast hash set before
+    the exact text join.
+
+    Reassembly runs over AFFECTED docs only and is shuffle-based
+    (posexplode -> covered-position join -> one groupBy(id), the
+    ``dedup_paragraphs`` shape): membership of a chunk in the covered
+    set is a join, not a per-chunk ``array_contains`` over a covered
+    array — a mostly-hot book-length doc is O(n log n) in the shuffle,
+    not an O(n_chunks x n_covered) single-task straggler. Docs with no
+    hot window never leave the map side.
+    """
     if min_dup < 2:
         raise ValueError(f"min_dup ({min_dup}) must be >= 2")
     base = _span_key_arrays(df, id_col, text_col, split_re, n_units)
@@ -419,51 +459,89 @@ def _dedup_window_spans(
         .withColumn("__h", F.xxhash64("__t"))
     )
     if hot is None:
+        # phase 1: 8-byte-key count; the aggregate's pre-shuffle
+        # projection drops __t, so span text never enters this exchange
+        prefilter = hot_hashes = (
+            spans.groupBy("__h")
+            .agg(F.count("*").alias("__hn"))
+            .where(F.col("__hn") >= min_dup)
+            .select("__h")
+        )
+        # phase 2: exact (hash, text) verification over candidate rows
+        # only — the semi-join key set is tiny next to the corpus
+        # whenever duplication is rare, which is when phase 1 pays off
         hot_set = (
-            spans.groupBy("__h", "__t")
+            spans.join(hot_hashes, "__h", "left_semi")
+            .groupBy("__h", "__t")
             .agg(F.count("*").alias("__n"))
             .where(F.col("__n") >= min_dup)
             .select("__h", "__t")
         )
     else:
         # external (incrementally-maintained) span set: entries are
-        # span KEYS (already normalized by span_counts)
+        # span KEYS; re-trim for symmetry with dedup_paragraphs' hot
+        # path (a proper span_counts key is already trimmed, so this is
+        # the identity — it only rescues hand-built sets with stray
+        # whitespace, which previously never matched)
         hot_set = (
-            hot.select(F.col("span").alias("__t"))
+            hot.select(_utrim(F.col("span")).alias("__t"))
             .where(F.col("__t").isNotNull() & (F.col("__t") != ""))
             .distinct()
             .select(F.xxhash64("__t").alias("__h"), "__t")
         )
-    hot_pos = (
-        spans.join(hot_set, ["__h", "__t"], "left_semi")
+        prefilter = hot_set.select("__h").distinct()
+    # hot window positions per doc: hash pre-filter first (8-byte keys —
+    # phase 1's output when counting, so the two-phase pipeline is not
+    # re-derived just to pre-filter; AQE broadcasts the small set),
+    # exact text match second
+    covered = (
+        spans.join(prefilter, "__h", "left_semi")
+        .join(hot_set, ["__h", "__t"], "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("span_pos"), F.col("span_pos") + n_units - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    affected = covered.select(id_col).distinct()
+    # affected docs: explode chunks, mark covered positions via the
+    # join, one groupBy(id) rebuilds text in order (a doc whose every
+    # chunk is covered still yields its row — the left join keeps all
+    # chunk rows and concat_ws of zero survivors is "")
+    hit = (
+        base.join(affected, id_col, "left_semi")
+        .select(id_col, F.posexplode("__chunks").alias("pos", "chunk"))
+        .join(covered.withColumn("__cov", F.lit(True)), [id_col, "pos"], "left")
         .groupBy(id_col)
-        .agg(F.collect_set("span_pos").alias("__hot_pos"))
-    )
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce("__hot_pos", F.array().cast("array<int>")),
-                lambda p: F.sequence(p, p + n_units - 1),
-            )
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__cov").isNull(),
+                                   F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias(text_col),
+            F.count("*").cast("long").alias(total_name),
+            F.sum(F.when(F.col("__cov").isNotNull(), 1).otherwise(0))
+            .cast("long").alias(removed_name),
         )
     )
-    out = (
-        base.join(hot_pos, id_col, "left")
-        .withColumn("__cov", covered)
-        # materialize the surviving chunks once (referenced 3x below;
-        # Catalyst does not CSE inside a projection)
-        .withColumn(
-            "__kept",
-            F.filter("__chunks", lambda c, i: ~F.array_contains("__cov", i)),
-        )
-    )
-    return out.select(
+    # untouched docs (the common case) stay map-only: no explode, no
+    # shuffle — just the chunk concat and counts
+    miss = base.join(affected, id_col, "left_anti").select(
         id_col,
-        F.array_join("__kept", "").alias(text_col),
+        F.array_join("__chunks", "").alias(text_col),
         F.size("__chunks").cast("long").alias(total_name),
-        (F.size("__chunks") - F.size("__kept")).cast("long")
-        .alias(removed_name),
+        F.lit(0).cast("long").alias(removed_name),
     )
+    return hit.unionByName(miss)
 
 
 def _minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -785,25 +863,19 @@ def simhash_neardup_pairs(
     return simhash_pairs_from_hashes(sh, id_col=id_col, max_hamming=max_hamming)
 
 
-def simhash_pairs_from_hashes(
+def simhash_bands(
     sh: DataFrame,
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     max_hamming: int = 3,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Pair precomputed 64-bit simhashes within ``max_hamming`` bits.
-
-    Pigeonhole banding: split the 64-bit simhash into ``max_hamming + 1``
-    contiguous chunks — two hashes within ``max_hamming`` bits of each
-    other MUST agree exactly on at least one chunk, so candidates are a
-    bucket-join on (chunk_idx, chunk_value), never all-pairs; exact
-    Hamming verification (bit_count(xor), JVM-side) filters the bucket
-    collisions. Exact recall by construction WHEN UNCAPPED: the output
-    set equals the brute-force all-pairs Hamming filter. Setting
-    ``max_bucket`` trades that guarantee for bounded cost (see
-    :func:`_cap_buckets` — pairs colliding only in a dropped bucket are
-    skipped). Output: (id_a, id_b, hamming) with id_a < id_b.
+    """Project (id, simhash) -> exploded (id, simhash, ci, cv) pigeonhole
+    chunk keys — the simhash analogue of :func:`band_signatures`. Pure
+    JVM expressions (shift/mask + explode), so banding a PERSISTED
+    simhash table is a projection over the parquet scan; shared by the
+    one-shot :func:`simhash_pairs_from_hashes` and the incremental
+    :func:`~lyssandra_spark.operators.incremental.simhash_new_batch`
+    (both sides must chunk identically or buckets never collide).
     """
     if not 1 <= max_hamming <= 31:
         raise ValueError(
@@ -826,9 +898,32 @@ def simhash_pairs_from_hashes(
         )
         for c in range(n_chunks)
     ])
-    banded = sh.select(id_col, "simhash", F.explode(chunks).alias("ch")).select(
+    return sh.select(id_col, "simhash", F.explode(chunks).alias("ch")).select(
         id_col, "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv")
     )
+
+
+def simhash_pairs_from_hashes(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Pair precomputed 64-bit simhashes within ``max_hamming`` bits.
+
+    Pigeonhole banding: split the 64-bit simhash into ``max_hamming + 1``
+    contiguous chunks — two hashes within ``max_hamming`` bits of each
+    other MUST agree exactly on at least one chunk, so candidates are a
+    bucket-join on (chunk_idx, chunk_value), never all-pairs; exact
+    Hamming verification (bit_count(xor), JVM-side) filters the bucket
+    collisions. Exact recall by construction WHEN UNCAPPED: the output
+    set equals the brute-force all-pairs Hamming filter. Setting
+    ``max_bucket`` trades that guarantee for bounded cost (see
+    :func:`_cap_buckets` — pairs colliding only in a dropped bucket are
+    skipped). Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    banded = simhash_bands(sh, id_col, hash_col, max_hamming)
     banded = _cap_buckets(banded, ["ci", "cv"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")

@@ -37,10 +37,47 @@ from lyssandra_spark.operators.dedup import (
     band_signatures,
     est_jaccard,
     minhash_signatures,
+    simhash,
+    simhash_bands,
 )
 from lyssandra_spark.operators.graph import connected_components
 
-__all__ = ["dedup_new_batch", "refresh_aggregate", "update_components"]
+__all__ = [
+    "dedup_new_batch", "simhash_new_batch", "embneardup_new_batch",
+    "refresh_aggregate", "update_components",
+]
+
+
+def _index_batch_state(catalog, table: str, prior: list, params: dict,
+                       params_key: str, batch_id: str | None):
+    """Shared head-params validation + retry-replay lookup for the
+    signature-index batch operators. Returns (replay_entry_or_None,
+    prior_as_of_if_replaying). Params are the index identity
+    (signatures from different parameter spaces never collide); a
+    stamped ``batch_id`` makes a retried batch find its half-done
+    snapshot instead of appending twice (see :func:`dedup_new_batch`'s
+    retry-safety contract, which all three generators share)."""
+    if prior:
+        head = (catalog.latest_meta(table, params_key) or {}).get(params_key)
+        if head != params:
+            raise ValueError(
+                f"{params_key} {params} do not match the index's {head}: "
+                "signatures from different parameter spaces never collide — "
+                "rebuild the index or reuse its parameters"
+            )
+    if batch_id is None:
+        return None, None
+    hits = [s for s in prior if s.get("meta", {}).get("batch_id") == batch_id]
+    if len(hits) > 1:
+        raise ValueError(
+            f"batch_id {batch_id!r} appears on {len(hits)} snapshots — "
+            "the index predates the retry guard or ids were reused"
+        )
+    if not hits:
+        return None, None
+    snap_id = hits[0]["id"]
+    before = [s for s in prior if s["id"] < snap_id]
+    return hits[0], (before[-1]["id"] if before else None)
 
 
 def dedup_new_batch(
@@ -100,34 +137,17 @@ def dedup_new_batch(
         "ngram_bytes": ngram_bytes, "seed": seed, "id_col": id_col,
     }
     prior = catalog.snapshots(table)
-    if prior:
-        # newest snapshot CARRYING the params (a compact() of the index
-        # interposes an audit-only snapshot; the identity must survive)
-        head = (catalog.latest_meta(table, "lsh_params") or {}).get(
-            "lsh_params"
-        )
-        if head != params:
-            raise ValueError(
-                f"LSH params {params} do not match the index's {head}: "
-                "signatures from different parameter spaces never collide — "
-                "rebuild the index or reuse its parameters"
-            )
-    replay = None
-    if batch_id is not None:
-        hits = [s for s in prior if s.get("meta", {}).get("batch_id") == batch_id]
-        if len(hits) > 1:
-            raise ValueError(
-                f"batch_id {batch_id!r} appears on {len(hits)} snapshots — "
-                "the index predates the retry guard or ids were reused"
-            )
-        replay = hits[0] if hits else None
+    # newest snapshot CARRYING the params (a compact() of the index
+    # interposes an audit-only snapshot; the identity must survive)
+    replay, replay_as_of = _index_batch_state(
+        catalog, table, prior, params, "lsh_params", batch_id
+    )
 
     if replay is not None:
         # retried batch: its signatures are already indexed — skip the
         # append and pair against the chain as it stood just before it
         snap_id = replay["id"]
-        before = [s for s in prior if s["id"] < snap_id]
-        prior_as_of = before[-1]["id"] if before else None
+        prior_as_of = replay_as_of
     else:
         prior_as_of = prior[-1]["id"] if prior else None
         # doc identity is the id: a re-ingested id (within the batch OR
@@ -208,6 +228,263 @@ def dedup_new_batch(
         .select("id_a", "id_b", "est_jaccard")
     )
     return pairs, snap_id
+
+
+def simhash_new_batch(
+    catalog,
+    table: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    ngram_bytes: int = 4,
+    max_bucket: int | None = None,
+    batch_id: str | None = None,
+) -> tuple[DataFrame, int]:
+    """SimHash near-dup pairs of ``new_docs`` against the persisted
+    (id, simhash) index in ``catalog[table]`` (plus within the new
+    shard), appending the new hashes as a snapshot — the
+    :func:`dedup_new_batch` pattern applied to the second pair
+    generator, closing the standalone operator's full-corpus
+    re-signature. Returns ``(pairs, snapshot_id)`` with pairs
+    (id_a, id_b, hamming), id_a < id_b, hamming <= ``max_hamming``.
+
+    The index holds ONE 8-byte hash per doc; pigeonhole chunk keys are
+    derived on read (:func:`~lyssandra_spark.operators.dedup
+    .simhash_bands` — a pure-JVM projection, the ``band_signatures``
+    trick), so only ``ngram_bytes`` is the index identity and
+    ``max_hamming`` can vary per call (keep it constant across batches
+    for the union-equals-full-recompute invariant, which is pinned in
+    pytest). Retry (``batch_id``) and re-ingest (id anti-join)
+    semantics are exactly :func:`dedup_new_batch`'s. Uncapped, each
+    batch's pairs are EXACT for its frontier (the pigeonhole argument
+    is per-pair), so the union over batches equals
+    :func:`~lyssandra_spark.operators.dedup.simhash_neardup_pairs`
+    over the full corpus — each unordered pair emitted once, by the
+    batch that indexed the later doc.
+
+    At 100 TB: per batch, one vectorized simhash pass over the NEW
+    shard only, one append, and bucket-joins whose indexed side is an
+    (id, simhash) projection — corpus text never re-read, hashes never
+    recomputed.
+    """
+    params = {"ngram_bytes": ngram_bytes, "id_col": id_col}
+    prior = catalog.snapshots(table)
+    replay, replay_as_of = _index_batch_state(
+        catalog, table, prior, params, "simhash_params", batch_id
+    )
+    if replay is not None:
+        snap_id = replay["id"]
+        prior_as_of = replay_as_of
+    else:
+        prior_as_of = prior[-1]["id"] if prior else None
+        batch = new_docs.dropDuplicates([id_col])
+        if prior_as_of is not None:
+            indexed_ids = catalog.read(table, as_of=prior_as_of).select(id_col)
+            batch = batch.join(indexed_ids, id_col, "left_anti")
+        sh_new = simhash(batch, id_col, text_col, ngram_bytes)
+        meta = {"simhash_params": params}
+        if batch_id is not None:
+            meta["batch_id"] = batch_id
+        snap_id = catalog.write(
+            sh_new, table, mode="append" if prior else "overwrite", meta=meta,
+        )
+    new = catalog.read_snapshot(table, snap_id)
+    banded_new = simhash_bands(new, id_col, "simhash", max_hamming)
+    banded_old = None
+    if prior_as_of is not None:
+        old = catalog.read(table, as_of=prior_as_of)
+        banded_old = simhash_bands(old, id_col, "simhash", max_hamming)
+    cand = _banded_batch_pairs(
+        banded_new, banded_old, ["ci", "cv"], id_col, max_bucket,
+        carry=["simhash"],
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    ), snap_id
+
+
+def embneardup_new_batch(
+    catalog,
+    table: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    min_cosine: float = 0.9,
+    seed: int = 11,
+    n_tables: int = 1,
+    max_bucket: int | None = None,
+    batch_id: str | None = None,
+) -> tuple[DataFrame, int]:
+    """Cosine near-dup pairs of ``new_vecs`` against the persisted
+    embedding-LSH index — the third pair generator brought under the
+    :func:`dedup_new_batch` shape. The index holds (id, embedding,
+    buckets): the multi-table sign-sketch buckets are computed ONCE at
+    ingest (:func:`~lyssandra_spark.operators.similarity
+    .hyperplane_bucket_arrays` — one array<long>, not n_tables exploded
+    copies of the vector) and banded back out on read with a pure-JVM
+    ``posexplode``. Candidate generation joins (tbl, bucket) keys
+    new-vs-new and new-vs-indexed; exact cosine verification re-joins
+    embeddings for surviving deduped pairs only. Returns ``(pairs,
+    snapshot_id)`` with pairs (id_a, id_b, cosine) >= ``min_cosine``.
+
+    Plane identity: the (dim, n_planes, n_tables, seed) draw IS the
+    bucket space, so those are the manifest-validated index params;
+    ``min_cosine`` is a per-call verification threshold (constant
+    across batches for the union-equals-full invariant, as with
+    ``threshold`` in :func:`dedup_new_batch`). Retry and re-ingest
+    semantics are identical to the other generators. At 100 TB the
+    historical corpus is never re-projected: per batch, one GEMM-or-
+    expression bucket pass over the new shard, one append, keyed joins.
+    """
+    import numpy as np
+
+    from lyssandra_spark.operators.similarity import hyperplane_bucket_arrays
+
+    if n_tables < 1:
+        raise ValueError(f"n_tables ({n_tables}) must be >= 1")
+    params = {"dim": dim, "n_planes": n_planes, "n_tables": n_tables,
+              "seed": seed, "id_col": id_col}
+    prior = catalog.snapshots(table)
+    replay, replay_as_of = _index_batch_state(
+        catalog, table, prior, params, "emblsh_params", batch_id
+    )
+    if replay is not None:
+        snap_id = replay["id"]
+        prior_as_of = replay_as_of
+    else:
+        prior_as_of = prior[-1]["id"] if prior else None
+        batch = new_vecs.dropDuplicates([id_col]).select(
+            id_col, F.col(emb_col).cast("array<double>").alias("emb")
+        )
+        if prior_as_of is not None:
+            indexed_ids = catalog.read(table, as_of=prior_as_of).select(id_col)
+            batch = batch.join(indexed_ids, id_col, "left_anti")
+        # same stacked draw as embedding_neardup_pairs: bit-identical
+        # buckets, so incremental and one-shot candidates coincide
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_tables, n_planes, dim)
+        )
+        tagged = hyperplane_bucket_arrays(batch, planes, "emb",
+                                          keep=[id_col, "emb"])
+        meta = {"emblsh_params": params}
+        if batch_id is not None:
+            meta["batch_id"] = batch_id
+        snap_id = catalog.write(
+            tagged, table, mode="append" if prior else "overwrite", meta=meta,
+        )
+
+    def band(df):
+        return df.select(
+            id_col, F.posexplode("buckets").alias("tbl", "bucket")
+        )
+
+    new = catalog.read_snapshot(table, snap_id)
+    banded_new = band(new)
+    banded_old = None
+    if prior_as_of is not None:
+        banded_old = band(catalog.read(table, as_of=prior_as_of))
+    cand = _banded_batch_pairs(
+        banded_new, banded_old, ["tbl", "bucket"], id_col, max_bucket,
+    )
+    # embedding lookup for verification = the full chain incl. this batch
+    emb_lookup = catalog.read(table, as_of=snap_id).select(
+        id_col, F.col("emb")
+    )
+    cand = (
+        cand.join(emb_lookup.select(F.col(id_col).alias("id_a"),
+                                    F.col("emb").alias("emb_a")), "id_a")
+        .join(emb_lookup.select(F.col(id_col).alias("id_b"),
+                                F.col("emb").alias("emb_b")), "id_b")
+    )
+    dotp = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            (dotp / (nrm("emb_a") * nrm("emb_b"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    ), snap_id
+
+
+def _banded_batch_pairs(
+    banded_new: DataFrame,
+    banded_old: DataFrame | None,
+    keys: list[str],
+    id_col: str,
+    max_bucket: int | None,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """new-vs-new (ordered) plus new-vs-indexed (canonicalized) bucket
+    joins with the combined-population cap — the shared candidate layer
+    of the three incremental generators. ``carry`` names per-row columns
+    to ride along as ``<c>_a``/``<c>_b`` shorthand (e.g. the simhash for
+    in-join verification); deduped on (id_a, id_b)."""
+    carry = carry or []
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket ({max_bucket}) must be >= 2")
+        pop = banded_new.select(*keys)
+        if banded_old is not None:
+            pop = pop.unionByName(banded_old.select(*keys))
+        keep = (
+            pop.groupBy(*keys).count()
+            .where(F.col("count") <= max_bucket)
+            .select(*keys)
+        )
+        banded_new = banded_new.join(keep, keys, "left_semi")
+        if banded_old is not None:
+            banded_old = banded_old.join(keep, keys, "left_semi")
+
+    def _pair(a: DataFrame, b: DataFrame, ordered: bool) -> DataFrame:
+        aj, bj = a.alias("a"), b.alias("b")
+        cond = None
+        for kcol in keys:
+            c = F.col(f"a.{kcol}") == F.col(f"b.{kcol}")
+            cond = c if cond is None else cond & c
+        ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+        if ordered:
+            cond = cond & (ida < idb)
+            sel = [ida.alias("id_a"), idb.alias("id_b")]
+            sel += [F.col(f"a.{c}").alias(_short(c, "a")) for c in carry]
+            sel += [F.col(f"b.{c}").alias(_short(c, "b")) for c in carry]
+        else:
+            cond = cond & (ida != idb)
+            sel = [F.least(ida, idb).alias("id_a"),
+                   F.greatest(ida, idb).alias("id_b")]
+            # carry columns follow the canonical order
+            sel += [
+                F.when(ida < idb, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}"))
+                .alias(_short(c, "a"))
+                for c in carry
+            ]
+            sel += [
+                F.when(ida < idb, F.col(f"b.{c}")).otherwise(F.col(f"a.{c}"))
+                .alias(_short(c, "b"))
+                for c in carry
+            ]
+        return aj.join(bj, cond).select(*sel)
+
+    cand = _pair(banded_new, banded_new, ordered=True)
+    if banded_old is not None:
+        cand = cand.unionByName(_pair(banded_new, banded_old, ordered=False))
+    return cand.dropDuplicates(["id_a", "id_b"])
+
+
+def _short(col: str, side: str) -> str:
+    """simhash -> sh_a / sh_b; anything else -> <col>_a / <col>_b."""
+    return ("sh" if col == "simhash" else col) + "_" + side
 
 
 def update_components(

@@ -216,12 +216,18 @@ def refresh_postings(
     Doc identity is the id (the :func:`~lyssandra_spark.operators
     .incremental.dedup_new_batch` convention): re-ingested ids are
     anti-joined out against the indexed ids before signing, so
-    re-feeding yesterday's docs can't double tfs. (A re-ingested doc
-    that tokenizes to NOTHING is invisible to the postings and would
-    double-count N only — negligible for scoring and documented here.)
-    A source OVERWRITE resets its chain: detected via the chain-start
-    snapshot id, triggering a full rebuild instead of folding deltas
-    onto stale rows.
+    re-feeding yesterday's docs can't double tfs. A doc that tokenizes
+    to NOTHING lands a SENTINEL row (term NULL, tf 0, doc_len 0), so
+    the id set in the index is exactly the doc universe: re-ingesting a
+    zero-token id is caught by the same anti-join and ``n_docs`` stays
+    exact under all re-ingest patterns (sentinels never score — a NULL
+    term equality-matches no query term — and contribute 0 to the token
+    total, so avgdl is untouched). A source OVERWRITE resets its chain:
+    detected via the chain-start snapshot id, triggering a full rebuild
+    instead of folding deltas onto stale rows. A delta snapshot whose
+    DATA was reclaimed by ``expire()`` before this refresh saw it also
+    routes to the full rebuild (the cumulative chain still serves every
+    live row) rather than dying on the incremental scan.
 
     At 100 TB: per batch this scans ONLY the delta snapshots' text (one
     explode + one (doc, term) count shuffle over the delta), one
@@ -255,15 +261,21 @@ def refresh_postings(
             "postings_table or rebuild"
         )
     last = head_meta.get("postings_last_snap")
-    if last is None or last < chain_start:
-        # first build, or the source chain was overwritten under us.
-        # Duplicate-id collapse must be DETERMINISTIC (dropDuplicates
-        # keeps a partitioning-dependent winner): take the minimum text
-        # per id. Ids re-ingested with a DIFFERENT text are invalid
-        # input by contract (see above), so for valid corpora this is
-        # the identity; for invalid ones the index is at least stable
-        # across reruns (though the winner may differ from the
-        # incremental path's first-ingested row).
+    # a delta snapshot expired between refreshes is unreadable via the
+    # incremental scan, but its rows live on through the cumulative
+    # chain — recover by full rebuild instead of FileNotFoundError
+    delta_expired = last is not None and any(
+        s["id"] > last and s.get("expired") for s in src_snaps
+    )
+    if last is None or last < chain_start or delta_expired:
+        # first build, a source chain overwritten under us, or an
+        # expired delta (above). Duplicate-id collapse must be
+        # DETERMINISTIC (dropDuplicates keeps a partitioning-dependent
+        # winner): take the minimum text per id. Ids re-ingested with a
+        # DIFFERENT text are invalid input by contract (see above), so
+        # for valid corpora this is the identity; for invalid ones the
+        # index is at least stable across reruns (though the winner may
+        # differ from the incremental path's first-ingested row).
         docs = (
             catalog.read(src_table)
             .groupBy(id_col)
@@ -271,7 +283,8 @@ def refresh_postings(
         )
         n_docs = docs.count()
         return catalog.write(
-            build_postings(docs, id_col, text_col), postings_table,
+            _postings_with_sentinels(docs, id_col, text_col),
+            postings_table,
             mode="overwrite",
             # SORT ORDER on term: parquet row-group min/max stats then
             # prune the query-vocabulary scans bm25_topk_indexed runs —
@@ -294,7 +307,8 @@ def refresh_postings(
         delta = piece if delta is None else delta.unionByName(piece)
     delta = delta.dropDuplicates([id_col])
     # re-ingest guard: an id already in the index must not land a second
-    # set of tf rows (they would read as doubled term frequencies)
+    # set of tf rows (they would read as doubled term frequencies).
+    # Sentinel rows put zero-token ids in this set too, so N is exact.
     indexed_ids = catalog.read(postings_table).select(id_col).distinct()
     delta = delta.join(indexed_ids, id_col, "left_anti")
     n_new = delta.count()
@@ -307,12 +321,37 @@ def refresh_postings(
                   "n_docs": head_meta["n_docs"]},
         )
     return catalog.write(
-        build_postings(delta, id_col, text_col), postings_table,
+        _postings_with_sentinels(delta, id_col, text_col), postings_table,
         mode="append",
         sort_by=["term"],  # per-snapshot term clustering (see rebuild)
         meta={"postings_spec": spec, "postings_last_snap": newest,
               "n_docs": head_meta["n_docs"] + n_new},
     )
+
+
+def _postings_with_sentinels(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """:func:`build_postings` plus one SENTINEL row (term NULL, tf 0,
+    doc_len 0) per doc that tokenizes to nothing — the persisted form
+    :func:`refresh_postings` writes so the postings id set IS the doc
+    universe. Sentinels are inert downstream: a NULL term never
+    equality-matches a query term (so they are pruned before df/IDF and
+    never score) and tf 0 adds nothing to the token total (avgdl
+    exact). The zero-token ids are the delta's ids anti-joined against
+    its own postings — one extra pass over the (already small) delta.
+    """
+    post = build_postings(docs, id_col, text_col)
+    zero = docs.select(id_col).join(
+        post.select(id_col).distinct(), id_col, "left_anti"
+    )
+    sentinels = zero.select(
+        id_col,
+        F.lit(None).cast("string").alias("term"),
+        F.lit(0).cast("long").alias("tf"),
+        F.lit(0).cast("long").alias("doc_len"),
+    )
+    return post.unionByName(sentinels)
 
 
 def bm25_topk_indexed(
@@ -359,7 +398,9 @@ def bm25_topk_indexed(
     # avgdl from the index: sum of tfs is the corpus token total (the
     # aggregation runs over grouped postings rows, never raw tokens)
     total_len = post.agg(F.sum("tf")).collect()[0][0]
-    if total_len is None:
+    # None = zero rows; 0 = sentinel rows only (every doc tokenized to
+    # nothing) — either way nothing is retrievable
+    if not total_len:
         raise ValueError(
             "bm25_topk_indexed: postings table is empty (no document "
             "tokenized to any term)"

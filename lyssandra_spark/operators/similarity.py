@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["cosine_topk_bruteforce", "cosine_topk_vectorized", "cosine_topk_lsh",
            "ivf_topk", "kmeans_refine", "assign_cells_arrow",
-           "hyperplane_buckets", "pq_train", "pq_refine", "pq_topk"]
+           "tag_cell", "tag_probe_cells",
+           "hyperplane_buckets", "hyperplane_bucket_arrays",
+           "pq_train", "pq_refine", "pq_topk", "pq_assign_codes"]
 
 
 def _dot(a, b):
@@ -226,6 +228,68 @@ def hyperplane_buckets(
                              pa.int32()),
                     pa.array(buckets.reshape(-1), pa.int64()),
                 ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
+def hyperplane_bucket_arrays(
+    df: DataFrame, planes: np.ndarray, emb_col: str,
+    keep: list[str] | None = None,
+    out_col: str = "buckets",
+    max_expr_literals: int = 4096,
+) -> DataFrame:
+    """Append ONE ``array<long>`` column holding every table's sign-
+    sketch bucket — the per-ROW form of :func:`hyperplane_buckets`, for
+    PERSISTING alongside the vector: the exploded (row, table) form
+    would duplicate the embedding ``n_tables`` times in storage, while
+    banding this array back out is a pure-JVM ``posexplode`` projection
+    over the parquet scan (the ``band_signatures`` trick). Bucket values
+    are bit-identical to :func:`hyperplane_buckets` (same rng stream,
+    same MSB-first packing); the same two paths apply — in-plan
+    expressions under the literal budget, broadcast mapInArrow GEMM
+    beyond it.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    n_tables, n_planes, dim = planes.shape
+    keep = list(df.columns) if keep is None else list(keep)
+    if n_tables * n_planes * dim <= max_expr_literals:
+        arr = F.array(*[_plane_bucket(F.col(emb_col), planes[t])
+                        for t in range(n_tables)])
+        return df.select(*keep, arr.alias(out_col))
+
+    src = df.select(*dict.fromkeys(keep + [emb_col]))
+    emb_pos = src.columns.index(emb_col)
+    keep_pos = [src.columns.index(c) for c in keep]
+    bc = src.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(planes.reshape(n_tables * n_planes, dim))
+    )
+    out_schema = T.StructType(
+        [src.schema[c] for c in keep]
+        + [T.StructField(out_col, T.ArrayType(T.LongType()), False)]
+    )
+    weights = (np.int64(1) << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    def gen(it):
+        PL = bc.value
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(emb_pos).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, -1)
+            bits = (X @ PL.T > 0).reshape(n, n_tables, n_planes)
+            buckets = (bits.astype(np.int64) * weights).sum(-1)  # (n, n_tables)
+            offs = pa.array(
+                np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(j) for j in keep_pos]
+                + [pa.ListArray.from_arrays(
+                    offs, pa.array(buckets.ravel(), pa.int64()))],
                 names=[f.name for f in out_schema.fields],
             )
 
@@ -559,6 +623,61 @@ def pq_topk(
     return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def pq_assign_codes(
+    df: DataFrame, books: np.ndarray,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """Append each row's PQ code (``array<int>``, one entry per
+    subspace) under frozen codebooks — the quantization half of
+    :func:`pq_topk`'s fused scan, split out so the persisted PQ index
+    can store codes once instead of re-quantizing per query. Vectors
+    are L2-normalized before assignment (exactly what the ADC scan
+    quantizes); the expanded-form GEMM and argmin tie order match
+    :func:`pq_topk` bit-for-bit, so an indexed scan over these codes
+    reproduces the per-call operator's candidates exactly.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    m, n_codes, dsub = books.shape
+    src = df.select(
+        F.col(id_col),
+        F.col(emb_col).cast("array<double>").alias("__emb"),
+    )
+    bc = src.sparkSession.sparkContext.broadcast(np.ascontiguousarray(books))
+    out_schema = T.StructType([
+        src.schema[id_col],
+        T.StructField("__emb", T.ArrayType(T.DoubleType()), False),
+        T.StructField(code_col, T.ArrayType(T.IntegerType()), False),
+    ])
+
+    def gen(it):
+        B = bc.value
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, -1)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            S = Xn.reshape(n, m, dsub)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                Cj = B[j]
+                d2 = -2.0 * (S[:, j, :] @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+                codes[:, j] = d2.argmin(1)
+            offs = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1),
+                 pa.ListArray.from_arrays(offs, pa.array(codes.ravel(),
+                                                         pa.int32()))],
+                names=[id_col, "__emb", code_col],
+            )
+
+    return src.mapInArrow(gen, out_schema).withColumnRenamed("__emb", emb_col)
+
+
 def _lloyd_centroids(X: np.ndarray, n_cells: int, n_iter: int = 5,
                      seed: int = 23) -> np.ndarray:
     """Seeded mini k-means on a driver-side sample (rows = samples)."""
@@ -692,6 +811,62 @@ def assign_cells_arrow(
 MAX_EXPR_CELLS = 64
 
 
+def tag_cell(df: DataFrame, C: np.ndarray, emb_col: str,
+             out_col: str = "cell") -> DataFrame:
+    """Append each row's nearest-centroid cell id (int). Expression path
+    under :data:`MAX_EXPR_CELLS` (bit-exact with the historical inline
+    plans), broadcast :func:`assign_cells_arrow` beyond — the shared
+    assignment of :func:`ivf_topk` and the persisted IVF index, which
+    MUST assign identically or indexed results drift from per-call ones.
+    """
+    if len(C) <= MAX_EXPR_CELLS:
+
+        def cell_expr(col):  # argmin distance to centroids, built-in only
+            best_id = F.lit(0)
+            best_d = F.lit(float("inf"))
+            for j in range(len(C)):
+                dj = F.aggregate(
+                    F.zip_with(F.array(*[F.lit(float(v)) for v in C[j]]), col,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                best_id = F.when(dj < best_d, F.lit(j)).otherwise(best_id)
+                best_d = F.least(best_d, dj)
+            return best_id
+
+        return df.withColumn(out_col, cell_expr(F.col(emb_col)))
+    return assign_cells_arrow(df, C, emb_col, nprobe=1).withColumn(
+        out_col, F.element_at("cells", 1)
+    ).drop("cells")
+
+
+def tag_probe_cells(df: DataFrame, C: np.ndarray, emb_col: str,
+                    nprobe: int = 1, out_col: str = "qcell") -> DataFrame:
+    """EXPLODE each row into its ``nprobe`` nearest cells (query-side
+    probing) — same two-path split and tie order as :func:`tag_cell`."""
+    if len(C) <= MAX_EXPR_CELLS:
+
+        def probe_cells(col):  # nprobe nearest centroids as an array column
+            dists = F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(F.array(*[F.lit(float(v)) for v in C[j]]), col,
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(j).alias("cell"),
+                )
+                for j in range(len(C))
+            ])
+            return F.slice(F.transform(F.array_sort(dists), lambda s: s["cell"]),
+                           1, nprobe)
+
+        return df.withColumn(out_col, F.explode(probe_cells(F.col(emb_col))))
+    return assign_cells_arrow(df, C, emb_col, nprobe=nprobe).withColumn(
+        out_col, F.explode("cells")
+    ).drop("cells")
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", emb_col: str = "embedding",
@@ -721,45 +896,8 @@ def ivf_topk(
 
     q = _as_double(queries, id_col, emb_col, "qemb").withColumnRenamed(id_col, "qid")
 
-    if len(C) <= MAX_EXPR_CELLS:
-
-        def cell_expr(col):  # argmin distance to centroids, built-in only
-            best_id = F.lit(0)
-            best_d = F.lit(float("inf"))
-            for j in range(len(C)):
-                dj = F.aggregate(
-                    F.zip_with(F.array(*[F.lit(float(v)) for v in C[j]]), col,
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x,
-                )
-                best_id = F.when(dj < best_d, F.lit(j)).otherwise(best_id)
-                best_d = F.least(best_d, dj)
-            return best_id
-
-        def probe_cells(col):  # nprobe nearest centroids as an array column
-            dists = F.array(*[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(F.array(*[F.lit(float(v)) for v in C[j]]), col,
-                                   lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0), lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(j).alias("cell"),
-                )
-                for j in range(len(C))
-            ])
-            return F.slice(F.transform(F.array_sort(dists), lambda s: s["cell"]),
-                           1, nprobe)
-
-        ctag = c.withColumn("cell", cell_expr(F.col("emb")))
-        qtag = q.withColumn("qcell", F.explode(probe_cells(F.col("qemb"))))
-    else:
-        ctag = assign_cells_arrow(c, C, "emb", nprobe=1).withColumn(
-            "cell", F.element_at("cells", 1)
-        ).drop("cells")
-        qtag = assign_cells_arrow(q, C, "qemb", nprobe=nprobe).withColumn(
-            "qcell", F.explode("cells")
-        ).drop("cells")
+    ctag = tag_cell(c, C, "emb", out_col="cell")
+    qtag = tag_probe_cells(q, C, "qemb", nprobe=nprobe, out_col="qcell")
     cand = ctag.join(
         F.broadcast(qtag),
         (F.col("cell") == F.col("qcell")) & (F.col(id_col) != F.col("qid")),

@@ -775,6 +775,49 @@ def test_dedup_spans_roundtrip_and_plan(spark, sf_dir):
         DD.dedup_spans(d)._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in plan or "partial count" in plan.lower()
+    # two-phase discovery: the corpus-wide count shuffle groups on the
+    # 64-bit hash ALONE (8-byte keys — span text never rides that
+    # exchange); the exact (hash, text) aggregate exists too but only
+    # downstream of the hot-hash semi-join
+    import re as _re
+
+    assert _re.search(
+        r"HashAggregate\(keys=\[__h#\d+L\], functions=\[partial_count", plan
+    ), "phase-1 hash-only count aggregate missing from the plan"
+
+
+def test_dedup_spans_mostly_hot_long_doc(spark):
+    """Straggler guard (round-6 verdict #2): a book-length doc whose
+    chunks are MOSTLY covered used to pay O(n_chunks x n_covered)
+    array_contains comparisons in one task; the shuffle-based reassembly
+    makes it O(n log n). Correctness vs the python oracle on a 2,000-
+    sentence doc that is ~100% hot, plus an all-covered doc yielding ""
+    and an untouched doc riding the map-only path."""
+    hot_block = " ".join(f"Sentence {j % 7} repeats." for j in range(12))
+    long_doc = " ".join(
+        f"Sentence {j % 7} repeats." for j in range(2000)
+    )
+    texts = {
+        0: long_doc,                              # mostly hot, 2000 chunks
+        1: hot_block,                             # fully covered -> ""
+        2: hot_block + " Unique closing thought here.",
+        3: "Entirely unique. Nothing repeats. Plain doc.",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = (
+        DD.dedup_spans(docs, n_sents=3, min_dup=2)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    want = _span_oracle(texts, n_sents=3, min_dup=2)
+    for i, (wtext, wn, wrem) in want.items():
+        assert got.loc[i, "text"] == wtext, i
+        assert got.loc[i, "n_sents_total"] == wn
+        assert got.loc[i, "n_removed_sents"] == wrem
+    assert got.loc[0, "n_removed_sents"] == 2000  # the whole long doc
+    assert got.loc[1, "text"] == ""
+    assert got.loc[3, "n_removed_sents"] == 0
 
 
 def test_incremental_paragraph_counts_and_hot_set_strip(spark, tmp_path):

@@ -129,8 +129,9 @@ def test_incremental_postings_equal_full_rebuild(spark, sf_dir, tmp_path):
         "doc_id", "text"
     )
     b1 = d.where(F.col("doc_id") < 60)
-    # batch 2 includes a zero-token doc: no postings row, but it must
-    # count toward Okapi's N / avgdl denominators
+    # batch 2 includes a zero-token doc: it lands a SENTINEL row (term
+    # NULL, tf 0) so the postings id set is the doc universe and N /
+    # avgdl stay exact under every re-ingest pattern
     b2 = d.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90)).unionByName(
         spark.createDataFrame([(999999, "!!! ...")], "doc_id long, text string")
     )
@@ -142,8 +143,13 @@ def test_incremental_postings_equal_full_rebuild(spark, sf_dir, tmp_path):
     assert s2 > s1
 
     full = b1.unionByName(b2)
+    raw = cat.read("postings").toPandas()
+    # exactly one sentinel: the zero-token doc, term NULL / tf 0 / len 0
+    sent = raw[raw.term.isna()]
+    assert list(sent.doc_id) == [999999]
+    assert list(sent.tf) == [0] and list(sent.doc_len) == [0]
     got = (
-        cat.read("postings").toPandas()
+        raw[raw.term.notna()]
         .sort_values(["doc_id", "term"]).reset_index(drop=True)
     )
     want = (
@@ -186,6 +192,18 @@ def test_incremental_postings_equal_full_rebuild(spark, sf_dir, tmp_path):
     assert cat.read("postings").count() == n_rows
     assert cat.snapshots("postings")[-1]["meta"]["n_docs"] == full.count()
 
+    # re-ingesting ONLY the zero-token doc: its sentinel makes it
+    # visible to the anti-join, so N stays exact (round-6 verdict noted
+    # the pre-sentinel path double-counted N here)
+    cat.write(
+        spark.createDataFrame([(999999, "!!! ...")], "doc_id long, text string"),
+        "docs", mode="append",
+    )
+    s5 = refresh_postings(cat, "docs", "postings")
+    assert s5 > s4
+    assert cat.read("postings").count() == n_rows
+    assert cat.snapshots("postings")[-1]["meta"]["n_docs"] == full.count()
+
     # spec drift fails loudly; source overwrite triggers a full rebuild
     with pytest.raises(ValueError, match="spec"):
         refresh_postings(cat, "docs", "postings", text_col="body")
@@ -194,8 +212,10 @@ def test_incremental_postings_equal_full_rebuild(spark, sf_dir, tmp_path):
     assert (
         cat.snapshots("postings")[-1]["meta"]["n_docs"] == b2.count()
     )
+    raw2 = cat.read("postings").toPandas()
+    assert list(raw2[raw2.term.isna()].doc_id) == [999999]  # sentinel survives rebuild
     rebuilt = (
-        cat.read("postings").toPandas()
+        raw2[raw2.term.notna()]
         .sort_values(["doc_id", "term"]).reset_index(drop=True)
     )
     want2 = (
