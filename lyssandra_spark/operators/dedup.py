@@ -29,7 +29,7 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -285,6 +285,7 @@ def dedup_spans(
     n_sents: int = 3,
     min_dup: int = 2,
     hot: DataFrame | None = None,
+    materialize_hot: bool = True,
 ) -> DataFrame:
     """Remove every ``n_sents``-sentence SPAN that repeats >= ``min_dup``
     times across the corpus — the C4 three-sentence-span occurrence
@@ -334,6 +335,7 @@ def dedup_spans(
     return _dedup_window_spans(
         df, id_col, text_col, _SENT_SPLIT_RE, n_sents, min_dup,
         "n_sents_total", "n_removed_sents", hot=hot,
+        materialize_hot=materialize_hot,
     )
 
 
@@ -344,6 +346,7 @@ def dedup_token_spans(
     span_tokens: int = 50,
     min_dup: int = 2,
     hot: DataFrame | None = None,
+    materialize_hot: bool = True,
 ) -> DataFrame:
     """Remove every ``span_tokens``-token sliding window that repeats
     >= ``min_dup`` times across the corpus — the Lee et al. 2021
@@ -378,6 +381,7 @@ def dedup_token_spans(
     return _dedup_window_spans(
         df, id_col, text_col, _TOKEN_SPLIT_RE, span_tokens, min_dup,
         "n_tokens_total", "n_removed_tokens", hot=hot,
+        materialize_hot=materialize_hot,
     )
 
 
@@ -422,6 +426,7 @@ def _dedup_window_spans(
     total_name: str,
     removed_name: str,
     hot: DataFrame | None = None,
+    materialize_hot: bool = True,
 ) -> DataFrame:
     """Shared corpus-wide sliding-window removal pipeline: zero-width
     chunk split (concat of chunks == input), per-row span-key arrays,
@@ -432,15 +437,24 @@ def _dedup_window_spans(
     projects the span TEXT out of the map-side partial aggregate, so
     the corpus-wide count shuffle carries 8-byte keys — not the
     ~n_units-word strings that made stride-1 token windows ship ~20x
-    the corpus in shuffle bytes. Phase 2 re-derives only the rows whose
-    hash is hot (a broadcastable hash set in realistic corpora) and
-    counts exactly on (hash, span text): a text with >= min_dup copies
-    always has a hot hash (phase-1 counts upper-bound per-text counts),
-    and a colliding innocent text is filtered here — so exactness is
-    identical to the historical one-phase (hash, text) count while
-    distinct (non-duplicated) text never crosses the wire. The final
-    hot-position pass also pre-filters on the broadcast hash set before
-    the exact text join.
+    the corpus in shuffle bytes. Phase 2 filters the span stream to
+    rows whose hash is hot (a broadcastable set in realistic corpora)
+    and, in ONE candidate shuffle, both verifies exactly on (hash, span
+    TEXT) — a window count over the (hash, text) partition — and keeps
+    each surviving row's (doc, position): a text with >= min_dup copies
+    always has a hot hash (phase-1 counts upper-bound per-text counts)
+    and a colliding innocent text fails the window count, so exactness
+    is identical to the historical one-phase (hash, text) count while
+    distinct (non-duplicated) text never crosses a corpus-wide wire.
+
+    The per-doc hot-position table (one row per AFFECTED doc, an int
+    array) is then MATERIALIZED via ``localCheckpoint`` — it is the
+    pipeline's bounded small state, and reassembly consumes it three
+    times (covered positions, affected semi-join, untouched anti-join);
+    without materialization Catalyst re-derives the whole discovery
+    chain per consumer, turning 2 corpus span passes into 6+ (measured
+    ~3x wall on the x24 bench). ``materialize_hot=False`` keeps the
+    plan fully lazy (plan-inspection tests).
 
     Reassembly runs over AFFECTED docs only and is shuffle-based
     (posexplode -> covered-position join -> one groupBy(id), the
@@ -461,21 +475,21 @@ def _dedup_window_spans(
     if hot is None:
         # phase 1: 8-byte-key count; the aggregate's pre-shuffle
         # projection drops __t, so span text never enters this exchange
-        prefilter = hot_hashes = (
+        hot_hashes = (
             spans.groupBy("__h")
             .agg(F.count("*").alias("__hn"))
             .where(F.col("__hn") >= min_dup)
             .select("__h")
         )
-        # phase 2: exact (hash, text) verification over candidate rows
-        # only — the semi-join key set is tiny next to the corpus
-        # whenever duplication is rare, which is when phase 1 pays off
-        hot_set = (
+        # phase 2: candidates = hash-hot rows only (AQE broadcasts the
+        # hash set); ONE window shuffle on (hash, text) verifies the
+        # exact per-text count AND emits surviving (doc, position) rows
+        wspec = Window.partitionBy("__h", "__t")
+        hotrows = (
             spans.join(hot_hashes, "__h", "left_semi")
-            .groupBy("__h", "__t")
-            .agg(F.count("*").alias("__n"))
+            .withColumn("__n", F.count(F.lit(1)).over(wspec))
             .where(F.col("__n") >= min_dup)
-            .select("__h", "__t")
+            .select(id_col, "span_pos")
         )
     else:
         # external (incrementally-maintained) span set: entries are
@@ -489,23 +503,34 @@ def _dedup_window_spans(
             .distinct()
             .select(F.xxhash64("__t").alias("__h"), "__t")
         )
-        prefilter = hot_set.select("__h").distinct()
-    # hot window positions per doc: hash pre-filter first (8-byte keys —
-    # phase 1's output when counting, so the two-phase pipeline is not
-    # re-derived just to pre-filter; AQE broadcasts the small set),
-    # exact text match second
-    covered = (
-        spans.join(prefilter, "__h", "left_semi")
-        .join(hot_set, ["__h", "__t"], "left_semi")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("span_pos"), F.col("span_pos") + n_units - 1)
-            ).alias("pos"),
+        hotrows = (
+            spans.join(hot_set.select("__h").distinct(), "__h", "left_semi")
+            .join(hot_set, ["__h", "__t"], "left_semi")
+            .select(id_col, "span_pos")
         )
-        .distinct()
+    # one row per affected doc: its hot window starts as an int array —
+    # the bounded state everything downstream reads
+    hot_pos = hotrows.groupBy(id_col).agg(
+        F.collect_set("span_pos").alias("__hp")
     )
-    affected = covered.select(id_col).distinct()
+    if materialize_hot:
+        hot_pos = hot_pos.localCheckpoint(eager=True)
+    # covered chunk positions, expanded per-row from the (tiny) arrays —
+    # distinct by construction within a doc, no corpus-sized explode
+    covered = hot_pos.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "__hp",
+                        lambda p: F.sequence(p, p + n_units - 1),
+                    )
+                )
+            )
+        ).alias("pos"),
+    )
+    affected = hot_pos.select(id_col)
     # affected docs: explode chunks, mark covered positions via the
     # join, one groupBy(id) rebuilds text in order (a doc whose every
     # chunk is covered still yields its row — the left join keeps all

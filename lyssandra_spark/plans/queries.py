@@ -1338,6 +1338,15 @@ def rrf_hybrid_documents(spark, sf_dir):
 _BANNER = "Subscribe to our newsletter today"
 
 
+# NOTE on the dedup oracles below (paragraphs + spans): DuckDB's RE2
+# trims with '^\s+|\s+$' (ASCII-only \s) while the operators trim and
+# split with Java's (?U)\s (full unicode whitespace). They agree
+# because the synthetic documents corpus is ASCII-whitespace-only; on a
+# corpus with NBSP/ideographic spaces the HASH CHECK would flip for an
+# operator-side NON-bug (the operator's unicode behaviour is the
+# intended one, pinned by the (?U) pytests in test_dedup.py). If the
+# corpus generator ever adds unicode whitespace, widen the oracle's
+# character classes instead of reading the mismatch as a regression.
 @q(
     "dedup_paragraphs_documents",
     rf"""

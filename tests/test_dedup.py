@@ -771,13 +771,16 @@ def test_dedup_spans_roundtrip_and_plan(spark, sf_dir):
     )
     assert joined.count() == 0
     assert out.count() == d.where(F.col("text").isNotNull()).count()
+    # materialize_hot=False keeps the full lineage visible (the default
+    # checkpoints the hot-position table, truncating the plan)
     plan = (
-        DD.dedup_spans(d)._jdf.queryExecution().executedPlan().toString()
+        DD.dedup_spans(d, materialize_hot=False)
+        ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in plan or "partial count" in plan.lower()
     # two-phase discovery: the corpus-wide count shuffle groups on the
     # 64-bit hash ALONE (8-byte keys — span text never rides that
-    # exchange); the exact (hash, text) aggregate exists too but only
+    # exchange); the exact (hash, text) verification is a window count
     # downstream of the hot-hash semi-join
     import re as _re
 
