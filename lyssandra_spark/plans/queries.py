@@ -1402,84 +1402,119 @@ def dedup_paragraphs_documents(spark, sf_dir):
 
 _SPAN_BANNER = "Accept all cookies. See our policy. Close this box."
 
+_SENT_BND = (
+    "substr(text, CAST(i AS INTEGER), 1) IN ('.', '!', '?') "
+    "AND substr(text, CAST(i AS INTEGER) + 1, 1) "
+    "IN (' ', chr(9), chr(10), chr(13))"
+)
+_TOK_BND = (
+    "substr(text, CAST(i AS INTEGER), 1) "
+    "NOT IN (' ', chr(9), chr(10), chr(13)) "
+    "AND substr(text, CAST(i AS INTEGER) + 1, 1) "
+    "IN (' ', chr(9), chr(10), chr(13))"
+)
+
+
+def _span_chain_sql(sfx: str, win: int, bnd: str) -> str:
+    """One window-span dedup CTE chain (suffix-namespaced so the
+    sentence and token units coexist in a single WITH): zero-width
+    chunking via character-position list ops (RE2 has no lookbehind),
+    sliding spans of ``win`` trimmed chunks, corpus hot counts,
+    hot-window union, index-filtered reassembly. Mirrors
+    operators/dedup.py:_dedup_window_spans exactly (see the ASCII-\\s
+    note above)."""
+    return f"""
+    b{sfx} AS (
+      SELECT doc_id, text,
+             list_filter(range(1, length(text)), i -> {bnd}) AS bnds
+      FROM dd),
+    c{sfx} AS (
+      SELECT doc_id, text,
+             list_prepend(0, bnds) AS starts,
+             list_append(bnds, length(text)) AS ends
+      FROM b{sfx}),
+    ch{sfx} AS (
+      SELECT doc_id,
+             list_transform(range(len(starts)), k ->
+                 substr(text, CAST(starts[k + 1] AS INTEGER) + 1,
+                        CAST(ends[k + 1] - starts[k + 1] AS INTEGER))) AS chunks
+      FROM c{sfx}),
+    sp{sfx} AS (
+      SELECT doc_id, chunks,
+             CASE WHEN len(chunks) >= {win} THEN
+               list_transform(range(len(chunks) - {win - 1}), j ->
+                 array_to_string(
+                   list_transform(range({win}), t ->
+                     regexp_replace(
+                       chunks[CAST(j + t AS INTEGER) + 1],
+                       '^\\s+|\\s+$', '', 'g')), ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS spans
+      FROM ch{sfx}),
+    spe{sfx} AS (
+      SELECT doc_id,
+             unnest(range(len(spans))) AS pos,
+             unnest(spans) AS s
+      FROM sp{sfx}),
+    hot{sfx} AS (SELECT s FROM spe{sfx} WHERE s <> ''
+                 GROUP BY s HAVING count(*) >= 2),
+    hp{sfx} AS (
+      SELECT doc_id, list(pos) AS hotpos
+      FROM spe{sfx} WHERE s IN (SELECT s FROM hot{sfx})
+      GROUP BY doc_id),
+    o{sfx} AS (
+      SELECT c.doc_id, c.chunks,
+             list_distinct(flatten(list_transform(
+                 coalesce(h.hotpos, CAST([] AS BIGINT[])),
+                 p -> list_transform(range({win}), t -> p + t)))) AS cv
+      FROM ch{sfx} c LEFT JOIN hp{sfx} h USING (doc_id)),
+    r{sfx} AS (
+      SELECT doc_id,
+             -- coalesce: DuckDB's array_to_string([]) is NULL, but a
+             -- fully-covered doc must yield '' (the operator contract)
+             coalesce(array_to_string(
+               list_transform(
+                 list_filter(range(len(chunks)),
+                             k -> NOT list_contains(cv, k)),
+                 k -> chunks[CAST(k AS INTEGER) + 1]), ''), '') AS text,
+             CAST(len(chunks) AS BIGINT) AS n_units_total,
+             CAST(len(cv) AS BIGINT) AS n_removed
+      FROM o{sfx})"""
+
 
 @q(
     "dedup_spans_documents",
     rf"""
-    WITH d AS (
+    WITH dd AS (
       SELECT doc_id,
              CASE WHEN doc_id % 4 = 0 THEN text || '. ' || '{_SPAN_BANNER}'
                   ELSE text END AS text
       FROM documents
       WHERE text IS NOT NULL),
-    b AS (
-      SELECT doc_id, text,
-             list_filter(range(1, length(text)), i ->
-                 substr(text, CAST(i AS INTEGER), 1) IN ('.', '!', '?')
-                 AND substr(text, CAST(i AS INTEGER) + 1, 1)
-                     IN (' ', chr(9), chr(10), chr(13))) AS bnds
-      FROM d),
-    c AS (
-      SELECT doc_id, text,
-             list_prepend(0, bnds) AS starts,
-             list_append(bnds, length(text)) AS ends
-      FROM b),
-    ch AS (
-      SELECT doc_id,
-             list_transform(range(len(starts)), k ->
-                 substr(text, CAST(starts[k + 1] AS INTEGER) + 1,
-                        CAST(ends[k + 1] - starts[k + 1] AS INTEGER))) AS chunks
-      FROM c),
-    sp AS (
-      SELECT doc_id, chunks,
-             CASE WHEN len(chunks) >= 3 THEN
-               list_transform(range(len(chunks) - 2), j ->
-                 array_to_string(
-                   list_transform(
-                     [chunks[CAST(j AS INTEGER) + 1],
-                      chunks[CAST(j AS INTEGER) + 2],
-                      chunks[CAST(j AS INTEGER) + 3]],
-                     s -> regexp_replace(s, '^\s+|\s+$', '', 'g')), ' '))
-             ELSE CAST([] AS VARCHAR[]) END AS spans
-      FROM ch),
-    spe AS (
-      SELECT doc_id,
-             unnest(range(len(spans))) AS pos,
-             unnest(spans) AS s
-      FROM sp),
-    hot AS (SELECT s FROM spe WHERE s <> '' GROUP BY s HAVING count(*) >= 2),
-    hp AS (
-      SELECT doc_id, list(pos) AS hotpos
-      FROM spe WHERE s IN (SELECT s FROM hot)
-      GROUP BY doc_id),
-    o AS (
-      SELECT ch.doc_id, ch.chunks,
-             list_distinct(flatten(list_transform(
-                 coalesce(hp.hotpos, CAST([] AS BIGINT[])),
-                 p -> [p, p + 1, p + 2]))) AS cv
-      FROM ch LEFT JOIN hp USING (doc_id))
-    SELECT doc_id,
-           array_to_string(
-             list_transform(
-               list_filter(range(len(chunks)), k -> NOT list_contains(cv, k)),
-               k -> chunks[CAST(k AS INTEGER) + 1]), '') AS text,
-           CAST(len(chunks) AS BIGINT) AS n_sents_total,
-           CAST(len(cv) AS BIGINT) AS n_removed_sents
-    FROM o
+    {_span_chain_sql("_s", 3, _SENT_BND)},
+    {_span_chain_sql("_t", 8, _TOK_BND)}
+    SELECT 'sentence' AS unit, * FROM r_s
+    UNION ALL
+    SELECT 'token' AS unit, * FROM r_t
     """,
 )
 def dedup_spans_documents(spark, sf_dir):
-    """C4-style repeated three-sentence-SPAN removal with a banner
-    planted MID-TEXT-STREAM on every 4th doc (preceded by '. ' so the
-    corpus-unique prefix sentence and the corpus-repeated banner spans
-    are distinct — exactly the case paragraph dedup cannot catch),
-    hash-checked against a full DuckDB re-derivation. RE2 has no
-    lookbehind, so the oracle rebuilds the zero-width sentence chunking
-    with character-position list ops (boundary = [.!?] followed by
-    whitespace), then spans, corpus counts, hot-window union, and
-    index-filtered reassembly — byte-for-byte the operator's contract.
-    See operators/dedup.py:dedup_spans for the distributed plan shape."""
-    from lyssandra_spark.operators.dedup import dedup_spans
+    """Repeated window-span removal, BOTH granularities as one
+    unit-tagged union (the ``asof_backward_strategies`` consolidation
+    pattern): C4 three-SENTENCE spans (Raffel 2020) and Lee-2021-style
+    sliding TOKEN windows (8 tokens here — the planted banner is 9
+    tokens and the synthetic docs run ~35, so the canonical 50 would
+    find nothing), each hash-checked against a full DuckDB
+    re-derivation. The banner lands MID-TEXT-STREAM on every 4th doc
+    (preceded by '. ' so the corpus-unique prefix and the repeated
+    banner windows are distinct — the case paragraph dedup cannot
+    catch). RE2 has no lookbehind, so the oracle rebuilds both
+    zero-width chunkings with character-position list ops (sentence
+    boundary = [.!?] before whitespace; token boundary = non-space
+    before whitespace), then spans, corpus counts, hot-window union,
+    and index-filtered reassembly — byte-for-byte the operators'
+    contract. See operators/dedup.py:_dedup_window_spans for the
+    two-phase distributed plan both units share."""
+    from lyssandra_spark.operators.dedup import dedup_spans, dedup_token_spans
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.withColumn(
@@ -1489,4 +1524,14 @@ def dedup_spans_documents(spark, sf_dir):
             F.concat(F.col("text"), F.lit(". " + _SPAN_BANNER)),
         ).otherwise(F.col("text")),
     )
-    return dedup_spans(planted, n_sents=3, min_dup=2)
+    sent = dedup_spans(planted, n_sents=3, min_dup=2).select(
+        F.lit("sentence").alias("unit"), "doc_id", "text",
+        F.col("n_sents_total").alias("n_units_total"),
+        F.col("n_removed_sents").alias("n_removed"),
+    )
+    tok = dedup_token_spans(planted, span_tokens=8, min_dup=2).select(
+        F.lit("token").alias("unit"), "doc_id", "text",
+        F.col("n_tokens_total").alias("n_units_total"),
+        F.col("n_removed_tokens").alias("n_removed"),
+    )
+    return sent.unionByName(tok)
