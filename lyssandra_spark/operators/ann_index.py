@@ -57,6 +57,7 @@ from lyssandra_spark.operators.similarity import (
     tag_cell,
     tag_probe_cells,
 )
+from lyssandra_spark.sources.catalog import incremental_chain_start
 
 __all__ = [
     "refresh_ivf_index", "ivf_topk_indexed",
@@ -67,17 +68,17 @@ __all__ = [
 def _chain_state(catalog, src_table: str, index_table: str, spec_key: str,
                  spec: dict):
     """Shared watermark bookkeeping: returns (src_snaps, newest,
-    needs_rebuild, last, head_meta). Loud error on a spec mismatch; a
-    dead watermark (destructive overwrite) or an expired delta snapshot
-    routes to rebuild."""
+    needs_rebuild, last, idx_snaps, skip). Loud error on a spec
+    mismatch; a dead watermark (destructive overwrite) or an expired
+    delta snapshot routes to rebuild. A source ``compact()`` whose
+    folded snapshots were all already indexed is audit-only for this
+    consumer: no rebuild, and its id lands in ``skip`` so the delta
+    scan never re-reads the corpus blob (see :func:`~lyssandra_spark
+    .sources.catalog.incremental_chain_start`)."""
     src_snaps = catalog.snapshots(src_table)
     if not src_snaps:
         raise FileNotFoundError(f"no snapshots for source {src_table!r}")
     newest = src_snaps[-1]["id"]
-    chain_start = 0
-    for s in src_snaps:
-        if s["mode"] == "overwrite":
-            chain_start = s["id"]
     idx_snaps = catalog.snapshots(index_table)
     head_meta = (
         (catalog.latest_meta(index_table, spec_key) or {}) if idx_snaps else {}
@@ -89,11 +90,13 @@ def _chain_state(catalog, src_table: str, index_table: str, spec_key: str,
             "rebuild"
         )
     last = head_meta.get(spec_key[:-5] + "_last_snap") if head_meta else None
+    chain_start, skip = incremental_chain_start(src_snaps, last)
     delta_expired = last is not None and any(
-        s["id"] > last and s.get("expired") for s in src_snaps
+        s["id"] > last and s.get("expired") and s["id"] not in skip
+        for s in src_snaps
     )
     needs_rebuild = last is None or last < chain_start or delta_expired
-    return src_snaps, newest, needs_rebuild, last, idx_snaps
+    return src_snaps, newest, needs_rebuild, last, idx_snaps, skip
 
 
 def _dedup_src(catalog, src_table: str, id_col: str, emb_col: str) -> DataFrame:
@@ -109,15 +112,20 @@ def _dedup_src(catalog, src_table: str, id_col: str, emb_col: str) -> DataFrame:
 
 
 def _delta_new_rows(catalog, src_table: str, index_table: str, src_snaps,
-                    last: int, id_col: str, cols: list[str]) -> DataFrame:
-    """Union the delta snapshots, collapse duplicate ids, anti-join the
-    already-indexed ids (re-ingest guard — the id IS the identity)."""
+                    last: int, id_col: str, cols: list[str],
+                    skip: set[int] = frozenset()) -> DataFrame | None:
+    """Union the delta snapshots (minus audit-only compactions in
+    ``skip``), collapse duplicate ids, anti-join the already-indexed
+    ids (re-ingest guard — the id IS the identity). None when every
+    new snapshot was skipped (watermark-only refresh)."""
     delta = None
     for s in src_snaps:
-        if s["id"] <= last:
+        if s["id"] <= last or s["id"] in skip:
             continue
         piece = catalog.read_snapshot(src_table, s["id"]).select(*cols)
         delta = piece if delta is None else delta.unionByName(piece)
+    if delta is None:
+        return None
     delta = delta.dropDuplicates([id_col])
     indexed_ids = catalog.read(index_table).select(id_col).distinct()
     return delta.join(indexed_ids, id_col, "left_anti")
@@ -149,7 +157,7 @@ def refresh_ivf_index(
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "n_cells": n_cells, "sample_rows": sample_rows, "seed": seed,
             "refine_iters": refine_iters}
-    src_snaps, newest, rebuild, last, idx_snaps = _chain_state(
+    src_snaps, newest, rebuild, last, idx_snaps, skip = _chain_state(
         catalog, src_table, index_table, "ivf_spec", spec
     )
     if rebuild:
@@ -173,12 +181,14 @@ def refresh_ivf_index(
     if last >= newest:
         return idx_snaps[-1]["id"]  # nothing new: no-op
     delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
-                            id_col, [id_col, emb_col])
-    delta = delta.select(
-        id_col, F.col(emb_col).cast("array<double>").alias(emb_col)
-    )
-    if delta.rdd.isEmpty():
-        # all ids re-ingested: advance the watermark only
+                            id_col, [id_col, emb_col], skip)
+    if delta is not None:
+        delta = delta.select(
+            id_col, F.col(emb_col).cast("array<double>").alias(emb_col)
+        )
+    if delta is None or delta.rdd.isEmpty():
+        # audit-only compaction or all ids re-ingested: advance the
+        # watermark only
         return catalog.write(
             catalog.read(index_table).limit(0), index_table, mode="append",
             meta={"ivf_spec": spec, "ivf_last_snap": newest},
@@ -269,7 +279,7 @@ def refresh_pq_index(
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "m": m, "n_codes": n_codes, "sample_rows": sample_rows,
             "seed": seed, "refine_iters": refine_iters}
-    src_snaps, newest, rebuild, last, idx_snaps = _chain_state(
+    src_snaps, newest, rebuild, last, idx_snaps, skip = _chain_state(
         catalog, src_table, index_table, "pq_spec", spec
     )
     if rebuild:
@@ -296,8 +306,8 @@ def refresh_pq_index(
     if last >= newest:
         return idx_snaps[-1]["id"]
     delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
-                            id_col, [id_col, emb_col])
-    if delta.rdd.isEmpty():
+                            id_col, [id_col, emb_col], skip)
+    if delta is None or delta.rdd.isEmpty():
         return catalog.write(
             catalog.read(index_table).limit(0), index_table, mode="append",
             meta={"pq_spec": spec, "pq_last_snap": newest},

@@ -41,6 +41,7 @@ from lyssandra_spark.operators.dedup import (
     simhash_bands,
 )
 from lyssandra_spark.operators.graph import connected_components
+from lyssandra_spark.sources.catalog import incremental_chain_start
 
 __all__ = [
     "dedup_new_batch", "simhash_new_batch", "embneardup_new_batch",
@@ -618,7 +619,13 @@ def refresh_aggregate(
     snapshot, so time-travel still exposes every prior refresh. No new
     source snapshots -> no-op (returns the current agg snapshot id). A
     source OVERWRITE resets its chain, so the refresh detects it and
-    recomputes from scratch rather than folding deltas onto stale state.
+    recomputes from scratch rather than folding deltas onto stale state
+    — except a ``compact()`` whose folded snapshots were all already
+    aggregated, which is audit-only for this consumer (no rebuild,
+    skipped by the delta scan; see :func:`~lyssandra_spark.sources
+    .catalog.incremental_chain_start`). A delta expire()d before the
+    refresh saw it routes to the same recompute (its rows live on
+    through the cumulative chain read).
     The watermark is read via :meth:`ParquetCatalog.latest_meta`, so a
     ``compact()`` of the AGG table itself (an audit-only snapshot that
     doesn't re-state the meta) never tricks the next refresh into a
@@ -630,10 +637,6 @@ def refresh_aggregate(
     if not src_snaps:
         raise FileNotFoundError(f"no snapshots for source {src_table!r}")
     newest = src_snaps[-1]["id"]
-    chain_start = 0
-    for s in src_snaps:
-        if s["mode"] == "overwrite":
-            chain_start = s["id"]
 
     def partial(df):
         return df.groupBy(*keys).agg(
@@ -664,7 +667,18 @@ def refresh_aggregate(
                 f"{head_spec} — use a different agg_table or rebuild"
             )
     meta = {"agg_spec": spec, "agg_last_snap": newest}
-    if last is None or last < chain_start:
+    # an overwrite resets the source chain UNLESS it is an audit-only
+    # compact() (everything it folded already aggregated) — those are
+    # also skipped by the delta scan, which has no keyed re-ingest
+    # guard and would otherwise double-count the whole corpus
+    chain_start, skip = incremental_chain_start(src_snaps, last)
+    # a delta whose data was expire()d before this refresh saw it is
+    # unreadable incrementally; its rows live on through catalog.read
+    delta_expired = last is not None and any(
+        s["id"] > last and s.get("expired") and s["id"] not in skip
+        for s in src_snaps
+    )
+    if last is None or last < chain_start or delta_expired:
         # first build, or the source chain was overwritten under us
         return catalog.write(
             partial(catalog.read(src_table)), agg_table,
@@ -674,7 +688,7 @@ def refresh_aggregate(
         return agg_snaps[-1]["id"]  # nothing new: no-op
     delta = None
     for s in src_snaps:
-        if s["id"] <= last:
+        if s["id"] <= last or s["id"] in skip:
             continue
         # project to the aggregation inputs: prunes the scan AND makes
         # the union immune to the add-column schema evolution the
@@ -683,6 +697,13 @@ def refresh_aggregate(
             *keys, *sum_cols
         )
         delta = piece if delta is None else delta.unionByName(piece)
+    if delta is None:
+        # everything new was an audit-only compaction: no rows to fold,
+        # advance the watermark only (no data dir)
+        return catalog.write(
+            catalog.read(agg_table).limit(0), agg_table,
+            mode="append", meta=meta,
+        )
     merged = partial(delta).unionByName(catalog.read(agg_table)).groupBy(
         *keys
     ).agg(

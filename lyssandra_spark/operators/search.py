@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from lyssandra_spark.functions.textstats import word_tokens
+from lyssandra_spark.sources.catalog import incremental_chain_start
 
 __all__ = [
     "build_postings", "bm25_topk", "bm25_topk_indexed",
@@ -224,7 +225,11 @@ def refresh_postings(
     term equality-matches no query term — and contribute 0 to the token
     total, so avgdl is untouched). A source OVERWRITE resets its chain:
     detected via the chain-start snapshot id, triggering a full rebuild
-    instead of folding deltas onto stale rows. A delta snapshot whose
+    instead of folding deltas onto stale rows — EXCEPT a ``compact()``
+    whose folded snapshots were all already indexed, which is
+    audit-only for this consumer (no rebuild, skipped by the delta
+    scan; see :func:`~lyssandra_spark.sources.catalog
+    .incremental_chain_start`). A delta snapshot whose
     DATA was reclaimed by ``expire()`` before this refresh saw it also
     routes to the full rebuild (the cumulative chain still serves every
     live row) rather than dying on the incremental scan.
@@ -239,10 +244,6 @@ def refresh_postings(
     if not src_snaps:
         raise FileNotFoundError(f"no snapshots for source {src_table!r}")
     newest = src_snaps[-1]["id"]
-    chain_start = 0
-    for s in src_snaps:
-        if s["mode"] == "overwrite":
-            chain_start = s["id"]
     post_snaps = catalog.snapshots(postings_table)
     # newest snapshot CARRYING the watermark (not necessarily the head:
     # a compact() of the postings table itself interposes an audit-only
@@ -261,11 +262,17 @@ def refresh_postings(
             "postings_table or rebuild"
         )
     last = head_meta.get("postings_last_snap")
+    # an overwrite resets the source chain — UNLESS it is a compact()
+    # whose folded snapshots were all already indexed (audit-only for
+    # this consumer): those neither force a rebuild nor enter the
+    # delta scan (see incremental_chain_start)
+    chain_start, skip = incremental_chain_start(src_snaps, last)
     # a delta snapshot expired between refreshes is unreadable via the
     # incremental scan, but its rows live on through the cumulative
     # chain — recover by full rebuild instead of FileNotFoundError
     delta_expired = last is not None and any(
-        s["id"] > last and s.get("expired") for s in src_snaps
+        s["id"] > last and s.get("expired") and s["id"] not in skip
+        for s in src_snaps
     )
     if last is None or last < chain_start or delta_expired:
         # first build, a source chain overwritten under us, or an
@@ -299,12 +306,21 @@ def refresh_postings(
         return post_snaps[-1]["id"]  # nothing new: no-op
     delta = None
     for s in src_snaps:
-        if s["id"] <= last:
+        if s["id"] <= last or s["id"] in skip:
             continue
         piece = catalog.read_snapshot(src_table, s["id"]).select(
             id_col, text_col
         )
         delta = piece if delta is None else delta.unionByName(piece)
+    if delta is None:
+        # everything new was an audit-only compaction: no rows to fold,
+        # advance the watermark only (no data dir)
+        return catalog.write(
+            catalog.read(postings_table).limit(0), postings_table,
+            mode="append",
+            meta={"postings_spec": spec, "postings_last_snap": newest,
+                  "n_docs": head_meta["n_docs"]},
+        )
     delta = delta.dropDuplicates([id_col])
     # re-ingest guard: an id already in the index must not land a second
     # set of tf rows (they would read as doubled term frequencies).

@@ -29,7 +29,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["ParquetCatalog", "with_zorder_key"]
+__all__ = ["ParquetCatalog", "incremental_chain_start", "with_zorder_key"]
 
 _Z_BUCKETS = 256  # 8 bits per column in the interleaved key
 
@@ -651,3 +651,43 @@ class ParquetCatalog:
             d for d in os.listdir(self.root)
             if os.path.exists(self._manifest_path(d))
         )
+
+
+def incremental_chain_start(
+    snapshots: list[dict], last: int | None
+) -> tuple[int, set[int]]:
+    """Chain start as seen by an incremental consumer whose watermark
+    is ``last`` (the newest source snapshot it has folded), plus the
+    snapshot ids that consumer's delta scan must SKIP.
+
+    A plain ``overwrite`` REPLACED the table's data: a watermark below
+    it is stale, so it becomes the chain start and the consumer takes
+    its full-rebuild path. A :meth:`ParquetCatalog.compact` overwrite,
+    though, is a pure rewrite — its ``compaction_of`` audit meta names
+    exactly the snapshots it folded. When every one of those is
+    ``<= last``, the compaction introduced no rows the consumer hasn't
+    already folded: it is AUDIT-ONLY for this consumer, does NOT reset
+    its chain, and must be skipped by the delta scan (its content is
+    the union of already-folded snapshots — rescanning it would
+    double-fold the corpus). A compaction that swallowed still-unfolded
+    snapshots keeps overwrite semantics: once those originals are
+    ``expire()``d their rows are reachable only through the compaction
+    blob, so the consumer must rebuild rather than fold it as a delta.
+
+    At 100 TB this is what lets the weekly ``compact()`` + ``expire()``
+    housekeeping cadence coexist with nightly incremental refreshes
+    (postings, ANN cells/codes, materialized aggregates): a consumer
+    that refreshed since the last append pays NOTHING for the
+    compaction instead of a full index rebuild.
+    """
+    chain_start = 0
+    skip: set[int] = set()
+    for s in snapshots:
+        if s["mode"] != "overwrite":
+            continue
+        cof = s.get("meta", {}).get("compaction_of")
+        if cof and last is not None and max(cof) <= last:
+            skip.add(s["id"])
+            continue
+        chain_start = s["id"]
+    return chain_start, skip

@@ -216,3 +216,58 @@ def test_ivf_missing_index_raises(spark, emb, tmp_path):
     cat.write(emb.limit(10), "t", mode="overwrite")
     with pytest.raises(ValueError, match="centroids"):
         ivf_topk_indexed(cat, "nope_" + "t", emb.limit(1))
+
+
+def test_ann_index_survives_audit_compaction(spark, emb, tmp_path):
+    """compact()+expire() of already-indexed source snapshots must not
+    retrain or reassign: the refresh is watermark-only (append), the
+    frozen centroids/codebooks survive, and a later delta still folds
+    incrementally. Covers both IVF and PQ (shared chain-state path,
+    separate delta-None branches)."""
+    b1a = emb.where(F.col("vec_id") < 150)
+    b1b = emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 250))
+    b2 = emb.where(F.col("vec_id") >= 250)
+    ivf_kw = dict(n_cells=8, sample_rows=64, seed=23)
+    pq_kw = dict(m=8, n_codes=16, sample_rows=64, seed=29)
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(b1a, "vecs", mode="overwrite")
+    cat.write(b1b, "vecs", mode="append")  # a real chain, so compact() rewrites
+    s1 = refresh_ivf_index(cat, "vecs", "ivf", **ivf_kw)
+    refresh_pq_index(cat, "vecs", "pq", **pq_kw)
+    c_before = cat.latest_meta("ivf", "centroids")["centroids"]
+    books_before = cat.latest_meta("pq", "codebooks")["codebooks"]
+
+    cat.compact("vecs")
+    cat.expire("vecs")
+    s2 = refresh_ivf_index(cat, "vecs", "ivf", **ivf_kw)
+    assert s2 > s1
+    assert cat.snapshots("ivf")[-1]["mode"] == "append"  # no rebuild
+    refresh_pq_index(cat, "vecs", "pq", **pq_kw)
+    assert cat.snapshots("pq")[-1]["mode"] == "append"
+    assert cat.read("ivf").count() == 250
+    assert cat.read("pq").count() == 250
+
+    # post-compaction delta folds under the FROZEN artifacts
+    cat.write(b2, "vecs", mode="append")
+    refresh_ivf_index(cat, "vecs", "ivf", **ivf_kw)
+    refresh_pq_index(cat, "vecs", "pq", **pq_kw)
+    assert cat.snapshots("ivf")[-1]["mode"] == "append"
+    assert cat.snapshots("pq")[-1]["mode"] == "append"
+    assert cat.latest_meta("ivf", "centroids")["centroids"] == c_before
+    assert cat.latest_meta("pq", "codebooks")["codebooks"] == books_before
+    assert cat.read("ivf").count() == 500
+    assert cat.read("pq").count() == 500
+
+    # and the index still equals a one-shot rebuild over the full corpus
+    cat.write(emb, "vecs_full", mode="overwrite")
+    refresh_ivf_index(cat, "vecs_full", "ivf_full", **ivf_kw)
+    gi = (
+        cat.read("ivf").select("vec_id", "cell").toPandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    gf = (
+        cat.read("ivf_full").select("vec_id", "cell").toPandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gi, gf)

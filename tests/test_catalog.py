@@ -621,3 +621,88 @@ def test_zorder_write_cross_object_cache_and_reserved_z(
                                   F.lit(1).alias("__z"))
     with pytest.raises(ValueError, match="__z.*reserved"):
         cat.write(withz, "zx2", zorder_by=["a", "b"])
+
+
+def test_incremental_chain_start_pure():
+    """The consumer-relative chain-start rule: a plain overwrite resets
+    the chain; a compact() whose folded snapshots are all <= the
+    consumer's watermark is audit-only (no reset, delta scan skips it);
+    a compaction that swallowed unfolded snapshots keeps overwrite
+    semantics."""
+    from lyssandra_spark.sources.catalog import incremental_chain_start
+
+    def snap(i, mode="append", cof=None):
+        s = {"id": i, "mode": mode}
+        if cof is not None:
+            s["meta"] = {"compaction_of": cof}
+        return s
+
+    plain = [snap(1, "overwrite"), snap(2), snap(3)]
+    assert incremental_chain_start(plain, 3) == (1, set())
+    # audit-only: everything compacted was already folded
+    snaps = [snap(1, "overwrite"), snap(2), snap(3),
+             snap(4, "overwrite", cof=[1, 2, 3]), snap(5)]
+    assert incremental_chain_start(snaps, 3) == (1, {4})
+    assert incremental_chain_start(snaps, 4) == (1, {4})
+    # the compaction swallowed snapshot 3, which the consumer never saw
+    assert incremental_chain_start(snaps, 2) == (4, set())
+    # a dead/new consumer sees every overwrite
+    assert incremental_chain_start(snaps, None) == (4, set())
+    # chained compactions stay audit-only once the watermark passed them
+    snaps += [snap(6, "overwrite", cof=[4, 5])]
+    assert incremental_chain_start(snaps, 5) == (1, {4, 6})
+    # a later destructive overwrite still resets
+    snaps += [snap(7, "overwrite")]
+    assert incremental_chain_start(snaps, 6) == (7, {4, 6})
+
+
+def test_refresh_aggregate_survives_audit_compaction(spark, cat):
+    """The weekly compact()+expire() housekeeping cadence must not force
+    incremental consumers into full rebuilds: a compaction of
+    already-aggregated snapshots is watermark-only (append, zero rows),
+    a delta landing after it folds incrementally without double-counting
+    the compacted corpus, and a compaction that swallowed an unfolded
+    delta recomputes from scratch (correctly, even after expire)."""
+    from lyssandra_spark.operators.incremental import refresh_aggregate
+
+    def shard(lo, hi):
+        return spark.range(lo, hi).select(
+            F.pmod("id", F.lit(7)).alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+
+    cat.write(shard(0, 300), "src", mode="overwrite")
+    refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v")
+    cat.write(shard(300, 500), "src", mode="append")
+    s2 = refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v")
+
+    # compact + expire the source: audit-only for this consumer
+    cat.compact("src")
+    cat.expire("src")
+    s3 = refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v")
+    assert s3 > s2
+    head = cat.snapshots("agg")[-1]
+    assert head["mode"] == "append"  # watermark-only, NOT a rebuild
+
+    # a post-compaction delta folds incrementally; rows must equal the
+    # one-shot aggregate (a skip-logic bug would double-count 0..500)
+    cat.write(shard(500, 900), "src", mode="append")
+    refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v")
+    got = cat.read("agg").toPandas().sort_values("k").reset_index(drop=True)
+    full = (
+        shard(0, 900).groupBy("k")
+        .agg(F.sum("v").alias("sum_v"), F.count("*").alias("n_rows"))
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, full, check_dtype=False)
+
+    # compaction swallowing an UNFOLDED delta keeps overwrite semantics:
+    # the next refresh recomputes (and stays correct after expire, when
+    # the original delta's data is reachable only through the blob)
+    cat.write(shard(900, 1000), "src", mode="append")
+    cat.compact("src")
+    cat.expire("src")
+    refresh_aggregate(cat, "src", "agg", keys="k", sum_cols="v")
+    assert cat.snapshots("agg")[-1]["mode"] == "overwrite"  # rebuild
+    got2 = cat.read("agg").toPandas()
+    assert got2.n_rows.sum() == 1000

@@ -291,3 +291,62 @@ def test_bm25_tokenless_corpus_and_rrf_c_guard(spark):
     r = spark.createDataFrame([(1, 10, 0)], "qid long, doc_id long, rk int")
     with pytest.raises(ValueError, match="c \\(0\\)"):
         rrf_fuse([r], c=0)  # 0-based rank + c=0 would null out the top doc
+
+
+def test_postings_survive_audit_compaction(spark, sf_dir, tmp_path):
+    """compact()+expire() of the corpus after a refresh must cost the
+    postings index NOTHING: the compaction is audit-only (watermark-only
+    append), later deltas fold incrementally (append, never a rescan of
+    the compacted blob), and a compaction that swallowed an unindexed
+    delta triggers the full rebuild (overwrite) with exact results."""
+    from lyssandra_spark.operators.search import refresh_postings
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = d.where(F.col("doc_id") < 60)
+    b2 = d.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    b3 = d.where((F.col("doc_id") >= 90) & (F.col("doc_id") < 120))
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(b1, "docs", mode="overwrite")
+    refresh_postings(cat, "docs", "postings")
+    cat.write(b2, "docs", mode="append")
+    s2 = refresh_postings(cat, "docs", "postings")
+    n_rows = cat.read("postings").count()
+
+    cat.compact("docs")
+    cat.expire("docs")
+    s3 = refresh_postings(cat, "docs", "postings")
+    assert s3 > s2
+    head = cat.snapshots("postings")[-1]
+    assert head["mode"] == "append"  # watermark-only, NOT a rebuild
+    assert head["meta"]["n_docs"] == b1.count() + b2.count()
+    assert cat.read("postings").count() == n_rows
+
+    # post-compaction delta: incremental append, rows == one-shot build
+    cat.write(b3, "docs", mode="append")
+    refresh_postings(cat, "docs", "postings")
+    head = cat.snapshots("postings")[-1]
+    assert head["mode"] == "append"
+    full = b1.unionByName(b2).unionByName(b3)
+    assert head["meta"]["n_docs"] == full.count()
+    got = (
+        cat.read("postings").where(F.col("term").isNotNull()).toPandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    want = (
+        build_postings(full).toPandas()
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[list(want.columns)], want)
+
+    # compaction swallowing an UNINDEXED delta -> full rebuild, exact
+    b4 = d.where((F.col("doc_id") >= 120) & (F.col("doc_id") < 150))
+    cat.write(b4, "docs", mode="append")
+    cat.compact("docs")
+    cat.expire("docs")
+    refresh_postings(cat, "docs", "postings")
+    head = cat.snapshots("postings")[-1]
+    assert head["mode"] == "overwrite"  # rebuild
+    assert head["meta"]["n_docs"] == full.count() + b4.count()
