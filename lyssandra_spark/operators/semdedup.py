@@ -1,0 +1,224 @@
+"""SemDeDup — semantic deduplication by cluster-then-prune (Abbas et
+al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication"). Remove documents whose EMBEDDINGS are
+near-identical even when their bytes are not (translations, templated
+rewrites, boilerplate paraphrases) — the published recipe that pruned
+LAION/C4 by 20-50% with no quality loss.
+
+The algorithm (and why it scales where all-pairs cosine cannot):
+
+1. k-means the embeddings into ``n_clusters`` cells (the paper uses
+   50k clusters for 600M points). Pairwise comparison then happens
+   ONLY within a cell — the cross-cluster pair space is never
+   generated, so total work is sum of cell^2, not corpus^2.
+2. Within each cell, connect pairs with cosine similarity >=
+   ``threshold`` and keep ONE document per connected group — per the
+   paper, the member with the LOWEST similarity to the cluster
+   centroid (the least redundant exemplar).
+
+Spark shape: centroids come from the same seeded driver-side sample +
+Lloyd iterations as the IVF index (:func:`_lloyd_centroids`), so a
+pipeline can share one clustering between ANN search and semantic
+dedup. Cell assignment is :func:`tag_cell` (pure JVM under 64 cells,
+broadcast Arrow pass above). The per-cell prune is ONE
+``applyInPandas`` over ``groupBy(cell)`` — a single shuffle keyed by
+cell, then local numpy (a BLAS GEMM for the similarity block plus a
+union-find). Oversized cells (skewed clusterings at small
+``n_clusters``) are deterministically SUB-clustered inside the worker
+before pairing, bounding per-task memory at ``max_cell^2`` floats —
+the knob that keeps one hot cell from becoming a straggler at 100 TB.
+Sub-clustering is the same approximation the top-level clustering
+already is: near-dups split across sub-cells can be missed, but exact
+duplicates never are (identical vectors always co-assign).
+
+Determinism: centroids are seeded from an ``orderBy(id).limit``
+sample, groups and keep choices break ties on the id column, and no
+step depends on partitioning — re-running on a repartitioned corpus
+returns the identical keep set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lyssandra_spark.operators.similarity import _lloyd_centroids, tag_cell
+
+__all__ = ["semdedup"]
+
+
+def _local_subcells(Xn: np.ndarray, n_sub: int, seed: int) -> np.ndarray:
+    """Seeded in-worker k-means split of one oversized cell (rows are
+    L2-normalized). Returns an int label per row."""
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(len(Xn), size=n_sub, replace=False)]
+    lab = np.zeros(len(Xn), dtype=np.int64)
+    for _ in range(4):
+        lab = (Xn @ C.T).argmax(1)  # cosine assignment on unit vectors
+        for j in range(n_sub):
+            sel = Xn[lab == j]
+            if len(sel):
+                c = sel.mean(0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return lab
+
+
+def _prune_block(
+    ids: np.ndarray, Xn: np.ndarray, csim: np.ndarray, threshold: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find the >=threshold pairs of one (sub-)cell; return
+    (group representative id, keep flag) per row. Keep = the member
+    with the LOWEST centroid similarity (ties -> smallest id)."""
+    n = len(ids)
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    G = Xn @ Xn.T
+    ii, jj = np.where(np.triu(G >= threshold, k=1))
+    for i, j in zip(ii, jj):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    root = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+
+    # per-group keeper: lowest centroid sim, then smallest id
+    order = np.lexsort((ids, csim, root))  # root asc, csim asc, id asc
+    keep = np.zeros(n, dtype=bool)
+    seen: set[int] = set()
+    for idx in order:
+        r = int(root[idx])
+        if r not in seen:
+            seen.add(r)
+            keep[idx] = True
+    # representative id per group = min id in the group (stable label)
+    rep = np.empty(n, dtype=ids.dtype)
+    for r in np.unique(root):
+        sel = root == r
+        rep[sel] = ids[sel].min()
+    return rep, keep
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_clusters: int = 64,
+    threshold: float = 0.9,
+    sample_rows: int = 4096,
+    seed: int = 23,
+    max_cell: int = 50_000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Tag every row with its semantic-duplicate group and keep flag.
+
+    Returns ``(id_col, cell, sd_group, centroid_sim, keep)`` —
+    ``sd_group`` is the smallest member id of the row's duplicate
+    group (singletons are their own group), ``keep`` is True for
+    exactly one member per group (the paper's lowest-centroid-
+    similarity exemplar; ties break on smallest id). Filter
+    ``keep`` to dedup; keep the full frame to audit what was pruned
+    and why. Zero-norm embeddings are their own singleton groups
+    (cosine to anything is undefined; they are never merged).
+
+    ``centroids`` overrides the seeded sample+Lloyd training — pass
+    the IVF index's centroids to share one clustering across search
+    and dedup, or a fixed array in tests.
+    """
+    if not (0.0 < threshold):
+        raise ValueError(f"threshold ({threshold}) must be > 0")
+    if max_cell < 2:
+        raise ValueError(f"max_cell ({max_cell}) must be >= 2")
+    if centroids is None:
+        sample = np.asarray(
+            [
+                r["e"]
+                for r in df.select(
+                    F.col(id_col).alias("i"),
+                    F.col(emb_col).cast("array<double>").alias("e"),
+                )
+                .orderBy("i")
+                .limit(sample_rows)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        if len(sample) == 0:
+            centroids = np.zeros((1, 2))
+        else:
+            centroids = _lloyd_centroids(
+                sample, min(n_clusters, len(sample)), seed=seed
+            )
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+    )
+    tagged = tag_cell(src, C, "__e", out_col="cell")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", src.schema["__id"].dataType, True),
+            T.StructField("cell", T.IntegerType(), True),
+            T.StructField("sd_group", src.schema["__id"].dataType, True),
+            T.StructField("centroid_sim", T.DoubleType(), True),
+            T.StructField("keep", T.BooleanType(), True),
+        ]
+    )
+    thr = float(threshold)
+    mc = int(max_cell)
+    sd = int(seed)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        ids = pdf["__id"].to_numpy()
+        X = np.asarray(list(pdf["__e"]), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        ok = norms > 0
+        Xn = np.zeros_like(X)
+        Xn[ok] = X[ok] / norms[ok, None]
+        csim = Xn @ Cn[cell]
+
+        rep = ids.copy()
+        keep = np.ones(len(ids), dtype=bool)
+        idx_ok = np.where(ok)[0]
+        if len(idx_ok) >= 2:
+            # deterministic in-worker split of oversized cells
+            if len(idx_ok) > mc:
+                n_sub = -(-len(idx_ok) // mc)  # ceil
+                lab = _local_subcells(Xn[idx_ok], n_sub, sd + cell)
+            else:
+                lab = np.zeros(len(idx_ok), dtype=np.int64)
+            # order within sub-cells so blocks are contiguous + stable
+            for s in np.unique(lab):
+                blk = idx_ok[lab == s]
+                blk = blk[np.argsort(ids[blk])]
+                r, k = _prune_block(ids[blk], Xn[blk], csim[blk], thr)
+                rep[blk] = r
+                keep[blk] = k
+        return pd.DataFrame(
+            {
+                "__id": ids,
+                "cell": np.full(len(ids), cell, dtype=np.int32),
+                "sd_group": rep,
+                "centroid_sim": csim,
+                "keep": keep,
+            }
+        )
+
+    return (
+        tagged.groupBy("cell")
+        .applyInPandas(prune, out_schema)
+        .withColumnRenamed("__id", id_col)
+    )

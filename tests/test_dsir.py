@@ -1,0 +1,187 @@
+"""DSIR importance resampling (Xie et al. 2023): numpy oracle parity
+for model fitting and log-weights (hashing taken from Spark, all
+probability math recomputed independently), neutral-model zero
+weights, directional shift toward the target domain, Gumbel top-k
+determinism / partitioning-independence / softmax bias."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lyssandra_spark.operators.dsir import (
+    dsir_logweights,
+    dsir_resample,
+    fit_hashed_ngram_model,
+    hashed_ngram_buckets,
+)
+
+M = 97  # small prime so collisions actually occur in tests
+
+
+def _docs(spark, texts, offset=0):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": [offset + i for i in range(len(texts))],
+                      "text": texts})
+    )
+
+
+def _bucket_lists(spark, texts, m=M, ngram=2):
+    """The Spark-side hashing, collected — the shared primitive both
+    the operator and the oracle build on."""
+    rows = (
+        _docs(spark, texts)
+        .select("doc_id", hashed_ngram_buckets("text", m, ngram).alias("b"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    return [list(r["b"]) for r in rows]
+
+
+def _oracle_logp(bucket_lists, m=M, alpha=1.0):
+    counts = np.zeros(m)
+    for bl in bucket_lists:
+        for b in bl:
+            counts[b] += 1
+    return np.log((counts + alpha) / (counts.sum() + alpha * m))
+
+
+RAW = [
+    "the stock market fell sharply on tuesday",
+    "quarterly earnings beat analyst expectations",
+    "the recipe calls for two cups of flour",
+    "bake at 350 degrees until golden brown",
+    "the defendant was found not guilty",
+    "",
+]
+TARGET = [
+    "the theorem follows from the inductive hypothesis",
+    "we prove the lemma by contradiction",
+    "the proof of the theorem is by induction",
+]
+
+
+def test_bucket_structure(spark):
+    bl = _bucket_lists(spark, ["a b c", "a", ""], m=M, ngram=2)
+    assert len(bl[0]) == 5  # 3 unigrams + 2 bigrams
+    assert len(bl[1]) == 1  # 1 unigram, no bigram
+    assert bl[2] == []      # empty doc
+    assert all(0 <= b < M for doc in bl for b in doc)
+    # unigram-only mode drops the bigrams but keeps the same unigrams
+    bl1 = _bucket_lists(spark, ["a b c"], m=M, ngram=1)
+    assert bl1[0] == bl[0][:3]
+
+
+def test_fit_matches_numpy_oracle(spark):
+    bl = _bucket_lists(spark, RAW)
+    got = fit_hashed_ngram_model(_docs(spark, RAW), m=M, alpha=0.5)
+    want = _oracle_logp(bl, alpha=0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # a proper distribution: logsumexp == 0
+    assert math.isclose(np.logaddexp.reduce(got), 0.0, abs_tol=1e-9)
+
+
+def test_logweights_match_numpy_oracle(spark):
+    lt = _oracle_logp(_bucket_lists(spark, TARGET))
+    lr = _oracle_logp(_bucket_lists(spark, RAW))
+    out = (
+        dsir_logweights(_docs(spark, RAW), lt, lr, text_col="text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    ratio = lt - lr
+    for row, bl in zip(out, _bucket_lists(spark, RAW)):
+        want = float(sum(ratio[b] for b in bl))
+        assert row["dsir_logw"] == pytest.approx(want, rel=1e-12)
+    # the empty doc scores exactly 0
+    assert out[-1]["dsir_logw"] == 0.0
+
+
+def test_identical_models_give_zero_weights(spark):
+    lp = fit_hashed_ngram_model(_docs(spark, RAW), m=M)
+    out = dsir_logweights(_docs(spark, RAW), lp, lp).collect()
+    assert all(r["dsir_logw"] == 0.0 for r in out)
+
+
+def test_weights_favor_target_domain(spark):
+    lt = fit_hashed_ngram_model(_docs(spark, TARGET), m=M)
+    lr = fit_hashed_ngram_model(_docs(spark, RAW + TARGET), m=M)
+    mixed = RAW + ["we prove the theorem by induction"]
+    out = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_logweights(_docs(spark, mixed), lt, lr).collect()
+    }
+    math_doc = out[len(mixed) - 1]
+    assert all(math_doc > out[i] for i in range(len(RAW)))
+
+
+def test_model_shape_mismatch_rejected(spark):
+    with pytest.raises(ValueError, match="same m"):
+        dsir_logweights(_docs(spark, RAW), np.zeros(4), np.zeros(5))
+    with pytest.raises(ValueError, match="alpha"):
+        fit_hashed_ngram_model(_docs(spark, RAW), alpha=0.0)
+    with pytest.raises(ValueError, match="ngram"):
+        hashed_ngram_buckets("text", m=M, ngram=3)
+
+
+def test_resample_deterministic_and_partitioning_independent(spark):
+    df = _docs(spark, [f"doc number {i} filler words" for i in range(60)])
+    scored = df.withColumn("dsir_logw", F.lit(0.0))
+    a = sorted(r["doc_id"] for r in dsir_resample(scored, 10).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in dsir_resample(scored.repartition(7), 10).collect()
+    )
+    assert a == b and len(a) == 10
+    # a different salt namespace draws a different sample
+    c = sorted(
+        r["doc_id"]
+        for r in dsir_resample(scored, 10, salt="other-v1").collect()
+    )
+    assert c != a
+    # selected rows are a subset of the input with all columns intact
+    cols = dsir_resample(scored, 10).columns
+    assert cols == scored.columns
+
+
+def test_resample_follows_weights(spark):
+    # 40 heavy docs (logw=6) vs 160 light (logw=0): softmax mass is
+    # ~99% on the heavy block, so 20 draws land mostly heavy
+    n_heavy, n_light = 40, 160
+    df = _docs(spark, ["x"] * (n_heavy + n_light)).withColumn(
+        "dsir_logw",
+        F.when(F.col("doc_id") < n_heavy, F.lit(6.0)).otherwise(F.lit(0.0)),
+    )
+    got = [r["doc_id"] for r in dsir_resample(df, 20).collect()]
+    heavy = sum(1 for i in got if i < n_heavy)
+    assert heavy >= 16
+    # temperature -> infinity flattens the distribution: expect a mix
+    flat = [
+        r["doc_id"]
+        for r in dsir_resample(df, 20, temperature=1e6).collect()
+    ]
+    assert sum(1 for i in flat if i < n_heavy) < 16
+
+
+def test_resample_null_and_nan_never_win(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a", "b", "c", "d"],
+            "dsir_logw": [1.0, None, float("nan"), 0.5],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = sorted(r["doc_id"] for r in dsir_resample(df, 2).collect())
+    assert got == [0, 3]
+
+
+def test_resample_plan_is_takeordered(spark):
+    df = _docs(spark, ["a"] * 10).withColumn("dsir_logw", F.lit(0.0))
+    plan = (
+        dsir_resample(df, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,178 @@
+"""SemDeDup (Abbas et al. 2023): independent numpy oracle parity on
+fixed centroids, planted exact/near duplicates, keep-rule semantics
+(lowest centroid similarity wins), threshold edges, zero-norm rows,
+oversized-cell sub-clustering, partitioning independence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lyssandra_spark.operators.semdedup import semdedup
+
+CENTROIDS = np.array([[1.0, 0.0], [0.0, 1.0]])
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [list(map(float, r[1])) for r in rows],
+            }
+        )
+    )
+
+
+def _oracle(rows, C, threshold):
+    """Independent recompute: assign to nearest centroid (euclidean),
+    union >=threshold cosine pairs within a cell, keep the lowest
+    centroid-cosine member (ties: smallest id)."""
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=float)
+    cell = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    nrm = np.linalg.norm(X, axis=1)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    keep, group = {}, {}
+    for c in np.unique(cell):
+        sel = np.where(cell == c)[0]
+        ok = sel[nrm[sel] > 0]
+        Xn = X[ok] / nrm[ok, None]
+        csim = Xn @ Cn[c]
+        # union-find over threshold pairs
+        parent = {int(i): int(i) for i in ok}
+
+        def find(i):
+            while parent[i] != i:
+                i = parent[i]
+            return i
+
+        for a in range(len(ok)):
+            for b in range(a + 1, len(ok)):
+                if Xn[a] @ Xn[b] >= threshold:
+                    ra, rb = find(int(ok[a])), find(int(ok[b]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for a, i in enumerate(ok):
+            comps.setdefault(find(int(i)), []).append((csim[a], int(i)))
+        for members in comps.values():
+            gid = min(ids[i] for _, i in members)
+            best = min(members, key=lambda t: (t[0], ids[t[1]]))
+            for s, i in members:
+                group[ids[i]] = gid
+                keep[ids[i]] = i == best[1]
+        for i in sel[nrm[sel] == 0]:  # zero-norm: own singleton
+            group[ids[i]] = ids[i]
+            keep[ids[i]] = True
+    return group, keep
+
+
+ROWS = [
+    (0, (1.0, 0.01)),
+    (1, (1.0, 0.011)),    # near-dup of 0
+    (2, (0.9, 0.4)),      # same cell, below threshold
+    (3, (0.02, 1.0)),
+    (4, (0.021, 1.0)),    # near-dup of 3, other cell
+    (5, (0.5, 0.9)),      # cell 1, distinct
+    (6, (0.0, 0.0)),      # zero-norm
+    (7, (2.0, 0.02)),     # scaled copy of 0's direction -> cosine dup
+]
+
+
+def test_matches_numpy_oracle(spark):
+    got = {
+        r["vec_id"]: r
+        for r in semdedup(
+            _vecs(spark, ROWS), threshold=0.999, centroids=CENTROIDS
+        ).collect()
+    }
+    grp, keep = _oracle(ROWS, CENTROIDS, 0.999)
+    assert {i: r["sd_group"] for i, r in got.items()} == grp
+    assert {i: r["keep"] for i, r in got.items()} == keep
+    # planted structure: {0,1,7} one group, {3,4} one group, one keeper each
+    assert got[0]["sd_group"] == got[1]["sd_group"] == got[7]["sd_group"] == 0
+    assert got[3]["sd_group"] == got[4]["sd_group"] == 3
+    assert sum(got[i]["keep"] for i in (0, 1, 7)) == 1
+    assert sum(got[i]["keep"] for i in (3, 4)) == 1
+    assert got[2]["keep"] and got[5]["keep"] and got[6]["keep"]
+
+
+def test_keeper_is_lowest_centroid_sim(spark):
+    # 0 and 1 are cosine-identical; 1 points slightly further from the
+    # cell-0 centroid -> lower centroid sim -> 1 is kept
+    rows = [(0, (1.0, 0.0)), (1, (0.98, 0.199)), (2, (0.99, 0.1))]
+    got = {
+        r["vec_id"]: r
+        for r in semdedup(
+            _vecs(spark, rows), threshold=0.98, centroids=CENTROIDS
+        ).collect()
+    }
+    grp, keep = _oracle(rows, CENTROIDS, 0.98)
+    assert {i: r["keep"] for i, r in got.items()} == keep
+    kept = [i for i, r in got.items() if r["keep"] and r["sd_group"] == 0]
+    assert kept == [1]
+
+
+def test_threshold_above_one_keeps_everything(spark):
+    got = semdedup(
+        _vecs(spark, ROWS), threshold=1.0001, centroids=CENTROIDS
+    ).collect()
+    assert all(r["keep"] for r in got)
+    assert all(r["sd_group"] == r["vec_id"] for r in got)
+
+
+def test_oversized_cell_subclustering_still_catches_exact_dups(spark):
+    # 30 rows in one cell, max_cell=8 forces the in-worker split;
+    # exact duplicates share a vector so they always co-assign
+    rng = np.random.default_rng(5)
+    base = [(i, tuple(rng.normal(size=2) + np.array([10, 0]))) for i in range(28)]
+    rows = base + [(100, base[0][1]), (101, base[3][1])]
+    got = {
+        r["vec_id"]: r
+        for r in semdedup(
+            _vecs(spark, rows),
+            threshold=1.0 - 1e-12,
+            centroids=np.array([[10.0, 0.0], [0.0, 10.0]]),
+            max_cell=8,
+        ).collect()
+    }
+    assert got[100]["sd_group"] == got[0]["sd_group"] == 0
+    assert got[101]["sd_group"] == got[3]["sd_group"] == 3
+    assert sum(got[i]["keep"] for i in (0, 100)) == 1
+    assert sum(got[i]["keep"] for i in (3, 101)) == 1
+
+
+def test_partitioning_independent(spark):
+    df = _vecs(spark, ROWS)
+    a = sorted(
+        map(tuple, semdedup(df, threshold=0.999, centroids=CENTROIDS)
+            .select("vec_id", "sd_group", "keep").collect())
+    )
+    b = sorted(
+        map(tuple, semdedup(df.repartition(5), threshold=0.999,
+                            centroids=CENTROIDS)
+            .select("vec_id", "sd_group", "keep").collect())
+    )
+    assert a == b
+
+
+def test_trained_centroids_path_runs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    out = semdedup(emb, n_clusters=4, threshold=0.95, sample_rows=64)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r["keep"] in (True, False) for r in rows)
+    # one keeper per group
+    kept = {}
+    for r in rows:
+        kept.setdefault((r["cell"], r["sd_group"]), 0)
+        kept[(r["cell"], r["sd_group"])] += int(r["keep"])
+    assert all(v == 1 for v in kept.values())
+
+
+def test_param_validation(spark):
+    df = _vecs(spark, ROWS[:2])
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup(df, threshold=0.0, centroids=CENTROIDS)
+    with pytest.raises(ValueError, match="max_cell"):
+        semdedup(df, max_cell=1, centroids=CENTROIDS)
