@@ -267,6 +267,27 @@ def llm_bench(spark, sf_dir: str) -> dict:
         _force(bm25_topk(d, q, k=10))
     timed("bm25_top10_4q", bm25_round)
 
+    # round-7 ops
+    from lyssandra_spark.operators.dsir import (
+        dsir_logweights,
+        dsir_resample,
+        fit_hashed_ngram_model,
+    )
+    from lyssandra_spark.operators.semdedup import semdedup
+
+    def dsir_round():
+        # ~1/7 of the corpus plays the curated target domain; fit both
+        # hashed-ngram models, score the full corpus, Gumbel-sample 10%
+        target = d.where(F.col("doc_id") % 7 == 0)
+        lt = fit_hashed_ngram_model(target)
+        lr = fit_hashed_ngram_model(d)
+        _force(dsir_resample(dsir_logweights(d, lt, lr), k=n_docs // 10))
+    timed("dsir_fit_score_sample", dsir_round)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    timed("semdedup_64c", lambda: _force(
+        semdedup(emb, n_clusters=64, threshold=0.95)))
+
     d.unpersist()
     total = round(sum(timings.values()), 3)
     slowest = max(timings.values())

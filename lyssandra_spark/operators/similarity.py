@@ -807,8 +807,13 @@ def assign_cells_arrow(
 # broadcast mapInArrow path. The expression path stays the default for
 # small indexes because it is bit-exact with the historical plans (Catalyst
 # sums (a-b)^2 sequentially; numpy pairwise-sums — same argmin on real
-# data, but ulp-level distance ties could in principle differ).
-MAX_EXPR_CELLS = 64
+# data, but ulp-level distance ties could in principle differ). The cutoff
+# is deliberately LOW: plan compile cost is super-linear in the literal
+# count (measured: 64 cells x 64 dims = ~30 s of Catalyst/codegen before
+# the first row moves, vs ~1 s via Arrow), so only genuinely tiny indexes
+# earn the expression path. Every registry/test caller uses n_cells <= 16
+# or > 64, so the historical plans are unchanged.
+MAX_EXPR_CELLS = 16
 
 
 def tag_cell(df: DataFrame, C: np.ndarray, emb_col: str,
