@@ -50,7 +50,7 @@ from lyssandra_spark.operators.similarity import (
     assign_cells_arrow,
 )
 
-__all__ = ["semdedup"]
+__all__ = ["semdedup", "semdedup_new_batch"]
 
 
 def _local_subcells(Xn: np.ndarray, n_sub: int, seed: int) -> np.ndarray:
@@ -234,3 +234,190 @@ def semdedup(
         .applyInPandas(prune, out_schema)
         .withColumnRenamed("__id", id_col)
     )
+
+
+def semdedup_new_batch(
+    catalog,
+    table: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    n_clusters: int = 64,
+    sample_rows: int = 4096,
+    seed: int = 23,
+    batch_id: str | None = None,
+    centroids: np.ndarray | None = None,
+) -> tuple[DataFrame, int]:
+    """Online semantic dedup: admit a NEW batch against the persisted
+    exemplar index — the fourth generator on the
+    :func:`~lyssandra_spark.operators.incremental.dedup_new_batch`
+    contract, for the daily-shard cadence where re-running
+    :func:`semdedup` over 100 TB of history is not an option.
+
+    Semantics are DEDUP-AGAINST-RETAINED-EXEMPLARS (first wins): a new
+    document is dropped iff it is >= ``threshold`` cosine-similar to
+    some already-RETAINED document in its cell — retained earlier
+    batches first, then earlier-id survivors of its own batch. This is
+    deliberately NOT the batch :func:`semdedup` keep rule (which sees
+    the whole corpus at once and elects the lowest-centroid-sim
+    exemplar per group): an online pipeline cannot revisit history, so
+    the first arrival is the exemplar — the convention every streaming
+    dedup deployment uses. The pinned invariant (tests): processing
+    id-ordered batches sequentially == processing their union as one
+    batch, and == an independent python greedy oracle.
+
+    Index identity: centroids are trained ONCE on the bootstrap batch's
+    deterministic sample and frozen in the manifest meta (the
+    :func:`~lyssandra_spark.operators.ann_index.refresh_ivf_index`
+    convention, including its honestly-stated drift caveat);
+    (n_clusters, sample_rows, seed, threshold, id_col) are validated
+    against the chain head on every call. ``centroids`` injects a
+    pre-trained clustering at bootstrap (share the IVF index's, or fix
+    them in tests) and is rejected on any later batch — the frozen
+    artifact cannot change mid-chain. Retry (``batch_id``) and
+    re-ingest (anti-join on ALL indexed ids) semantics are identical
+    to the other generators.
+
+    The index persists EVERY batch row — dropped rows carry
+    ``keep=false`` plus ``dup_of`` (the matched exemplar) and
+    ``max_sim`` — so a retried batch replays its decisions from its
+    snapshot, and the table doubles as the audit trail of what was
+    pruned and why. Exemplar lookups filter ``keep``.
+
+    Scale shape per batch: one Arrow assignment pass over the NEW rows
+    only, ONE shuffle keyed by cell, and the exemplar side is pruned to
+    the batch's cells by a broadcast semi-join before it ever moves —
+    history is never re-embedded, re-assigned, or re-compared.
+    Returns ``(decisions, snapshot_id)`` where decisions is the new
+    batch's (id, embedding, cell, keep, dup_of, max_sim) read back
+    from the written snapshot.
+    """
+    from lyssandra_spark.operators.incremental import _index_batch_state
+
+    if not (0.0 < threshold):
+        raise ValueError(f"threshold ({threshold}) must be > 0")
+    params = {"n_clusters": n_clusters, "sample_rows": sample_rows,
+              "seed": seed, "threshold": threshold, "id_col": id_col}
+    prior = catalog.snapshots(table)
+    replay, _ = _index_batch_state(
+        catalog, table, prior, params, "semdedup_params", batch_id
+    )
+    if replay is not None:
+        return catalog.read_snapshot(table, replay["id"]), replay["id"]
+
+    batch = new_vecs.dropDuplicates([id_col]).select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__e"),
+    )
+    if prior:
+        if centroids is not None:
+            raise ValueError(
+                "centroids are frozen at bootstrap — rebuild the index "
+                "to retrain"
+            )
+        indexed_ids = catalog.read(table).select(
+            F.col(id_col).alias("__id")
+        ).distinct()
+        batch = batch.join(indexed_ids, "__id", "left_anti")
+        C = np.asarray(
+            (catalog.latest_meta(table, "centroids") or {})["centroids"],
+            dtype=np.float64,
+        )
+        meta = {"semdedup_params": params}
+    else:
+        if centroids is None:
+            sample = np.asarray(
+                [r["__e"] for r in
+                 batch.orderBy("__id").limit(sample_rows).collect()],
+                dtype=np.float64,
+            )
+            if sample.size == 0:
+                raise ValueError(
+                    "semdedup_new_batch bootstrap requires a non-empty batch"
+                )
+            C = _lloyd_centroids(
+                sample, min(n_clusters, len(sample)), seed=seed
+            )
+        else:
+            C = np.asarray(centroids, dtype=np.float64)
+        meta = {"semdedup_params": params,
+                "centroids": [[float(v) for v in row] for row in C]}
+    if batch_id is not None:
+        meta["batch_id"] = batch_id
+
+    id_type = batch.schema["__id"].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type, True),
+        T.StructField(emb_col, T.ArrayType(T.DoubleType()), True),
+        T.StructField("cell", T.IntegerType(), True),
+        T.StructField("keep", T.BooleanType(), True),
+        T.StructField("dup_of", id_type, True),
+        T.StructField("max_sim", T.DoubleType(), True),
+    ])
+
+    tagged = assign_cells_arrow(batch, C, "__e", nprobe=1).withColumn(
+        "cell", F.element_at("cells", 1)
+    ).drop("cells").withColumn("is_new", F.lit(True))
+    if prior:
+        batch_cells = tagged.select("cell").distinct()
+        exemplars = (
+            catalog.read(table)
+            .where(F.col("keep"))
+            .join(F.broadcast(batch_cells), "cell")
+            .select(
+                F.col(id_col).alias("__id"),
+                F.col(emb_col).alias("__e"),
+                "cell",
+                F.lit(False).alias("is_new"),
+            )
+        )
+        tagged = tagged.unionByName(exemplars)
+
+    thr = float(threshold)
+
+    def admit(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        # sort BOTH sides by id: the keep/drop decision is max-vs-
+        # threshold (order-free), but dup_of attribution uses argmax,
+        # whose tie-break must not depend on partition arrival order
+        old = pdf[~pdf["is_new"]].sort_values("__id")
+        new = pdf[pdf["is_new"]].sort_values("__id")
+        if len(new) == 0:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype=object) for c in out_schema}
+            )
+        K = list(np.asarray(list(old["__e"]), dtype=np.float64)) \
+            if len(old) else []
+        kept_ids = list(old["__id"])
+        for i, k in enumerate(K):
+            n = np.linalg.norm(k)
+            K[i] = k / n if n > 0 else k
+        out = {c.name: [] for c in out_schema}
+        for rid, e in zip(new["__id"], new["__e"]):
+            x = np.asarray(e, dtype=np.float64)
+            nx = np.linalg.norm(x)
+            keep, dup_of, max_sim = True, None, None
+            if nx > 0 and K:
+                sims = np.stack(K) @ (x / nx)
+                j = int(sims.argmax())
+                max_sim = float(sims[j])
+                if max_sim >= thr:
+                    keep, dup_of = False, kept_ids[j]
+            if keep and nx > 0:
+                K.append(x / nx)
+                kept_ids.append(rid)
+            out[id_col].append(rid)
+            out[emb_col].append(list(e))
+            out["cell"].append(cell)
+            out["keep"].append(keep)
+            out["dup_of"].append(dup_of)
+            out["max_sim"].append(max_sim)
+        return pd.DataFrame(out)
+
+    decisions = tagged.groupBy("cell").applyInPandas(admit, out_schema)
+    snap_id = catalog.write(
+        decisions, table, mode="append" if prior else "overwrite",
+        sort_by=["cell"], meta=meta,
+    )
+    return catalog.read_snapshot(table, snap_id), snap_id

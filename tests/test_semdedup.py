@@ -176,3 +176,127 @@ def test_param_validation(spark):
         semdedup(df, threshold=0.0, centroids=CENTROIDS)
     with pytest.raises(ValueError, match="max_cell"):
         semdedup(df, max_cell=1, centroids=CENTROIDS)
+
+
+# ---------------------------------------------------------------- online
+
+
+def _online_oracle(rows, C, threshold):
+    """Independent greedy recompute of the online contract: process
+    rows in arrival order (batch order, id order within a batch); a
+    row is dropped iff >= threshold cosine to an already-RETAINED row
+    of its cell; dup_of = the retained row with max similarity."""
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    kept = {}  # cell -> list of (id, unit vec)
+    out = {}
+    for rid, v in rows:
+        x = np.asarray(v, dtype=float)
+        cell = int(((x[None, :] - C) ** 2).sum(1).argmin())
+        nx = np.linalg.norm(x)
+        keep, dup_of = True, None
+        exem = kept.setdefault(cell, [])
+        if nx > 0 and exem:
+            sims = np.stack([u for _, u in exem]) @ (x / nx)
+            j = int(sims.argmax())
+            if sims[j] >= threshold:
+                keep, dup_of = False, exem[j][0]
+        if keep and nx > 0:
+            exem.append((rid, x / nx))
+        out[rid] = (keep, dup_of)
+    return out
+
+
+ONLINE_ROWS = [
+    (0, (1.0, 0.0)),
+    (1, (1.0, 0.001)),    # dup of 0
+    (2, (0.7, 0.7)),
+    (3, (0.0, 1.0)),
+    (10, (0.999, 0.002)),  # dup of 0 (arrives batch 2)
+    (11, (0.0, 0.0)),      # zero-norm: always kept
+    (12, (0.01, 1.0)),     # dup of 3
+    (20, (0.7, 0.701)),    # dup of 2 (arrives batch 3)
+    (21, (-1.0, 0.05)),
+]
+
+
+def _catalog(spark, tmp_path, name):
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    return ParquetCatalog(spark, str(tmp_path / name))
+
+
+def test_online_matches_oracle_and_batch_split_invariant(spark, tmp_path):
+    from lyssandra_spark.operators.semdedup import semdedup_new_batch
+
+    thr = 0.9999
+    want = _online_oracle(ONLINE_ROWS, CENTROIDS, thr)
+
+    # three id-ordered batches, sequentially
+    cat = _catalog(spark, tmp_path, "seq")
+    got = {}
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        batch = [r for r in ONLINE_ROWS if lo <= r[0] < hi]
+        dec, _ = semdedup_new_batch(
+            cat, "sd", _vecs(spark, batch), threshold=thr,
+            centroids=CENTROIDS if lo == 0 else None,
+        )
+        for r in dec.collect():
+            got[r["vec_id"]] = (r["keep"], r["dup_of"])
+    assert got == want
+
+    # the union processed as ONE batch gives the same decisions
+    cat1 = _catalog(spark, tmp_path, "one")
+    dec, _ = semdedup_new_batch(
+        cat1, "sd", _vecs(spark, ONLINE_ROWS), threshold=thr,
+        centroids=CENTROIDS,
+    )
+    got1 = {r["vec_id"]: (r["keep"], r["dup_of"]) for r in dec.collect()}
+    assert got1 == want
+
+    # exemplar view: every dropped row points at a kept row in its cell
+    full = cat.read("sd").collect()
+    keep_ids = {r["vec_id"] for r in full if r["keep"]}
+    for r in full:
+        if not r["keep"]:
+            assert r["dup_of"] in keep_ids
+
+
+def test_online_retry_and_reingest(spark, tmp_path):
+    from lyssandra_spark.operators.semdedup import semdedup_new_batch
+
+    cat = _catalog(spark, tmp_path, "retry")
+    b1 = [r for r in ONLINE_ROWS if r[0] < 10]
+    _, s1 = semdedup_new_batch(
+        cat, "sd", _vecs(spark, b1), threshold=0.9999,
+        centroids=CENTROIDS, batch_id="b1",
+    )
+    # retry with the same batch_id replays the same snapshot, no append
+    dec, s1b = semdedup_new_batch(
+        cat, "sd", _vecs(spark, b1), threshold=0.9999, batch_id="b1",
+    )
+    assert s1b == s1 and len(cat.snapshots("sd")) == 1
+    assert {r["vec_id"] for r in dec.collect()} == {r[0] for r in b1}
+    # re-ingesting already-indexed ids (new batch_id) decides nothing
+    dec2, _ = semdedup_new_batch(
+        cat, "sd", _vecs(spark, b1), threshold=0.9999, batch_id="b2",
+    )
+    assert dec2.count() == 0
+
+
+def test_online_spec_drift_and_frozen_centroids(spark, tmp_path):
+    from lyssandra_spark.operators.semdedup import semdedup_new_batch
+
+    cat = _catalog(spark, tmp_path, "drift")
+    b1 = [r for r in ONLINE_ROWS if r[0] < 10]
+    semdedup_new_batch(
+        cat, "sd", _vecs(spark, b1), threshold=0.9, centroids=CENTROIDS
+    )
+    with pytest.raises(ValueError, match="semdedup_params"):
+        semdedup_new_batch(
+            cat, "sd", _vecs(spark, ONLINE_ROWS), threshold=0.8
+        )
+    with pytest.raises(ValueError, match="frozen at bootstrap"):
+        semdedup_new_batch(
+            cat, "sd", _vecs(spark, ONLINE_ROWS), threshold=0.9,
+            centroids=CENTROIDS,
+        )
