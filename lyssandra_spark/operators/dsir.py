@@ -54,7 +54,9 @@ from lyssandra_spark.operators.split import _unit_hash
 
 __all__ = [
     "hashed_ngram_buckets",
+    "dsir_bucket_counts",
     "fit_hashed_ngram_model",
+    "fit_from_counts",
     "dsir_logweights",
     "dsir_resample",
 ]
@@ -91,6 +93,61 @@ def hashed_ngram_buckets(
     return F.concat(uni, bi).cast("array<int>")
 
 
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    m: int = 10_000,
+    ngram: int = 2,
+) -> DataFrame:
+    """``(bucket, n)`` hashed-n-gram occurrence counts for ONE corpus
+    or batch — the SUM-MERGEABLE aggregate behind the raw-corpus model
+    (the :func:`~lyssandra_spark.operators.dedup.paragraph_counts`
+    pattern). Persist per-batch outputs to a catalog table and maintain
+    corpus-wide totals with :func:`~lyssandra_spark.operators
+    .incremental.refresh_aggregate` (``keys="bucket", sum_cols="n"``):
+    re-fitting the raw model after a new shard then folds only the
+    delta's <= m count rows instead of re-tokenizing 100 TB of history
+    (:func:`fit_from_counts` on the maintained table). One explode +
+    one count shuffle with map-side partials; at most m rows cross the
+    wire per upstream task."""
+    return (
+        df.select(
+            F.explode(hashed_ngram_buckets(text_col, m, ngram)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def fit_from_counts(
+    counts: DataFrame,
+    m: int = 10_000,
+    alpha: float = 1.0,
+    bucket_col: str = "bucket",
+    n_col: str = "n",
+) -> np.ndarray:
+    """The smoothed categorical from a ``(bucket, n)`` counts frame —
+    :func:`dsir_bucket_counts` output, or a refresh_aggregate-maintained
+    table (pass ``n_col="sum_n"``). Bounded driver collect (<= m rows).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha ({alpha}) must be > 0 (smoothing)")
+    rows = counts.select(bucket_col, n_col).collect()
+    vec = np.zeros(m, dtype=np.float64)
+    for r in rows:
+        b = r[bucket_col]
+        if not (0 <= b < m):
+            raise ValueError(
+                f"bucket id {b} out of range for m={m} — counts were "
+                "built with a different m"
+            )
+        vec[b] = r[n_col]
+    total = vec.sum()
+    return np.log((vec + alpha) / (total + alpha * m))
+
+
 def fit_hashed_ngram_model(
     df: DataFrame,
     text_col: str = "text",
@@ -106,23 +163,13 @@ def fit_hashed_ngram_model(
     ratio never divides by zero — the paper's setup). The driver-side
     object is bounded by ``m`` (default 10k doubles), independent of
     corpus size; the single shuffle carries at most ``m`` rows per
-    upstream task thanks to map-side partial counts.
+    upstream task thanks to map-side partial counts. Equivalent by
+    construction to ``fit_from_counts(dsir_bucket_counts(df))`` — use
+    that pair when the raw corpus grows in batches.
     """
-    if alpha <= 0:
-        raise ValueError(f"alpha ({alpha}) must be > 0 (smoothing)")
-    rows = (
-        df.select(
-            F.explode(hashed_ngram_buckets(text_col, m, ngram)).alias("b")
-        )
-        .groupBy("b")
-        .agg(F.count("*").alias("n"))
-        .collect()
+    return fit_from_counts(
+        dsir_bucket_counts(df, text_col, m, ngram), m, alpha
     )
-    counts = np.zeros(m, dtype=np.float64)
-    for r in rows:
-        counts[r["b"]] = r["n"]
-    total = counts.sum()
-    return np.log((counts + alpha) / (total + alpha * m))
 
 
 def dsir_logweights(

@@ -178,6 +178,33 @@ def test_resample_null_and_nan_never_win(spark):
     assert got == [0, 3]
 
 
+def test_incremental_counts_match_one_shot_fit(spark, tmp_path):
+    """The raw-corpus model maintained through refresh_aggregate over
+    per-batch dsir_bucket_counts equals the one-shot fit — the
+    never-re-tokenize-history path."""
+    from lyssandra_spark.operators.dsir import (
+        dsir_bucket_counts,
+        fit_from_counts,
+    )
+    from lyssandra_spark.operators.incremental import refresh_aggregate
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "dsir"))
+    b1, b2 = RAW[:3], RAW[3:]
+    cat.write(dsir_bucket_counts(_docs(spark, b1), m=M), "bcounts",
+              mode="overwrite")
+    refresh_aggregate(cat, "bcounts", "bagg", keys="bucket", sum_cols="n")
+    cat.write(dsir_bucket_counts(_docs(spark, b2, offset=3), m=M),
+              "bcounts", mode="append")
+    refresh_aggregate(cat, "bcounts", "bagg", keys="bucket", sum_cols="n")
+    got = fit_from_counts(cat.read("bagg"), m=M, n_col="sum_n")
+    want = fit_hashed_ngram_model(_docs(spark, RAW), m=M)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # counts built with a different m are rejected loudly
+    with pytest.raises(ValueError, match="different m"):
+        fit_from_counts(cat.read("bagg"), m=7, n_col="sum_n")
+
+
 def test_resample_plan_is_takeordered(spark):
     df = _docs(spark, ["a"] * 10).withColumn("dsir_logw", F.lit(0.0))
     plan = (
