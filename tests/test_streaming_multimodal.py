@@ -471,3 +471,79 @@ def test_streaming_incremental_dedup_pipeline(spark, sf_dir, tmp_path_factory):
     assert cat.read("sigs").groupBy("doc_id").count().where(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_streaming_online_semdedup(spark, sf_dir, tmp_path_factory):
+    """Online semantic dedup runs AS A STREAM: each micro-batch is
+    admitted against the persisted exemplar index via foreachBatch
+    (semdedup_new_batch). The kept set depends on arrival order by
+    design (first wins), so the pinned invariants are the order-free
+    ones: every vector decided exactly once, no two retained vectors
+    of a cell are >= threshold similar (greedy maximality), every
+    dropped vector points at a retained exemplar of its cell that
+    really is >= threshold similar, and a planted exact twin never
+    survives alongside its original."""
+    from lyssandra_spark.operators.semdedup import semdedup_new_batch
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    thr = 0.999
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(300)
+    twins = base.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(twins)
+    src = str(tmp_path_factory.mktemp("sd_stream") / "vecs")
+    corpus.repartition(3).write.parquet(src)
+
+    cat = ParquetCatalog(spark, str(tmp_path_factory.mktemp("sd_cat")))
+
+    def fold(batch_df, batch_id):
+        if batch_df.rdd.isEmpty():
+            return
+        semdedup_new_batch(
+            cat, "sd", batch_df, threshold=thr, n_clusters=8,
+            sample_rows=64, batch_id=f"mb{batch_id}",
+        )
+
+    sdf = ST.read_transcript_stream(spark, src, corpus.schema, max_files=1)
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation",
+                str(tmp_path_factory.mktemp("sd_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = cat.read("sd").collect()
+    assert len(rows) == corpus.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+
+    by_cell = {}
+    emb = {}
+    kept = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=float)
+        n = np.linalg.norm(v)
+        emb[r["vec_id"]] = v / n if n > 0 else v
+        kept[r["vec_id"]] = r["keep"]
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        ks = [m for m in members if m["keep"]]
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                a, b = emb[ks[i]["vec_id"]], emb[ks[j]["vec_id"]]
+                if np.linalg.norm(a) > 0 and np.linalg.norm(b) > 0:
+                    assert a @ b < thr
+        for m in members:
+            if not m["keep"]:
+                assert kept[m["dup_of"]]
+                assert emb[m["vec_id"]] @ emb[m["dup_of"]] >= thr
+                assert m["dup_of"] in {x["vec_id"] for x in members}
+
+    # an exact twin never survives alongside its original
+    for r in rows:
+        if r["vec_id"] >= 90000:
+            assert not (kept[r["vec_id"]] and kept[r["vec_id"] - 90000])
