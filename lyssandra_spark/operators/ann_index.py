@@ -57,7 +57,7 @@ from lyssandra_spark.operators.similarity import (
     tag_cell,
     tag_probe_cells,
 )
-from lyssandra_spark.sources.catalog import incremental_chain_start
+from lyssandra_spark.sources.catalog import consumer_needs_rebuild
 
 __all__ = [
     "refresh_ivf_index", "ivf_topk_indexed",
@@ -90,12 +90,7 @@ def _chain_state(catalog, src_table: str, index_table: str, spec_key: str,
             "rebuild"
         )
     last = head_meta.get(spec_key[:-5] + "_last_snap") if head_meta else None
-    chain_start, skip = incremental_chain_start(src_snaps, last)
-    delta_expired = last is not None and any(
-        s["id"] > last and s.get("expired") and s["id"] not in skip
-        for s in src_snaps
-    )
-    needs_rebuild = last is None or last < chain_start or delta_expired
+    needs_rebuild, skip = consumer_needs_rebuild(src_snaps, last)
     return src_snaps, newest, needs_rebuild, last, idx_snaps, skip
 
 
@@ -183,12 +178,17 @@ def refresh_ivf_index(
     delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
                             id_col, [id_col, emb_col], skip)
     if delta is not None:
+        # persist: the delta plan carries an anti-join whose right side
+        # scans the WHOLE index's ids — pay it once for the emptiness
+        # probe AND the write, not twice
         delta = delta.select(
             id_col, F.col(emb_col).cast("array<double>").alias(emb_col)
-        )
-    if delta is None or delta.rdd.isEmpty():
+        ).persist()
+    if delta is None or delta.count() == 0:
         # audit-only compaction or all ids re-ingested: advance the
         # watermark only
+        if delta is not None:
+            delta.unpersist()
         return catalog.write(
             catalog.read(index_table).limit(0), index_table, mode="append",
             meta={"ivf_spec": spec, "ivf_last_snap": newest},
@@ -197,11 +197,14 @@ def refresh_ivf_index(
         (catalog.latest_meta(index_table, "centroids") or {})["centroids"],
         dtype=np.float64,
     )
-    return catalog.write(
-        tag_cell(delta, C, emb_col, out_col="cell"), index_table,
-        mode="append", sort_by=["cell"],
-        meta={"ivf_spec": spec, "ivf_last_snap": newest},
-    )
+    try:
+        return catalog.write(
+            tag_cell(delta, C, emb_col, out_col="cell"), index_table,
+            mode="append", sort_by=["cell"],
+            meta={"ivf_spec": spec, "ivf_last_snap": newest},
+        )
+    finally:
+        delta.unpersist()
 
 
 def ivf_topk_indexed(
@@ -307,7 +310,12 @@ def refresh_pq_index(
         return idx_snaps[-1]["id"]
     delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
                             id_col, [id_col, emb_col], skip)
-    if delta is None or delta.rdd.isEmpty():
+    if delta is not None:
+        # same persist-once rationale as the IVF path above
+        delta = delta.persist()
+    if delta is None or delta.count() == 0:
+        if delta is not None:
+            delta.unpersist()
         return catalog.write(
             catalog.read(index_table).limit(0), index_table, mode="append",
             meta={"pq_spec": spec, "pq_last_snap": newest},
@@ -316,11 +324,14 @@ def refresh_pq_index(
         (catalog.latest_meta(index_table, "codebooks") or {})["codebooks"],
         dtype=np.float64,
     )
-    return catalog.write(
-        pq_assign_codes(delta, books, id_col, emb_col), index_table,
-        mode="append",
-        meta={"pq_spec": spec, "pq_last_snap": newest},
-    )
+    try:
+        return catalog.write(
+            pq_assign_codes(delta, books, id_col, emb_col), index_table,
+            mode="append",
+            meta={"pq_spec": spec, "pq_last_snap": newest},
+        )
+    finally:
+        delta.unpersist()
 
 
 def pq_topk_indexed(

@@ -448,13 +448,17 @@ def _dedup_window_spans(
     distinct (non-duplicated) text never crosses a corpus-wide wire.
 
     The per-doc hot-position table (one row per AFFECTED doc, an int
-    array) is then MATERIALIZED via ``localCheckpoint`` — it is the
+    array) is CACHED via ``persist(MEMORY_AND_DISK)`` — it is the
     pipeline's bounded small state, and reassembly consumes it three
     times (covered positions, affected semi-join, untouched anti-join);
-    without materialization Catalyst re-derives the whole discovery
-    chain per consumer, turning 2 corpus span passes into 6+ (measured
-    ~3x wall on the x24 bench). ``materialize_hot=False`` keeps the
-    plan fully lazy (plan-inspection tests).
+    without the cache Catalyst re-derives the whole discovery chain per
+    consumer, turning 2 corpus span passes into 6+ (measured ~3x wall
+    on the x24 bench). persist is lazy (calling this function stays
+    side-effect-free) and keeps lineage, so an executor loss recomputes
+    rather than failing on a lost checkpoint block; the cache lives
+    until Spark's LRU evicts it (it is one int-array row per affected
+    doc — small). ``materialize_hot=False`` skips the cache entirely
+    (plan-inspection tests).
 
     Reassembly runs over AFFECTED docs only and is shuffle-based
     (posexplode -> covered-position join -> one groupBy(id), the
@@ -514,7 +518,14 @@ def _dedup_window_spans(
         F.collect_set("span_pos").alias("__hp")
     )
     if materialize_hot:
-        hot_pos = hot_pos.localCheckpoint(eager=True)
+        # persist, NOT localCheckpoint: lazy (building this plan stays
+        # side-effect-free) and lineage-preserving (an executor loss
+        # recomputes the partition instead of failing on a missing
+        # checkpoint block — the durability a 1000-executor run needs).
+        # Measured on the x24 bench: also faster (no eager extra job).
+        from pyspark.storagelevel import StorageLevel
+
+        hot_pos = hot_pos.persist(StorageLevel.MEMORY_AND_DISK)
     # covered chunk positions, expanded per-row from the (tiny) arrays —
     # distinct by construction within a doc, no corpus-sized explode
     covered = hot_pos.select(

@@ -82,15 +82,21 @@ def hashed_ngram_buckets(
     toks = word_tokens(text_col)
     uni = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(m)))
     if ngram == 1:
-        return uni.cast("array<int>")
-    n = F.size(toks)
-    # zip token i with token i+1; slice lengths clamp to 0 for short docs
-    bi = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.pmod(F.xxhash64(a, b), F.lit(m)),
-    )
-    return F.concat(uni, bi).cast("array<int>")
+        out = uni
+    else:
+        n = F.size(toks)
+        # zip token i with i+1; slice lengths clamp to 0 for short docs
+        bi = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.pmod(F.xxhash64(a, b), F.lit(m)),
+        )
+        out = F.concat(uni, bi)
+    # NULL text tokenizes to a NULL array, which would poison every
+    # downstream fold to NULL (an unsampleable -inf in dsir_resample)
+    # while text='' scores 0.0 — coalesce so both degenerate classes
+    # behave identically: no n-grams, weight 0
+    return F.coalesce(out.cast("array<int>"), F.array().cast("array<int>"))
 
 
 def dsir_bucket_counts(
@@ -189,7 +195,8 @@ def dsir_logweights(
     per-document sum is a JVM ``aggregate`` fold over the bucket
     array with ``F.get`` — map-only, no shuffle, no Python, pipelined
     into the scan alongside any other projection. Documents with no
-    tokens score 0.0 (an empty product of ratios).
+    tokens — empty AND null text — score 0.0 (an empty product of
+    ratios; see the coalesce in :func:`hashed_ngram_buckets`).
     """
     lt = np.asarray(logp_target, dtype=np.float64)
     lr = np.asarray(logp_raw, dtype=np.float64)

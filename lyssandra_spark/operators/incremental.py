@@ -41,7 +41,10 @@ from lyssandra_spark.operators.dedup import (
     simhash_bands,
 )
 from lyssandra_spark.operators.graph import connected_components
-from lyssandra_spark.sources.catalog import incremental_chain_start
+from lyssandra_spark.sources.catalog import (
+    consumer_needs_rebuild,
+    incremental_chain_start,
+)
 
 __all__ = [
     "dedup_new_batch", "simhash_new_batch", "embneardup_new_batch",
@@ -667,18 +670,13 @@ def refresh_aggregate(
                 f"{head_spec} — use a different agg_table or rebuild"
             )
     meta = {"agg_spec": spec, "agg_last_snap": newest}
-    # an overwrite resets the source chain UNLESS it is an audit-only
-    # compact() (everything it folded already aggregated) — those are
-    # also skipped by the delta scan, which has no keyed re-ingest
-    # guard and would otherwise double-count the whole corpus
-    chain_start, skip = incremental_chain_start(src_snaps, last)
-    # a delta whose data was expire()d before this refresh saw it is
-    # unreadable incrementally; its rows live on through catalog.read
-    delta_expired = last is not None and any(
-        s["id"] > last and s.get("expired") and s["id"] not in skip
-        for s in src_snaps
-    )
-    if last is None or last < chain_start or delta_expired:
+    # rebuild on: dead/absent watermark, genuine source overwrite, or
+    # an expired-before-folded delta; audit-only compactions land in
+    # ``skip`` so the delta scan (which has no keyed re-ingest guard
+    # and would double-count) never re-reads them (shared
+    # consumer_needs_rebuild rule)
+    needs_rebuild, skip = consumer_needs_rebuild(src_snaps, last)
+    if needs_rebuild:
         # first build, or the source chain was overwritten under us
         return catalog.write(
             partial(catalog.read(src_table)), agg_table,

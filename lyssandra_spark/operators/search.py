@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from lyssandra_spark.functions.textstats import word_tokens
-from lyssandra_spark.sources.catalog import incremental_chain_start
+from lyssandra_spark.sources.catalog import consumer_needs_rebuild
 
 __all__ = [
     "build_postings", "bm25_topk", "bm25_topk_indexed",
@@ -262,19 +262,11 @@ def refresh_postings(
             "postings_table or rebuild"
         )
     last = head_meta.get("postings_last_snap")
-    # an overwrite resets the source chain — UNLESS it is a compact()
-    # whose folded snapshots were all already indexed (audit-only for
-    # this consumer): those neither force a rebuild nor enter the
-    # delta scan (see incremental_chain_start)
-    chain_start, skip = incremental_chain_start(src_snaps, last)
-    # a delta snapshot expired between refreshes is unreadable via the
-    # incremental scan, but its rows live on through the cumulative
-    # chain — recover by full rebuild instead of FileNotFoundError
-    delta_expired = last is not None and any(
-        s["id"] > last and s.get("expired") and s["id"] not in skip
-        for s in src_snaps
-    )
-    if last is None or last < chain_start or delta_expired:
+    # rebuild on: dead/absent watermark, genuine source overwrite, or
+    # an expired-before-folded delta; audit-only compactions land in
+    # ``skip`` for the delta scan (shared consumer_needs_rebuild rule)
+    needs_rebuild, skip = consumer_needs_rebuild(src_snaps, last)
+    if needs_rebuild:
         # first build, a source chain overwritten under us, or an
         # expired delta (above). Duplicate-id collapse must be
         # DETERMINISTIC (dropDuplicates keeps a partitioning-dependent

@@ -204,7 +204,12 @@ def semdedup(
 
         rep = ids.copy()
         keep = np.ones(len(ids), dtype=bool)
+        # id-sort BEFORE sub-clustering: _local_subcells seeds initial
+        # centroids by POSITION, so pandas-group arrival order (which
+        # follows partitioning) must never reach it — this sort is what
+        # makes the oversized-cell path partitioning-independent
         idx_ok = np.where(ok)[0]
+        idx_ok = idx_ok[np.argsort(ids[idx_ok])]
         if len(idx_ok) >= 2:
             # deterministic in-worker split of oversized cells
             if len(idx_ok) > mc:

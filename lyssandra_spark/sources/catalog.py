@@ -691,3 +691,31 @@ def incremental_chain_start(
             continue
         chain_start = s["id"]
     return chain_start, skip
+
+
+def consumer_needs_rebuild(
+    snapshots: list[dict], last: int | None
+) -> tuple[bool, set[int]]:
+    """The full freshness decision every incremental consumer
+    (postings, IVF/PQ indexes, materialized aggregates) makes before a
+    refresh: ``(needs_rebuild, skip)``. Shared here so the three
+    consumers cannot drift — this chain/watermark logic has changed
+    twice already (audit-only compactions, expired deltas) and each
+    change must hit all of them identically.
+
+    Rebuild is needed when (a) there is no watermark (first build, or
+    it died at a destructive overwrite), (b) the watermark predates the
+    consumer-relative chain start (:func:`incremental_chain_start` —
+    a genuine overwrite reset), or (c) some delta snapshot above the
+    watermark was ``expire()``d before this consumer folded it (its
+    rows are still reachable through the cumulative chain read, so the
+    rebuild is lossless — but the incremental path cannot scan it).
+    ``skip`` is the audit-only-compaction set the delta scan must not
+    re-read.
+    """
+    chain_start, skip = incremental_chain_start(snapshots, last)
+    delta_expired = last is not None and any(
+        s["id"] > last and s.get("expired") and s["id"] not in skip
+        for s in snapshots
+    )
+    return (last is None or last < chain_start or delta_expired), skip

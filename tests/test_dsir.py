@@ -64,10 +64,11 @@ TARGET = [
 
 
 def test_bucket_structure(spark):
-    bl = _bucket_lists(spark, ["a b c", "a", ""], m=M, ngram=2)
+    bl = _bucket_lists(spark, ["a b c", "a", "", None], m=M, ngram=2)
     assert len(bl[0]) == 5  # 3 unigrams + 2 bigrams
     assert len(bl[1]) == 1  # 1 unigram, no bigram
     assert bl[2] == []      # empty doc
+    assert bl[3] == []      # NULL text == empty doc (coalesced), NOT null
     assert all(0 <= b < M for doc in bl for b in doc)
     # unigram-only mode drops the bigrams but keeps the same unigrams
     bl1 = _bucket_lists(spark, ["a b c"], m=M, ngram=1)
@@ -97,6 +98,10 @@ def test_logweights_match_numpy_oracle(spark):
         assert row["dsir_logw"] == pytest.approx(want, rel=1e-12)
     # the empty doc scores exactly 0
     assert out[-1]["dsir_logw"] == 0.0
+    # NULL text scores exactly 0 too (not NULL -> not silently
+    # unsampleable), and resample can still select it
+    nul = dsir_logweights(_docs(spark, [None, "x"]), lt, lr).collect()
+    assert all(r["dsir_logw"] == 0.0 for r in nul if r["doc_id"] == 0)
 
 
 def test_identical_models_give_zero_weights(spark):

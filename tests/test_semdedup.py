@@ -6,6 +6,7 @@ oversized-cell sub-clustering, partitioning independence."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from lyssandra_spark.operators.semdedup import semdedup
 
@@ -154,6 +155,29 @@ def test_partitioning_independent(spark):
             .select("vec_id", "sd_group", "keep").collect())
     )
     assert a == b
+
+
+def test_partitioning_independent_oversized_cell(spark):
+    """The sub-clustering path must also be arrival-order-free: the
+    seeded centroid choice is positional, so rows are id-sorted before
+    _local_subcells ever sees them."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, tuple(rng.normal(size=2) + np.array([10, 0])))
+        for i in range(40)
+    ] + [(100 + i, tuple(rng.normal(size=2) + np.array([10, 0])))
+         for i in range(8)]
+    kw = dict(threshold=0.995,
+              centroids=np.array([[10.0, 0.0], [0.0, 10.0]]), max_cell=12)
+    df = _vecs(spark, rows)
+    a = sorted(map(tuple, semdedup(df, **kw)
+                   .select("vec_id", "sd_group", "keep").collect()))
+    b = sorted(map(tuple, semdedup(df.repartition(7), **kw)
+                   .select("vec_id", "sd_group", "keep").collect()))
+    c = sorted(map(tuple,
+                   semdedup(df.orderBy(F.col("vec_id").desc()), **kw)
+                   .select("vec_id", "sd_group", "keep").collect()))
+    assert a == b == c
 
 
 def test_trained_centroids_path_runs(spark, sf_dir):
