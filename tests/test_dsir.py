@@ -210,6 +210,67 @@ def test_incremental_counts_match_one_shot_fit(spark, tmp_path):
         fit_from_counts(cat.read("bagg"), m=7, n_col="sum_n")
 
 
+def test_resample_weight_monotonicity(spark):
+    """Raising one document's log-weight (same salt, same k) can only
+    help it: a document already in the sample stays in after its
+    weight increases — the Gumbel key is weight + fixed noise, so its
+    key rises while every other key is unchanged."""
+    df = _docs(spark, [f"doc {i} words" for i in range(50)])
+    base = df.withColumn(
+        "dsir_logw",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    picked = {r["doc_id"] for r in dsir_resample(base, 12).collect()}
+    target = sorted(picked)[0]
+    boosted = df.withColumn(
+        "dsir_logw",
+        F.when(F.col("doc_id") == target, F.lit(50.0)).otherwise(
+            F.when(F.col("doc_id") % 3 == 0, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        ),
+    )
+    picked2 = {r["doc_id"] for r in dsir_resample(boosted, 12).collect()}
+    assert target in picked2
+
+
+def test_random_corpus_oracle_sweep(spark):
+    """Randomized corpora x (m, ngram, alpha): fit + logweights always
+    match the independent numpy oracle."""
+    import random
+
+    rnd = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x9", "qq", "zz7"]
+    for trial in range(3):
+        texts = [
+            " ".join(rnd.choices(vocab, k=rnd.randrange(0, 9)))
+            for _ in range(12)
+        ]
+        m = rnd.choice([31, 64, 101])
+        ngram = rnd.choice([1, 2])
+        alpha = rnd.choice([0.1, 1.0])
+        bl = _bucket_lists(spark, texts, m=m, ngram=ngram)
+        got = fit_hashed_ngram_model(
+            _docs(spark, texts), m=m, ngram=ngram, alpha=alpha
+        )
+        want = _oracle_logp(bl, m=m, alpha=alpha)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        ratio = want - _oracle_logp(bl[:6], m=m, alpha=alpha)
+        out = (
+            dsir_logweights(
+                _docs(spark, texts), want,
+                _oracle_logp(bl[:6], m=m, alpha=alpha),
+                ngram=ngram,
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        for row, doc in zip(out, bl):
+            assert row["dsir_logw"] == pytest.approx(
+                float(sum(ratio[b] for b in doc)), rel=1e-10, abs=1e-12
+            )
+
+
 def test_resample_plan_is_takeordered(spark):
     df = _docs(spark, ["a"] * 10).withColumn("dsir_logw", F.lit(0.0))
     plan = (

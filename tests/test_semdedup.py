@@ -202,6 +202,31 @@ def test_param_validation(spark):
         semdedup(df, max_cell=1, centroids=CENTROIDS)
 
 
+def test_random_corpus_oracle_sweep(spark):
+    """Randomized embeddings x thresholds: batch semdedup always
+    matches the independent numpy oracle exactly."""
+    rng = np.random.default_rng(3)
+    for trial, thr in enumerate((0.8, 0.95, 0.999)):
+        n = 24
+        base = rng.normal(size=(n, 2)) * 2
+        # plant duplicates: scaled copies of random rows
+        for j in range(4):
+            src = rng.integers(0, n)
+            base = np.vstack([base, base[src] * rng.uniform(0.5, 2.0)])
+        rows = [(i, tuple(v)) for i, v in enumerate(base)]
+        got = sorted(
+            map(
+                tuple,
+                semdedup(
+                    _vecs(spark, rows), threshold=thr, centroids=CENTROIDS
+                ).select("vec_id", "sd_group", "keep").collect(),
+            )
+        )
+        grp, keep = _oracle(rows, CENTROIDS, thr)
+        want = sorted((i, grp[i], keep[i]) for i, _ in rows)
+        assert got == want, f"trial {trial} thr {thr}"
+
+
 # ---------------------------------------------------------------- online
 
 
