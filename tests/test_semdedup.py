@@ -310,6 +310,42 @@ def test_online_matches_oracle_and_batch_split_invariant(spark, tmp_path):
             assert r["dup_of"] in keep_ids
 
 
+def test_online_random_batch_splits_match_oracle(spark, tmp_path):
+    """Random id-ordered batch boundaries never change the decisions:
+    every split of the same arrival order equals the greedy oracle."""
+    import random
+
+    from lyssandra_spark.operators.semdedup import semdedup_new_batch
+
+    rnd = random.Random(13)
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(30):
+        if i >= 3 and rnd.random() < 0.3:
+            src = rnd.randrange(0, i)  # near-copy of an earlier row
+            v = np.asarray(rows[src][1]) * rnd.uniform(0.9, 1.1)
+        else:
+            v = rng.normal(size=2) * 3
+        rows.append((i, tuple(float(x) for x in v)))
+    thr = 0.98
+    want = _online_oracle(rows, CENTROIDS, thr)
+
+    for trial in range(2):
+        cuts = sorted(rnd.sample(range(1, 30), rnd.randrange(1, 4)))
+        bounds = [0] + cuts + [30]
+        cat = _catalog(spark, tmp_path, f"rsplit{trial}")
+        got = {}
+        for k in range(len(bounds) - 1):
+            batch = rows[bounds[k]:bounds[k + 1]]
+            dec, _ = semdedup_new_batch(
+                cat, "sd", _vecs(spark, batch), threshold=thr,
+                centroids=CENTROIDS if k == 0 else None,
+            )
+            for r in dec.collect():
+                got[r["vec_id"]] = (r["keep"], r["dup_of"])
+        assert got == want, f"trial {trial} bounds {bounds}"
+
+
 def test_online_retry_and_reingest(spark, tmp_path):
     from lyssandra_spark.operators.semdedup import semdedup_new_batch
 
