@@ -282,3 +282,45 @@ def test_incremental_curation_pipeline(spark, sf_dir, tmp_path_factory):
     )
     pd.testing.assert_frame_equal(gi2, gf)
     corpus.unpersist()
+
+
+def test_dsir_composes_with_samplers(spark, sf_dir):
+    """The DSIR score column feeds the deterministic samplers exactly
+    like the quality-classifier score: quantile_filter gates on it,
+    probabilistic_keep soft-samples on its sigmoid, and dsir_resample
+    draws a fixed-size corpus — all leakage-key-consistent."""
+    from lyssandra_spark.operators.dsir import (
+        dsir_logweights,
+        dsir_resample,
+        fit_hashed_ngram_model,
+    )
+    from lyssandra_spark.operators.split import (
+        probabilistic_keep,
+        quantile_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(300)
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    lt = fit_hashed_ngram_model(target, m=512)
+    lr = fit_hashed_ngram_model(docs, m=512)
+    scored = dsir_logweights(docs, lt, lr)
+
+    kept = quantile_filter(scored, "dsir_logw", keep_frac=0.5)
+    n = docs.count()
+    assert 0 < kept.count() <= n
+
+    soft = probabilistic_keep(
+        scored,
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("dsir_logw"))),
+        "doc_id",
+    )
+    assert 0 < soft.count() <= n
+
+    sample = dsir_resample(scored, k=50)
+    assert sample.count() == 50
+    # resampled rows carry the original columns and are a subset
+    ids = {r["doc_id"] for r in sample.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids <= all_ids

@@ -274,6 +274,30 @@ def _catalog(spark, tmp_path, name):
     return ParquetCatalog(spark, str(tmp_path / name))
 
 
+def test_shares_ivf_index_clustering(spark, sf_dir, tmp_path):
+    """One clustering serves search AND dedup: semdedup run under the
+    persisted IVF index's centroids assigns every vector the same cell
+    the index did."""
+    from lyssandra_spark.operators.ann_index import refresh_ivf_index
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    cat = ParquetCatalog(spark, str(tmp_path / "ivf_share"))
+    cat.write(emb, "vecs", mode="overwrite")
+    refresh_ivf_index(cat, "vecs", "ivf", n_cells=8, sample_rows=64)
+    C = np.asarray(
+        cat.latest_meta("ivf", "centroids")["centroids"], dtype=np.float64
+    )
+    idx_cells = {
+        r["vec_id"]: r["cell"] for r in cat.read("ivf").collect()
+    }
+    sd_cells = {
+        r["vec_id"]: r["cell"]
+        for r in semdedup(emb, threshold=0.95, centroids=C).collect()
+    }
+    assert sd_cells == idx_cells
+
+
 def test_online_matches_oracle_and_batch_split_invariant(spark, tmp_path):
     from lyssandra_spark.operators.semdedup import semdedup_new_batch
 
