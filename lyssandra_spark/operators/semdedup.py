@@ -25,8 +25,12 @@ broadcast Arrow pass above). The per-cell prune is ONE
 cell, then local numpy (a BLAS GEMM for the similarity block plus a
 union-find). Oversized cells (skewed clusterings at small
 ``n_clusters``) are deterministically SUB-clustered inside the worker
-before pairing, bounding per-task memory at ``max_cell^2`` floats —
-the knob that keeps one hot cell from becoming a straggler at 100 TB.
+before pairing, bounding the PAIRWISE block at ``max_cell^2`` floats —
+the knob that keeps one hot cell's O(c^2) from becoming a straggler.
+(The cell's rows themselves still stream into one task — size
+``n_clusters`` to the corpus, as the paper does with 50k clusters for
+600M points, so cells fit in worker memory; sub-clustering bounds the
+quadratic term, not the linear one.)
 Sub-clustering is the same approximation the top-level clustering
 already is: near-dups split across sub-cells can be missed, but exact
 duplicates never are (identical vectors always co-assign).
