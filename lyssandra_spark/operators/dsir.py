@@ -221,6 +221,9 @@ def dsir_resample(
     key_cols="doc_id",
     salt: str = "dsir-gumbel-v1",
     temperature: float = 1.0,
+    method: str = "auto",
+    exact_limit: int = 1_000_000,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Gumbel top-k resampling: k documents without replacement, with
     probability proportional to ``exp(logw / temperature)``.
@@ -238,15 +241,34 @@ def dsir_resample(
     granularity) break on the key hash itself, keeping the output a
     pure function of input + parameters.
 
-    The plan is ``TakeOrderedAndProject``: each task keeps its own
-    top-k and the driver merges k-sized heaps — no global sort, no
-    full-corpus shuffle. Null/NaN log-weights never win (they sort
-    below every number here).
+    Two physical strategies, because "top-k" changes shape with k:
+
+    - ``method="exact"`` — ``TakeOrderedAndProject``: each task keeps
+      a k-row heap, the driver merges them. EXACTLY k rows, no
+      shuffle — but per-task memory is O(k), so it is only right for
+      bounded k (up to ~``exact_limit``).
+    - ``method="threshold"`` — the corpus-scale path (resampling 1% of
+      10^11 documents cannot heap 10^9 rows per task): one
+      ``approx_percentile`` sketch pass finds the (1 - k/n) quantile
+      of the Gumbel key, then a map-only ``>=`` filter keeps the top
+      mass — :func:`~lyssandra_spark.operators.split.quantile_filter`
+      composition, same plan shape as the CCNet keep filter. Returns
+      APPROXIMATELY k rows (sketch ``accuracy``), which is what a
+      training-mixture budget needs at that scale; the selected-set
+      semantics (softmax without replacement) are unchanged since the
+      key is the same — only the cut is approximate.
+    - ``method="auto"`` (default) — exact for ``k <= exact_limit``,
+      threshold above.
+
+    Null/NaN log-weights never win under either method (they map to
+    -inf before the noise is added).
     """
     if k < 1:
         raise ValueError(f"k ({k}) must be >= 1")
     if temperature <= 0:
         raise ValueError(f"temperature ({temperature}) must be > 0")
+    if method not in ("auto", "exact", "threshold"):
+        raise ValueError(f"unknown method {method!r}")
     u = _unit_hash(key_cols, salt)
     eps = 1e-12
     u = F.least(F.greatest(u, F.lit(eps)), F.lit(1.0 - eps))
@@ -254,9 +276,23 @@ def dsir_resample(
     w = F.col(logw_col).cast("double")
     w = F.when(F.isnan(w) | w.isNull(), F.lit(-math.inf)).otherwise(w)
     key = (w / F.lit(float(temperature))) + gumbel
-    return (
-        df.withColumn("__dsir_key", key)
-        .orderBy(F.col("__dsir_key").desc(), _unit_hash(key_cols, salt))
-        .limit(k)
-        .drop("__dsir_key")
-    )
+    if method == "auto":
+        method = "exact" if k <= exact_limit else "threshold"
+    if method == "exact":
+        return (
+            df.withColumn("__dsir_key", key)
+            .orderBy(F.col("__dsir_key").desc(), _unit_hash(key_cols, salt))
+            .limit(k)
+            .drop("__dsir_key")
+        )
+    from lyssandra_spark.operators.split import quantile_filter
+
+    n = df.count()
+    if n == 0:
+        return df
+    if k >= n:
+        return df
+    return quantile_filter(
+        df.withColumn("__dsir_key", key), "__dsir_key",
+        keep_frac=k / n, accuracy=accuracy,
+    ).drop("__dsir_key")

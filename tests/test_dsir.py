@@ -278,3 +278,26 @@ def test_resample_plan_is_takeordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_resample_threshold_method(spark):
+    """The corpus-scale path: approximately k rows, heavy weights
+    dominate, and the plan is a filter — NOT a per-task k-heap."""
+    n, k = 400, 100
+    df = _docs(spark, ["words here"] * n).withColumn(
+        "dsir_logw",
+        F.when(F.col("doc_id") < 120, F.lit(8.0)).otherwise(F.lit(0.0)),
+    )
+    got = dsir_resample(df, k, method="threshold")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    rows = got.collect()
+    assert abs(len(rows) - k) <= n // 10  # sketch-approximate size
+    heavy = sum(1 for r in rows if r["doc_id"] < 120)
+    assert heavy >= 0.8 * len(rows)
+    assert got.columns == df.columns
+    # k >= n short-circuits to the whole frame; exact/threshold agree
+    # on the degenerate everything case
+    assert dsir_resample(df, n + 5, method="threshold").count() == n
+    with pytest.raises(ValueError, match="method"):
+        dsir_resample(df, 5, method="nope")
