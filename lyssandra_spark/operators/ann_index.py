@@ -33,10 +33,14 @@ meta survives audit-only compaction via ``latest_meta`` and dies at a
 destructive overwrite. Frozen-artifact caveat, stated plainly: delta
 batches are quantized under the ORIGINAL centroids/codebooks, so if the
 embedding distribution drifts, recall decays until a rebuild — exactly
-the re-train/re-index cadence real IVF/PQ deployments schedule. The
-assignments themselves stay exact (assignment is deterministic given
-the artifacts), so indexed results always equal the per-call operator
-run with the same artifacts.
+the re-train/re-index cadence real IVF/PQ deployments schedule. That
+decay is MEASURED, not assumed: every refresh records its batch's mean
+quantization error in the manifest meta (``ivf_drift``/``pq_drift``),
+and :func:`needs_retrain` compares the newest batch against the
+training-time baseline to trigger the rebuild. The assignments
+themselves stay exact (assignment is deterministic given the
+artifacts), so indexed results always equal the per-call operator run
+with the same artifacts.
 """
 
 from __future__ import annotations
@@ -47,9 +51,11 @@ from pyspark.sql import functions as F
 
 from lyssandra_spark.operators.similarity import (
     _as_double,
+    _collect_bounded_queries,
     _dot,
     _lloyd_centroids,
     _norm,
+    _training_sample,
     kmeans_refine,
     pq_assign_codes,
     pq_refine,
@@ -62,7 +68,117 @@ from lyssandra_spark.sources.catalog import consumer_needs_rebuild
 __all__ = [
     "refresh_ivf_index", "ivf_topk_indexed",
     "refresh_pq_index", "pq_topk_indexed",
+    "mean_quantization_error", "needs_retrain", "DRIFT_KEYS",
 ]
+
+
+def mean_quantization_error(df: DataFrame, emb_col: str, row_err) -> tuple[float, int]:
+    """Distributed mean of a per-row quantization error: ONE map-only
+    ``mapInArrow`` pass emitting per-partition (sum, count) — the
+    constant-size sufficient-statistics shape of :func:`kmeans_refine`,
+    so the pass costs one scan of ``df`` and nothing shuffles.
+    ``row_err(X)`` maps an (n, dim) float64 block to a per-row error
+    vector (it may return fewer entries than rows to skip some, e.g.
+    zero-norm vectors). Returns (mean, n); (0.0, 0) on an empty frame.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("s", T.DoubleType(), False),
+        T.StructField("n", T.LongType(), False),
+    ])
+
+    def gen(it):
+        s, n = 0.0, 0
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(batch.num_rows, -1)
+            e = row_err(X)
+            s += float(e.sum())
+            n += int(len(e))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([s], pa.float64()), pa.array([n], pa.int64())],
+            names=["s", "n"],
+        )
+
+    pdf = (
+        df.select(F.col(emb_col).cast("array<double>"))
+        .mapInArrow(gen, schema).toPandas()
+    )
+    n = int(pdf["n"].sum())
+    return (float(pdf["s"].sum()) / n if n else 0.0, n)
+
+
+def _ivf_row_err(C: np.ndarray):
+    """Per-row squared L2 distance to the assigned (nearest) centroid —
+    the k-means objective the frozen centroids minimized at training."""
+    Cv = np.ascontiguousarray(C, np.float64)
+    cn2 = (Cv * Cv).sum(1)
+
+    def err(X):
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ Cv.T) + cn2[None, :]
+        return np.maximum(d2.min(1), 0.0)
+
+    return err
+
+
+def _pq_row_err(books: np.ndarray):
+    """Per-row squared PQ reconstruction error of the L2-normalized
+    vector (exactly what :func:`pq_assign_codes` quantizes)."""
+    bk = np.ascontiguousarray(books, np.float64)
+    m, _, dsub = bk.shape
+
+    def err(X):
+        n = len(X)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        S = Xn.reshape(n, m, dsub)
+        e = np.zeros(n)
+        for j in range(m):
+            Cj = bk[j]
+            d2 = (-2.0 * (S[:, j, :] @ Cj.T) + (Cj * Cj).sum(1)[None, :])
+            e += d2.min(1) + (S[:, j, :] * S[:, j, :]).sum(1)
+        return np.maximum(e, 0.0)
+
+    return err
+
+
+#: manifest-meta keys that carry per-batch drift records, newest-batch
+#: semantics via ``latest_meta`` (IVF / PQ indexes, online SemDeDup)
+DRIFT_KEYS = ("ivf_drift", "pq_drift", "semdedup_drift")
+
+
+def _drift_meta(mean_qerr: float, n: int, baseline: float | None) -> dict:
+    return {
+        "mean_qerr": float(mean_qerr), "n": int(n),
+        "baseline_qerr": float(mean_qerr if baseline is None else baseline),
+    }
+
+
+def needs_retrain(catalog, table: str, threshold: float = 1.5,
+                  drift_key: str | None = None) -> bool:
+    """True when the NEWEST batch's mean quantization error exceeds
+    ``threshold`` x the baseline recorded when the frozen artifacts were
+    trained — the drift signal the frozen-centroid/codebook contract
+    otherwise lacks. Every refresh/admission records its batch's error
+    in the manifest meta for free (one map-only pass over the delta),
+    so this reader costs no data access at all: schedule rebuilds on it
+    instead of on a blind cadence. ``drift_key`` pins one of
+    :data:`DRIFT_KEYS`; by default the newest recorded kind wins
+    (an index table only ever carries one kind)."""
+    keys = (drift_key,) if drift_key else DRIFT_KEYS
+    for key in keys:
+        meta = catalog.latest_meta(table, key)
+        if meta is not None:
+            d = meta[key]
+            base = max(float(d.get("baseline_qerr", 0.0)), 1e-12)
+            return float(d["mean_qerr"]) > threshold * base
+    raise ValueError(
+        f"no drift metrics ({'/'.join(keys)}) recorded for {table!r} — "
+        "refresh the index with drift_metrics=True first"
+    )
 
 
 def _chain_state(catalog, src_table: str, index_table: str, spec_key: str,
@@ -135,19 +251,28 @@ def refresh_ivf_index(
     n_cells: int = 16,
     sample_rows: int = 2048,
     seed: int = 23,
-    refine_iters: int = 0,
+    refine_iters: int = 1,
+    drift_metrics: bool = True,
 ) -> int:
     """Keep ``index_table`` = (id, embedding, cell) over ``src_table``'s
     full chain, training centroids ONCE (on rebuild) and assigning only
     the delta snapshots since the last refresh. Returns the index
     table's snapshot id. Centroids are the deterministic
     :func:`~lyssandra_spark.operators.similarity.ivf_topk` training
-    (ordered sample + seeded Lloyd, optional full-corpus refinement),
-    recorded in the manifest meta — delta batches are assigned under
-    them unchanged, so an indexed query equals the per-call operator
-    with the same artifacts. Rows land sorted by cell
-    (sortWithinPartitions — no extra shuffle) so each query's probe
-    scan prunes to its cells' row groups.
+    (unbiased hash-ordered sample + seeded Lloyd; ``refine_iters``
+    full-corpus distributed Lloyd passes — DEFAULT 1, so a frozen index
+    is never bounded by the driver sample), recorded in the manifest
+    meta — delta batches are assigned under them unchanged, so an
+    indexed query equals the per-call operator with the same artifacts.
+    Rows land sorted by cell (sortWithinPartitions — no extra shuffle)
+    so each query's probe scan prunes to its cells' row groups.
+
+    ``drift_metrics`` (default on) additionally records the batch's
+    mean squared distance-to-assigned-centroid in the manifest meta
+    (``ivf_drift``; one map-only pass over the rebuild corpus / the
+    delta): frozen centroids decay silently as the embedding
+    distribution drifts, and :func:`needs_retrain` turns this record
+    into the rebuild signal.
     """
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "n_cells": n_cells, "sample_rows": sample_rows, "seed": seed,
@@ -157,21 +282,21 @@ def refresh_ivf_index(
     )
     if rebuild:
         corpus = _dedup_src(catalog, src_table, id_col, emb_col)
-        sample = np.asarray(
-            [r[emb_col] for r in
-             corpus.orderBy(id_col).limit(sample_rows).collect()],
-            dtype=np.float64,
-        )
+        sample = _training_sample(corpus, id_col, emb_col, sample_rows)
         if sample.size == 0:
             raise ValueError("refresh_ivf_index requires a non-empty source")
         C = _lloyd_centroids(sample, n_cells, seed=seed)
         if refine_iters > 0:
             C = kmeans_refine(corpus, C, emb_col=emb_col, n_iter=refine_iters)
         tagged = tag_cell(corpus, C, emb_col, out_col="cell")
+        meta = {"ivf_spec": spec, "ivf_last_snap": newest,
+                "centroids": [[float(v) for v in row] for row in C]}
+        if drift_metrics:
+            q, n = mean_quantization_error(corpus, emb_col, _ivf_row_err(C))
+            meta["ivf_drift"] = _drift_meta(q, n, None)
         return catalog.write(
             tagged, index_table, mode="overwrite", sort_by=["cell"],
-            meta={"ivf_spec": spec, "ivf_last_snap": newest,
-                  "centroids": [[float(v) for v in row] for row in C]},
+            meta=meta,
         )
     if last >= newest:
         return idx_snaps[-1]["id"]  # nothing new: no-op
@@ -197,11 +322,19 @@ def refresh_ivf_index(
         (catalog.latest_meta(index_table, "centroids") or {})["centroids"],
         dtype=np.float64,
     )
+    meta = {"ivf_spec": spec, "ivf_last_snap": newest}
+    prior_drift = catalog.latest_meta(index_table, "ivf_drift")
+    if drift_metrics and prior_drift is not None:
+        # the batch's error under the FROZEN centroids vs the baseline
+        # recorded at training — the drift signal needs_retrain reads
+        q, n = mean_quantization_error(delta, emb_col, _ivf_row_err(C))
+        meta["ivf_drift"] = _drift_meta(
+            q, n, prior_drift["ivf_drift"]["baseline_qerr"]
+        )
     try:
         return catalog.write(
             tag_cell(delta, C, emb_col, out_col="cell"), index_table,
-            mode="append", sort_by=["cell"],
-            meta={"ivf_spec": spec, "ivf_last_snap": newest},
+            mode="append", sort_by=["cell"], meta=meta,
         )
     finally:
         delta.unpersist()
@@ -268,17 +401,22 @@ def refresh_pq_index(
     n_codes: int = 256,
     sample_rows: int = 2048,
     seed: int = 29,
-    refine_iters: int = 0,
+    refine_iters: int = 1,
+    drift_metrics: bool = True,
 ) -> int:
     """Keep ``index_table`` = (id, embedding, code) over ``src_table``'s
     chain: codebooks trained once (rebuild) exactly as
     :func:`~lyssandra_spark.operators.similarity.pq_topk` trains them
-    (normalized ordered sample, optional distributed refinement),
+    (normalized unbiased hash-ordered sample; ``refine_iters``
+    full-corpus distributed per-subspace Lloyd passes — DEFAULT 1, so
+    the frozen codebooks are never bounded by the driver sample),
     recorded in the manifest meta; deltas are quantized under the frozen
     codebooks. The embedding column rides along ONLY for the exact
     re-rank — parquet's columnar layout means the ADC scan reads just
     (id, code), ~64x less bandwidth than the vectors. Returns the index
-    snapshot id."""
+    snapshot id. ``drift_metrics`` records the batch's mean squared PQ
+    reconstruction error (``pq_drift`` meta, one map-only pass) for
+    :func:`needs_retrain`."""
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "m": m, "n_codes": n_codes, "sample_rows": sample_rows,
             "seed": seed, "refine_iters": refine_iters}
@@ -287,11 +425,7 @@ def refresh_pq_index(
     )
     if rebuild:
         corpus = _dedup_src(catalog, src_table, id_col, emb_col)
-        sample = np.asarray(
-            [r[emb_col] for r in
-             corpus.orderBy(id_col).limit(sample_rows).collect()],
-            dtype=np.float64,
-        )
+        sample = _training_sample(corpus, id_col, emb_col, sample_rows)
         if sample.size == 0:
             raise ValueError("refresh_pq_index requires a non-empty source")
         nrm = np.linalg.norm(sample, axis=1, keepdims=True)
@@ -301,11 +435,13 @@ def refresh_pq_index(
             books = pq_refine(corpus, books, emb_col=emb_col,
                               n_iter=refine_iters)
         coded = pq_assign_codes(corpus, books, id_col, emb_col)
-        return catalog.write(
-            coded, index_table, mode="overwrite",
-            meta={"pq_spec": spec, "pq_last_snap": newest,
-                  "codebooks": books.tolist()},
-        )
+        meta = {"pq_spec": spec, "pq_last_snap": newest,
+                "codebooks": books.tolist()}
+        if drift_metrics:
+            q, n = mean_quantization_error(corpus, emb_col,
+                                           _pq_row_err(books))
+            meta["pq_drift"] = _drift_meta(q, n, None)
+        return catalog.write(coded, index_table, mode="overwrite", meta=meta)
     if last >= newest:
         return idx_snaps[-1]["id"]
     delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
@@ -324,11 +460,17 @@ def refresh_pq_index(
         (catalog.latest_meta(index_table, "codebooks") or {})["codebooks"],
         dtype=np.float64,
     )
+    meta = {"pq_spec": spec, "pq_last_snap": newest}
+    prior_drift = catalog.latest_meta(index_table, "pq_drift")
+    if drift_metrics and prior_drift is not None:
+        q, n = mean_quantization_error(delta, emb_col, _pq_row_err(books))
+        meta["pq_drift"] = _drift_meta(
+            q, n, prior_drift["pq_drift"]["baseline_qerr"]
+        )
     try:
         return catalog.write(
             pq_assign_codes(delta, books, id_col, emb_col), index_table,
-            mode="append",
-            meta={"pq_spec": spec, "pq_last_snap": newest},
+            mode="append", meta=meta,
         )
     finally:
         delta.unpersist()
@@ -342,6 +484,7 @@ def pq_topk_indexed(
     rerank: int = 64,
     id_col: str | None = None,
     emb_col: str | None = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """:func:`~lyssandra_spark.operators.similarity.pq_topk` semantics
     from the persisted code table: the ADC scan streams ONLY (id, code)
@@ -350,7 +493,12 @@ def pq_topk_indexed(
     exact cosine re-rank joins true vectors for the bounded candidate
     set alone. Identical output to the per-call operator under the same
     codebooks (the per-batch partial top-k union provably contains the
-    global top-``rerank`` regardless of partitioning)."""
+    global top-``rerank`` regardless of partitioning).
+
+    The query frame is collected to the driver to build the per-query
+    ADC lookup tables, so it is bounded by ``max_queries`` (loud error
+    beyond — chunk the query set and union the results; per-query
+    outputs are independent). The CORPUS side is never collected."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -367,9 +515,7 @@ def pq_topk_indexed(
     )
     id_col = id_col or spec.get("id_col", "vec_id")
     emb_col = emb_col or spec.get("emb_col", "embedding")
-    q = queries.select(
-        F.col(id_col).cast("long"), F.col(emb_col).cast("array<double>")
-    ).collect()
+    q = _collect_bounded_queries(queries, id_col, emb_col, max_queries)
     if not q:
         return queries.sparkSession.createDataFrame(
             [], f"qid long, {id_col} long, cos_sim double, rk int"

@@ -52,9 +52,34 @@ __all__ = [
     "simhash_pairs_from_hashes",
     "embedding_neardup_pairs",
     "shingle_set",
+    "release_span_caches",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+# persisted hot-position tables created by dedup_spans/dedup_token_spans
+# (see _dedup_window_spans): each call caches one small per-affected-doc
+# frame so reassembly doesn't re-derive the discovery chain. A
+# long-lived driver running many dedup calls accumulates these until
+# LRU pressure evicts them — release_span_caches() frees them eagerly.
+_SPAN_CACHES: list[DataFrame] = []
+
+
+def release_span_caches() -> int:
+    """Unpersist every hot-position cache created by span/token-window
+    dedup calls in this session (safe any time: the caches are
+    lineage-preserving, so a still-running consumer just recomputes).
+    Returns the number of caches released. Long-running drivers should
+    call this after the dedup output has been written."""
+    n = 0
+    while _SPAN_CACHES:
+        df = _SPAN_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", keys=("doc_id",)) -> DataFrame:
@@ -457,8 +482,10 @@ def _dedup_window_spans(
     side-effect-free) and keeps lineage, so an executor loss recomputes
     rather than failing on a lost checkpoint block; the cache lives
     until Spark's LRU evicts it (it is one int-array row per affected
-    doc — small). ``materialize_hot=False`` skips the cache entirely
-    (plan-inspection tests).
+    doc — small) or the caller frees it eagerly via
+    :func:`release_span_caches` (long-lived drivers should, after the
+    dedup output is written). ``materialize_hot=False`` skips the
+    cache entirely (plan-inspection tests).
 
     Reassembly runs over AFFECTED docs only and is shuffle-based
     (posexplode -> covered-position join -> one groupBy(id), the
@@ -523,9 +550,13 @@ def _dedup_window_spans(
         # recomputes the partition instead of failing on a missing
         # checkpoint block — the durability a 1000-executor run needs).
         # Measured on the x24 bench: also faster (no eager extra job).
+        # Registered so release_span_caches() can free it once the
+        # caller's action has run (long-lived sessions otherwise
+        # accumulate one cached frame per dedup call).
         from pyspark.storagelevel import StorageLevel
 
         hot_pos = hot_pos.persist(StorageLevel.MEMORY_AND_DISK)
+        _SPAN_CACHES.append(hot_pos)
     # covered chunk positions, expanded per-row from the (tiny) arrays —
     # distinct by construction within a doc, no corpus-sized explode
     covered = hot_pos.select(

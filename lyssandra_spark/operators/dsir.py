@@ -222,7 +222,7 @@ def dsir_resample(
     salt: str = "dsir-gumbel-v1",
     temperature: float = 1.0,
     method: str = "auto",
-    exact_limit: int = 1_000_000,
+    exact_limit: int = 100_000,
     accuracy: int = 10_000,
 ) -> DataFrame:
     """Gumbel top-k resampling: k documents without replacement, with
@@ -245,8 +245,12 @@ def dsir_resample(
 
     - ``method="exact"`` — ``TakeOrderedAndProject``: each task keeps
       a k-row heap, the driver merges them. EXACTLY k rows, no
-      shuffle — but per-task memory is O(k), so it is only right for
-      bounded k (up to ~``exact_limit``).
+      shuffle — but per-task memory is O(k) PER CONCURRENT TASK (a
+      100k-row heap of wide rows x 32 task slots is already GBs of
+      executor memory), so the ``auto`` cutover to the threshold plan
+      is deliberately conservative at 100k; pass ``method="exact"``
+      with a larger ``exact_limit`` only when the rows are narrow and
+      exactly-k matters more than the heap footprint.
     - ``method="threshold"`` — the corpus-scale path (resampling 1% of
       10^11 documents cannot heap 10^9 rows per task): one
       ``approx_percentile`` sketch pass finds the (1 - k/n) quantile

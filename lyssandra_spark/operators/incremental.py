@@ -136,9 +136,13 @@ def dedup_new_batch(
     """
     if n_perm % bands != 0:
         raise ValueError(f"n_perm ({n_perm}) must be divisible by bands ({bands})")
+    # text_col is part of the identity: signatures computed from
+    # different text columns live in different spaces and must never
+    # silently append into one chain
     params = {
         "n_perm": n_perm, "bands": bands,
         "ngram_bytes": ngram_bytes, "seed": seed, "id_col": id_col,
+        "text_col": text_col,
     }
     prior = catalog.snapshots(table)
     # newest snapshot CARRYING the params (a compact() of the index
@@ -272,7 +276,8 @@ def simhash_new_batch(
     (id, simhash) projection — corpus text never re-read, hashes never
     recomputed.
     """
-    params = {"ngram_bytes": ngram_bytes, "id_col": id_col}
+    params = {"ngram_bytes": ngram_bytes, "id_col": id_col,
+              "text_col": text_col}
     prior = catalog.snapshots(table)
     replay, replay_as_of = _index_batch_state(
         catalog, table, prior, params, "simhash_params", batch_id
@@ -353,7 +358,7 @@ def embneardup_new_batch(
     if n_tables < 1:
         raise ValueError(f"n_tables ({n_tables}) must be >= 1")
     params = {"dim": dim, "n_planes": n_planes, "n_tables": n_tables,
-              "seed": seed, "id_col": id_col}
+              "seed": seed, "id_col": id_col, "emb_col": emb_col}
     prior = catalog.snapshots(table)
     replay, replay_as_of = _index_batch_state(
         catalog, table, prior, params, "emblsh_params", batch_id
@@ -363,8 +368,24 @@ def embneardup_new_batch(
         prior_as_of = replay_as_of
     else:
         prior_as_of = prior[-1]["id"] if prior else None
+        # in-plan width assert: a vector whose length != dim would
+        # null-pad zip_with on the literal bucket path and silently
+        # degrade recall (bits fold to 0 through NULL dots) — fail
+        # loudly instead. assert_true rides ON the emb column so column
+        # pruning can never drop the check, and it costs no extra job.
+        emb_checked = F.when(
+            F.assert_true(
+                F.size(F.col(emb_col).cast("array<double>")) == dim,
+                F.concat(
+                    F.lit(f"embedding width != dim ({dim}) for "
+                          f"{id_col}="),
+                    F.col(id_col).cast("string"),
+                ),
+            ).isNull(),
+            F.col(emb_col).cast("array<double>"),
+        )
         batch = new_vecs.dropDuplicates([id_col]).select(
-            id_col, F.col(emb_col).cast("array<double>").alias("emb")
+            id_col, emb_checked.alias("emb")
         )
         if prior_as_of is not None:
             indexed_ids = catalog.read(table, as_of=prior_as_of).select(id_col)

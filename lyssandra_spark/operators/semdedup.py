@@ -22,12 +22,14 @@ pipeline can share one clustering between ANN search and semantic
 dedup. Cell assignment is :func:`tag_cell` (pure JVM under 64 cells,
 broadcast Arrow pass above). The per-cell prune is ONE
 ``applyInPandas`` over ``groupBy(cell)`` — a single shuffle keyed by
-cell, then local numpy (a BLAS GEMM for the similarity block plus a
-union-find). Oversized cells (skewed clusterings at small
-``n_clusters``) are deterministically SUB-clustered inside the worker
-before pairing, bounding the PAIRWISE block at ``max_cell^2`` floats —
-the knob that keeps one hot cell's O(c^2) from becoming a straggler.
-(The cell's rows themselves still stream into one task — size
+cell, then local numpy (chunked-row BLAS GEMMs for the similarity
+block — live memory is bounded at chunk x cell_rows, never a full
+(n, n) Gram matrix — plus a union-find). Oversized cells (skewed
+clusterings at small ``n_clusters``) are deterministically
+SUB-clustered inside the worker before pairing — ``max_cell`` caps the
+quadratic COMPUTE term at ``max_cell^2`` flops per sub-block, the knob
+that keeps one hot cell's O(c^2) from becoming a straggler. (The
+cell's rows themselves still stream into one task — size
 ``n_clusters`` to the corpus, as the paper does with 50k clusters for
 600M points, so cells fit in worker memory; sub-clustering bounds the
 quadratic term, not the linear one.)
@@ -35,10 +37,11 @@ Sub-clustering is the same approximation the top-level clustering
 already is: near-dups split across sub-cells can be missed, but exact
 duplicates never are (identical vectors always co-assign).
 
-Determinism: centroids are seeded from an ``orderBy(id).limit``
-sample, groups and keep choices break ties on the id column, and no
-step depends on partitioning — re-running on a repartitioned corpus
-returns the identical keep set.
+Determinism: centroids are seeded from a deterministic hash-ordered
+sample (``orderBy(xxhash64(id)).limit`` — unbiased on a source-sorted
+corpus, same TakeOrderedAndProject plan), groups and keep choices
+break ties on the id column, and no step depends on partitioning —
+re-running on a repartitioned corpus returns the identical keep set.
 """
 
 from __future__ import annotations
@@ -51,6 +54,7 @@ from pyspark.sql import types as T
 
 from lyssandra_spark.operators.similarity import (
     _lloyd_centroids,
+    _training_sample,
     assign_cells_arrow,
 )
 
@@ -90,12 +94,21 @@ def _prune_block(
             i = parent[i]
         return i
 
-    G = Xn @ Xn.T
-    ii, jj = np.where(np.triu(G >= threshold, k=1))
-    for i, j in zip(ii, jj):
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[max(ri, rj)] = min(ri, rj)
+    # >=threshold pairs found in ROW CHUNKS of the Gram product: one
+    # full (n, n) float64 block of a hot 50k-row cell is ~20 GB plus
+    # comparable boolean masks — exactly the skewed-cell case the
+    # max_cell knob exists for. Chunking bounds live memory at
+    # chunk x n (~256 MB worst case) while producing the identical
+    # upper-triangle pair set; compute stays the same GEMM flops.
+    chunk = max(256, (1 << 25) // max(n, 1))
+    for s0 in range(0, n, chunk):
+        blk = Xn[s0:s0 + chunk] @ Xn.T  # (<=chunk, n)
+        bi, bj = np.where(blk >= threshold)
+        up = bj > bi + s0  # strictly upper triangle in GLOBAL indices
+        for i, j in zip(bi[up] + s0, bj[up]):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
     root = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
 
     # per-group keeper: lowest centroid sim, then smallest id
@@ -123,7 +136,7 @@ def semdedup(
     threshold: float = 0.9,
     sample_rows: int = 4096,
     seed: int = 23,
-    max_cell: int = 50_000,
+    max_cell: int = 12_000,
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Tag every row with its semantic-duplicate group and keep flag.
@@ -146,18 +159,12 @@ def semdedup(
     if max_cell < 2:
         raise ValueError(f"max_cell ({max_cell}) must be >= 2")
     if centroids is None:
-        sample = np.asarray(
-            [
-                r["e"]
-                for r in df.select(
-                    F.col(id_col).alias("i"),
-                    F.col(emb_col).cast("array<double>").alias("e"),
-                )
-                .orderBy("i")
-                .limit(sample_rows)
-                .collect()
-            ],
-            dtype=np.float64,
+        sample = _training_sample(
+            df.select(
+                F.col(id_col).alias("i"),
+                F.col(emb_col).cast("array<double>").alias("e"),
+            ),
+            "i", "e", sample_rows,
         )
         if len(sample) == 0:
             centroids = np.zeros((1, 2))
@@ -257,6 +264,7 @@ def semdedup_new_batch(
     seed: int = 23,
     batch_id: str | None = None,
     centroids: np.ndarray | None = None,
+    drift_metrics: bool = True,
 ) -> tuple[DataFrame, int]:
     """Online semantic dedup: admit a NEW batch against the persisted
     exemplar index — the fourth generator on the
@@ -279,9 +287,12 @@ def semdedup_new_batch(
     Index identity: centroids are trained ONCE on the bootstrap batch's
     deterministic sample and frozen in the manifest meta (the
     :func:`~lyssandra_spark.operators.ann_index.refresh_ivf_index`
-    convention, including its honestly-stated drift caveat);
-    (n_clusters, sample_rows, seed, threshold, id_col) are validated
-    against the chain head on every call. ``centroids`` injects a
+    convention — and like it, every batch records its mean cosine
+    quantization error in the manifest meta (``semdedup_drift``) so
+    :func:`~lyssandra_spark.operators.ann_index.needs_retrain` can
+    signal when the frozen clustering has drifted);
+    (n_clusters, sample_rows, seed, threshold, id_col, emb_col) are
+    validated against the chain head on every call. ``centroids`` injects a
     pre-trained clustering at bootstrap (share the IVF index's, or fix
     them in tests) and is rejected on any later batch — the frozen
     artifact cannot change mid-chain. Retry (``batch_id``) and
@@ -306,8 +317,11 @@ def semdedup_new_batch(
 
     if not (0.0 < threshold):
         raise ValueError(f"threshold ({threshold}) must be > 0")
+    # id_col AND emb_col are index identity: signatures/decisions made
+    # from different columns must never silently mix in one chain
     params = {"n_clusters": n_clusters, "sample_rows": sample_rows,
-              "seed": seed, "threshold": threshold, "id_col": id_col}
+              "seed": seed, "threshold": threshold, "id_col": id_col,
+              "emb_col": emb_col}
     prior = catalog.snapshots(table)
     replay, _ = _index_batch_state(
         catalog, table, prior, params, "semdedup_params", batch_id
@@ -336,11 +350,7 @@ def semdedup_new_batch(
         meta = {"semdedup_params": params}
     else:
         if centroids is None:
-            sample = np.asarray(
-                [r["__e"] for r in
-                 batch.orderBy("__id").limit(sample_rows).collect()],
-                dtype=np.float64,
-            )
+            sample = _training_sample(batch, "__id", "__e", sample_rows)
             if sample.size == 0:
                 raise ValueError(
                     "semdedup_new_batch bootstrap requires a non-empty batch"
@@ -354,6 +364,36 @@ def semdedup_new_batch(
                 "centroids": [[float(v) for v in row] for row in C]}
     if batch_id is not None:
         meta["batch_id"] = batch_id
+    if drift_metrics:
+        # frozen-centroid drift signal: the batch's mean cosine
+        # quantization error (1 - cos to the nearest centroid; zero-norm
+        # rows skipped) vs the bootstrap baseline — needs_retrain reads
+        # it. One extra map-only pass over the NEW rows only.
+        from lyssandra_spark.operators.ann_index import (
+            _drift_meta,
+            mean_quantization_error,
+        )
+
+        Cn_drift = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-30
+        )
+
+        def _sd_err(X, _Cn=Cn_drift):
+            nrm = np.linalg.norm(X, axis=1)
+            ok = nrm > 0
+            return 1.0 - ((X[ok] / nrm[ok, None]) @ _Cn.T).max(1)
+
+        q_err, n_err = mean_quantization_error(batch, "__e", _sd_err)
+        if n_err > 0:
+            prior_drift = (
+                catalog.latest_meta(table, "semdedup_drift") if prior
+                else None
+            )
+            meta["semdedup_drift"] = _drift_meta(
+                q_err, n_err,
+                prior_drift["semdedup_drift"]["baseline_qerr"]
+                if prior_drift else None,
+            )
 
     id_type = batch.schema["__id"].dataType
     out_schema = T.StructType([

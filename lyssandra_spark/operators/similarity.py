@@ -47,6 +47,28 @@ def _as_double(df, id_col, emb_col, out="emb"):
     return df.select(F.col(id_col), F.col(emb_col).cast("array<double>").alias(out))
 
 
+def _training_sample(df: DataFrame, order_col: str, value_col: str,
+                     n: int) -> np.ndarray:
+    """Deterministic, UNBIASED driver-side training sample: the first
+    ``n`` rows by ``xxhash64(order_col)`` (ties on the raw column).
+
+    ``orderBy(id).limit(n)`` is deterministic but takes the HEAD of the
+    id space — on a 100 TB corpus clustered by source/date the first few
+    thousand ids are one source, so k-means/PQ artifacts trained on them
+    degenerate (skewed cells, quietly degraded recall). Hashing the id
+    first keeps the same properties that made the ordered sample right
+    (stable across runs and repartitionings, compiles to
+    ``TakeOrderedAndProject`` — bounded driver memory, no global sort)
+    while drawing uniformly from the WHOLE id population.
+    """
+    return np.asarray(
+        [r[value_col] for r in
+         df.orderBy(F.xxhash64(F.col(order_col)), F.col(order_col))
+         .limit(n).collect()],
+        dtype=np.float64,
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", emb_col: str = "embedding",
@@ -471,11 +493,34 @@ def pq_refine(
     return books
 
 
+def _collect_bounded_queries(queries: DataFrame, id_col: str, emb_col: str,
+                             max_queries: int) -> list:
+    """Collect the query frame to the driver, LOUDLY refusing above
+    ``max_queries``. The PQ paths build one (m, n_codes) float64 lookup
+    table per query on the driver and broadcast the stack (~16 KB per
+    query at m=8, n_codes=256), so an unbounded caller joining a
+    corpus-sized "query" table would OOM the driver silently — the
+    guard converts that into an actionable error (chunk the query set
+    and union the results; every chunk's output is independent)."""
+    rows = queries.select(
+        F.col(id_col).cast("long"), F.col(emb_col).cast("array<double>")
+    ).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query table exceeds max_queries ({max_queries}): the PQ "
+            "LUT broadcast is per-query driver state — chunk the query "
+            "set (results are independent per query) or raise "
+            "max_queries deliberately"
+        )
+    return rows
+
+
 def pq_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", emb_col: str = "embedding",
     m: int = 8, n_codes: int = 256, rerank: int = 64,
     sample_rows: int = 2048, seed: int = 29, refine_iters: int = 0,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization + ADC scan +
     exact re-rank — the representation that makes ANN feasible at 100 TB.
@@ -488,10 +533,11 @@ def pq_topk(
     the candidate scan streams codes, never vectors. Pipeline (all
     map-only until the final tiny top-k window):
 
-    1. train codebooks on a deterministic ordered sample (driver, tiny);
-       ``refine_iters > 0`` then runs distributed per-subspace Lloyd
-       passes over the FULL corpus (:func:`pq_refine`) so codebook
-       quality is not bounded by the head-of-table sample;
+    1. train codebooks on a deterministic hash-ordered sample (driver,
+       tiny, unbiased — :func:`_training_sample`); ``refine_iters > 0``
+       then runs distributed per-subspace Lloyd passes over the FULL
+       corpus (:func:`pq_refine`) so codebook quality is not bounded by
+       the driver sample;
     2. ONE mapInArrow scan quantizes each (L2-normalized) corpus vector
        and scores ALL queries against it via asymmetric distance — each
        query's (m, n_codes) inner-product lookup table is broadcast, so
@@ -510,10 +556,7 @@ def pq_topk(
     from pyspark.sql import types as T
 
     c = _as_double(corpus, id_col, emb_col, "emb")
-    sample = np.asarray(
-        [r["emb"] for r in c.orderBy(id_col).limit(sample_rows).collect()],
-        dtype=np.float64,
-    )
+    sample = _training_sample(c, id_col, "emb", sample_rows)
     if sample.size == 0:
         raise ValueError("pq_topk requires a non-empty corpus")
     nrm = np.linalg.norm(sample, axis=1, keepdims=True)
@@ -523,9 +566,7 @@ def pq_topk(
         # full-corpus per-subspace Lloyd refinement (see pq_refine): index
         # quality reflects all rows, not the head-of-table driver sample
         books = pq_refine(c, books, emb_col="emb", n_iter=refine_iters)
-    q = queries.select(
-        F.col(id_col).cast("long"), F.col(emb_col).cast("array<double>")
-    ).collect()
+    q = _collect_bounded_queries(queries, id_col, emb_col, max_queries)
     if not q:
         return corpus.sparkSession.createDataFrame(
             [], f"qid long, {id_col} long, cos_sim double, rk int"
@@ -889,12 +930,10 @@ def ivf_topk(
     c = _as_double(corpus, id_col, emb_col, "emb")
     # Deterministic centroid sample: a bare limit() picks whichever
     # partitions answer first, making the IVF index (and its recall)
-    # unstable across runs/repartitions. orderBy+limit compiles to
-    # TakeOrderedAndProject — bounded driver memory, stable result.
-    sample = np.asarray(
-        [r["emb"] for r in c.orderBy(id_col).limit(sample_rows).collect()],
-        dtype=np.float64,
-    )
+    # unstable across runs/repartitions; _training_sample hash-orders the
+    # ids so the draw is ALSO unbiased (not the head of a source-sorted
+    # corpus) while still compiling to TakeOrderedAndProject.
+    sample = _training_sample(c, id_col, "emb", sample_rows)
     C = _lloyd_centroids(sample, n_cells, seed=seed)
     if refine_iters > 0:
         C = kmeans_refine(c, C, emb_col="emb", n_iter=refine_iters)

@@ -32,14 +32,30 @@ def _sorted(df):
     )
 
 
+def _hash_ranked_ids(emb):
+    """vec_ids in the trainers' hash-sample order (xxhash64 asc) — the
+    incremental==rebuild equality tests need the bootstrap batch to
+    CONTAIN the full corpus's training sample, so batches are cut along
+    this order instead of raw id ranges."""
+    return [
+        r["vec_id"]
+        for r in emb.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id").collect()
+    ]
+
+
 def test_ivf_indexed_matches_per_call(spark, emb, tmp_path):
-    """ivf_topk_indexed == ivf_topk bit-for-bit: identical ordered
+    """ivf_topk_indexed == ivf_topk bit-for-bit: identical hash-ordered
     sample (the full 500-row table fits under sample_rows) -> identical
-    centroids -> identical cells, probes, and rankings. The serving
-    plan reads the index table only — the source table never appears."""
+    centroids -> identical cells, probes, and rankings. refine_iters=0
+    on both sides — bit-exact parity is only CONTRACTED at refine 0
+    (distributed refinement sums floats in partition order; see
+    kmeans_refine); the refine default is covered by
+    test_refresh_defaults_refine_and_record_drift. The serving plan
+    reads the index table only — the source table never appears."""
     cat = ParquetCatalog(spark, str(tmp_path))
     cat.write(emb, "vecs", mode="overwrite")
-    sid = refresh_ivf_index(cat, "vecs", "ivf")
+    sid = refresh_ivf_index(cat, "vecs", "ivf", refine_iters=0)
     q = emb.where(F.col("vec_id") < 6)
 
     got = _sorted(ivf_topk_indexed(cat, "ivf", q, k=5, nprobe=4))
@@ -47,7 +63,7 @@ def test_ivf_indexed_matches_per_call(spark, emb, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
     # no new source snapshot -> refresh is a no-op (same index snapshot)
-    assert refresh_ivf_index(cat, "vecs", "ivf") == sid
+    assert refresh_ivf_index(cat, "vecs", "ivf", refine_iters=0) == sid
 
     # catalog scans carry the snap partition column; the index scan is
     # recognizable by its cell column, the source table by label. (Path
@@ -72,12 +88,16 @@ def test_ivf_indexed_matches_per_call(spark, emb, tmp_path):
 def test_ivf_incremental_equals_full_rebuild(spark, emb, tmp_path):
     """Delta snapshots assigned under the FROZEN centroids == one-shot
     rebuild over the full corpus, provided both train on the same
-    sample (batch 1 holds the lowest `sample_rows` ids). Also pins the
+    sample (batch 1 holds the first `sample_rows` ids in HASH order —
+    the trainers draw by xxhash64(id), so containment is arranged along
+    that order). refine_iters=0: refinement would train over each
+    table's own corpus, which differs by construction. Also pins the
     re-ingest guard (appending old rows advances the watermark without
     duplicating index rows)."""
-    b1 = emb.where(F.col("vec_id") < 250)
-    b2 = emb.where(F.col("vec_id") >= 250)
-    kw = dict(n_cells=8, sample_rows=64, seed=23)
+    ranked = _hash_ranked_ids(emb)
+    b1 = emb.where(F.col("vec_id").isin(ranked[:250]))
+    b2 = emb.where(~F.col("vec_id").isin(ranked[:250]))
+    kw = dict(n_cells=8, sample_rows=64, seed=23, refine_iters=0)
 
     cat = ParquetCatalog(spark, str(tmp_path))
     cat.write(b1, "vecs", mode="overwrite")
@@ -118,24 +138,31 @@ def test_ivf_incremental_equals_full_rebuild(spark, emb, tmp_path):
 
 
 def test_pq_indexed_matches_per_call(spark, emb, tmp_path):
-    """pq_topk_indexed == pq_topk bit-for-bit under identical codebooks,
-    and the ADC scan's parquet read prunes to (id, code) — the true
-    vectors never cross that scan (the 64x-bandwidth point of PQ)."""
+    """pq_topk_indexed == pq_topk bit-for-bit under identical codebooks
+    (refine_iters=0 on both sides — the bit-exact-parity setting, as in
+    the IVF twin above), and the ADC scan's parquet read prunes to
+    (id, code) — the true vectors never cross that scan (the
+    64x-bandwidth point of PQ)."""
     cat = ParquetCatalog(spark, str(tmp_path))
     cat.write(emb, "vecs", mode="overwrite")
-    sid = refresh_pq_index(cat, "vecs", "pq", m=8, n_codes=32)
+    sid = refresh_pq_index(cat, "vecs", "pq", m=8, n_codes=32,
+                           refine_iters=0)
     q = emb.where(F.col("vec_id") < 6)
 
     got = _sorted(pq_topk_indexed(cat, "pq", q, k=5, rerank=48))
     want = _sorted(S.pq_topk(emb, q, k=5, rerank=48, m=8, n_codes=32))
     pd.testing.assert_frame_equal(got, want)
 
-    assert refresh_pq_index(cat, "vecs", "pq", m=8, n_codes=32) == sid
+    assert refresh_pq_index(cat, "vecs", "pq", m=8, n_codes=32,
+                            refine_iters=0) == sid
 
     plan = (
         pq_topk_indexed(cat, "pq", q, k=5, rerank=48)
         ._jdf.queryExecution().executedPlan().toString()
     )
+    # an over-large query table can't silently OOM the driver LUT build
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk_indexed(cat, "pq", emb, k=5, max_queries=100)
     cat_scans = [
         ln for ln in plan.splitlines() if "FileScan" in ln and "snap#" in ln
     ]
@@ -154,10 +181,13 @@ def test_pq_indexed_matches_per_call(spark, emb, tmp_path):
 
 def test_pq_incremental_equals_full_rebuild(spark, emb, tmp_path):
     """Frozen-codebook delta quantization == one-shot rebuild when both
-    train on the same ordered sample; indexed rankings coincide."""
-    b1 = emb.where(F.col("vec_id") < 250)
-    b2 = emb.where(F.col("vec_id") >= 250)
-    kw = dict(m=8, n_codes=16, sample_rows=64, seed=29)
+    train on the same hash-ordered sample (batch 1 = the hash-first 250
+    ids, so it contains the full table's 64-row draw); indexed rankings
+    coincide."""
+    ranked = _hash_ranked_ids(emb)
+    b1 = emb.where(F.col("vec_id").isin(ranked[:250]))
+    b2 = emb.where(~F.col("vec_id").isin(ranked[:250]))
+    kw = dict(m=8, n_codes=16, sample_rows=64, seed=29, refine_iters=0)
 
     cat = ParquetCatalog(spark, str(tmp_path))
     cat.write(b1, "vecs", mode="overwrite")
@@ -224,11 +254,15 @@ def test_ann_index_survives_audit_compaction(spark, emb, tmp_path):
     frozen centroids/codebooks survive, and a later delta still folds
     incrementally. Covers both IVF and PQ (shared chain-state path,
     separate delta-None branches)."""
-    b1a = emb.where(F.col("vec_id") < 150)
-    b1b = emb.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 250))
-    b2 = emb.where(F.col("vec_id") >= 250)
-    ivf_kw = dict(n_cells=8, sample_rows=64, seed=23)
-    pq_kw = dict(m=8, n_codes=16, sample_rows=64, seed=29)
+    ranked = _hash_ranked_ids(emb)
+    b1a = emb.where(F.col("vec_id").isin(ranked[:150]))
+    b1b = emb.where(F.col("vec_id").isin(ranked[150:250]))
+    b2 = emb.where(~F.col("vec_id").isin(ranked[:250]))
+    # refine_iters=0: the final assertion compares against a one-shot
+    # rebuild over the FULL corpus, which refinement would train on a
+    # different row population than the frozen bootstrap artifacts
+    ivf_kw = dict(n_cells=8, sample_rows=64, seed=23, refine_iters=0)
+    pq_kw = dict(m=8, n_codes=16, sample_rows=64, seed=29, refine_iters=0)
 
     cat = ParquetCatalog(spark, str(tmp_path))
     cat.write(b1a, "vecs", mode="overwrite")
@@ -271,3 +305,220 @@ def test_ann_index_survives_audit_compaction(spark, emb, tmp_path):
         .sort_values("vec_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(gi, gf)
+
+
+# ------------------------------------------------- round-8: sample bias,
+# refine defaults, drift watermark
+
+
+def _clustered_corpus(spark, n_per=200, n_clusters=4, dim=8, seed=7):
+    """A source-clustered, id-sorted corpus: ids 0..n_per-1 are all
+    drawn from cluster 0, the next n_per from cluster 1, ... — the
+    100 TB-corpus-sorted-by-source shape where a head-of-table training
+    sample sees exactly ONE source."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 20.0
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(size=(n_per, dim)) * 0.2
+        rows += [
+            (c * n_per + i, [float(v) for v in pts[i]]) for i in range(n_per)
+        ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_training_sample_unbiased_on_source_clustered_corpus(spark, tmp_path):
+    """The regression the hash-ordered sample exists for: on an
+    id-sorted corpus whose head is ONE tight source cluster, a
+    sample_rows draw smaller than the first cluster must still see
+    every cluster — whereas the historical ``orderBy(id).limit`` head
+    sample is 100% cluster 0, so its trained centroids subdivide one
+    source and quantize the other 3/4 of the corpus badly."""
+    from lyssandra_spark.operators.similarity import (
+        _lloyd_centroids,
+        _training_sample,
+    )
+
+    df = _clustered_corpus(spark)  # 4 clusters x 200 rows, ids sorted
+    X = np.asarray(
+        [r["embedding"] for r in df.orderBy("vec_id").collect()]
+    )
+
+    # sample_rows=64 < 200 = head cluster size
+    hash_sample = _training_sample(df, "vec_id", "embedding", 64)
+    head_sample = np.asarray(
+        [r["embedding"]
+         for r in df.orderBy("vec_id").limit(64).collect()]
+    )
+
+    def clusters_of(sample):
+        # nearest true center identifies each sampled row's source
+        centers = np.stack([X[c * 200:(c + 1) * 200].mean(0)
+                            for c in range(4)])
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        return np.bincount(d2.argmin(1), minlength=4)
+
+    head_counts = clusters_of(head_sample)
+    hash_counts = clusters_of(hash_sample)
+    assert head_counts[0] == 64 and head_counts[1:].sum() == 0  # the bias
+    assert (hash_counts > 0).all(), hash_counts  # every source sampled
+    assert hash_counts.max() <= 32, hash_counts  # near-uniform draw
+
+    # and the artifact-level consequence: centroids trained on the
+    # unbiased sample quantize the FULL corpus strictly better
+    def qerr(C):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return d2.min(1).mean()
+
+    q_hash = qerr(_lloyd_centroids(hash_sample, 4, seed=23))
+    q_head = qerr(_lloyd_centroids(head_sample, 4, seed=23))
+    assert q_hash < 0.25 * q_head, (q_hash, q_head)
+
+    # end-to-end: the refresh builder trains on the unbiased sample, so
+    # the drift baseline it records (its own full-corpus mean
+    # quantization error) carries the hash sample's quality — far below
+    # what head-trained centroids would score. (Exact per-source cell
+    # purity is NOT asserted: seeded Lloyd may legitimately merge/split
+    # clusters; quantization error is the contract.)
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(df, "vecs", mode="overwrite")
+    refresh_ivf_index(cat, "vecs", "ivf", n_cells=4, sample_rows=64,
+                      refine_iters=0)
+    drift = cat.latest_meta("ivf", "ivf_drift")["ivf_drift"]
+    assert drift["mean_qerr"] == pytest.approx(q_hash, rel=1e-9)
+    assert drift["mean_qerr"] < 0.25 * q_head
+
+
+def test_refresh_defaults_refine_and_record_drift(spark, emb, tmp_path):
+    """The refresh builders' DEFAULTS now include one full-corpus Lloyd
+    pass and drift recording: the frozen centroids differ from the raw
+    sample training (refinement actually ran), the manifest carries
+    ivf_drift with baseline == first batch's mean_qerr, and a fresh
+    index is never 'needs retrain'."""
+    from lyssandra_spark.operators.ann_index import needs_retrain
+    from lyssandra_spark.operators.similarity import (
+        _lloyd_centroids,
+        _training_sample,
+    )
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(emb, "vecs", mode="overwrite")
+    refresh_ivf_index(cat, "vecs", "ivf", n_cells=8, sample_rows=64)
+    spec = cat.latest_meta("ivf", "ivf_spec")["ivf_spec"]
+    assert spec["refine_iters"] == 1
+    C = np.asarray(cat.latest_meta("ivf", "centroids")["centroids"])
+    raw = _lloyd_centroids(
+        _training_sample(
+            emb.select("vec_id", F.col("embedding").cast("array<double>")
+                       .alias("embedding")),
+            "vec_id", "embedding", 64,
+        ),
+        8, seed=23,
+    )
+    assert not np.allclose(C, raw)  # the full-corpus pass moved them
+    drift = cat.latest_meta("ivf", "ivf_drift")["ivf_drift"]
+    assert drift["n"] == emb.count()
+    assert drift["mean_qerr"] == drift["baseline_qerr"] > 0
+    assert needs_retrain(cat, "ivf") is False
+
+    # indexed queries still return full top-k under refined artifacts
+    q = emb.where(F.col("vec_id") < 6)
+    got = ivf_topk_indexed(cat, "ivf", q, k=5, nprobe=4).toPandas()
+    assert sorted(got.groupby("qid").size()) == [5] * 6
+
+
+def test_needs_retrain_flips_on_drifted_batch(spark, tmp_path):
+    """A second batch drawn FAR from the bootstrap distribution flips
+    needs_retrain; a second batch from the SAME distribution does not.
+    Covers IVF and PQ (shared drift plumbing, separate error metrics)."""
+    from lyssandra_spark.operators.ann_index import needs_retrain
+
+    rng = np.random.default_rng(3)
+    # bootstrap distribution: two tight direction clusters (so the
+    # trained cells/codebooks SPECIALIZE — the realistic frozen-index
+    # state); drifted batch: an orthogonal direction neither artifact
+    # ever saw
+    d1 = np.array([1.0, 0, 0, 0, 1.0, 0, 0, 0])
+    d2 = np.array([0, 1.0, 0, 0, 0, 1.0, 0, 0])
+    d3 = np.array([0, 0, 1.0, 0, 0, 0, 1.0, 0])
+    base = np.vstack([
+        d1 + rng.normal(size=(150, 8)) * 0.05,
+        d2 + rng.normal(size=(150, 8)) * 0.05,
+    ])
+    same = np.vstack([
+        d1 + rng.normal(size=(50, 8)) * 0.05,
+        d2 + rng.normal(size=(50, 8)) * 0.05,
+    ])
+    far = d3 + rng.normal(size=(100, 8)) * 0.05
+
+    def _df(mat, id0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(v) for v in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    for kind, refresh in (("ivf", refresh_ivf_index),
+                          ("pq", refresh_pq_index)):
+        kw = dict(sample_rows=128, refine_iters=1)
+        if kind == "pq":
+            kw.update(m=4, n_codes=16)
+        else:
+            kw.update(n_cells=8)
+        cat = ParquetCatalog(spark, str(tmp_path / kind))
+        cat.write(_df(base, 0), "vecs", mode="overwrite")
+        refresh(cat, "vecs", "idx", **kw)
+        assert needs_retrain(cat, "idx") is False
+
+        cat.write(_df(same, 1000), "vecs", mode="append")
+        refresh(cat, "vecs", "idx", **kw)
+        assert needs_retrain(cat, "idx") is False, kind
+
+        cat.write(_df(far, 2000), "vecs", mode="append")
+        refresh(cat, "vecs", "idx", **kw)
+        assert needs_retrain(cat, "idx") is True, kind
+        # the baseline survives across batches (carried forward)
+        key = f"{kind}_drift"
+        d = cat.latest_meta("idx", key)[key]
+        assert d["mean_qerr"] > 1.5 * d["baseline_qerr"]
+
+    with pytest.raises(ValueError, match="drift"):
+        cat2 = ParquetCatalog(spark, str(tmp_path / "none"))
+        cat2.write(_df(base[:10], 0), "t", mode="overwrite")
+        needs_retrain(cat2, "t")
+
+
+def test_semdedup_online_drift_watermark(spark, tmp_path):
+    """Online SemDeDup records semdedup_drift per batch; a batch far
+    outside the frozen clustering flips needs_retrain."""
+    from lyssandra_spark.operators.ann_index import needs_retrain
+    from lyssandra_spark.operators.semdedup import semdedup_new_batch
+
+    rng = np.random.default_rng(9)
+    # bootstrap: two tight direction clusters; drifted: an orthogonal
+    # direction the frozen centroids never saw (cos to every centroid
+    # far below the bootstrap rows' cos to theirs)
+    base = np.vstack([
+        np.array([1.0, 0, 0, 0]) + rng.normal(size=(60, 4)) * 0.05,
+        np.array([0, 1.0, 0, 0]) + rng.normal(size=(60, 4)) * 0.05,
+    ])
+    far = np.array([0, 0, 1.0, 0]) + rng.normal(size=(60, 4)) * 0.05
+
+    def _df(mat, id0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(v) for v in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    semdedup_new_batch(cat, "sd", _df(base, 0), n_clusters=8,
+                       sample_rows=128, threshold=0.95)
+    assert needs_retrain(cat, "sd", threshold=2.0) is False
+    d0 = cat.latest_meta("sd", "semdedup_drift")["semdedup_drift"]
+    assert d0["mean_qerr"] == d0["baseline_qerr"]
+
+    semdedup_new_batch(cat, "sd", _df(far, 1000), n_clusters=8,
+                       sample_rows=128, threshold=0.95)
+    assert needs_retrain(cat, "sd", threshold=2.0) is True
+    d1 = cat.latest_meta("sd", "semdedup_drift")["semdedup_drift"]
+    assert d1["baseline_qerr"] == d0["baseline_qerr"]  # carried forward
+    assert d1["mean_qerr"] > d1["baseline_qerr"]

@@ -29,7 +29,8 @@ def test_registry_shape():
     for key in ("encode_kernel_summaries", "flagship_session_features",
                 "flagship_skeleton", "leakage_audit", "session_code_pooling",
                 "dedup_minhash_clusters", "simhash_neardup_pairs",
-                "ann_topk_variants"):
+                "ann_topk_variants", "semdedup_embeddings",
+                "dsir_fit_score_sample"):
         assert key in qs, key
     # round-6 registry swap: the flagship LLM ops hold ORACLED rows (the
     # scalar_* rows were consolidated, q5 retired, and the two backward
@@ -43,6 +44,11 @@ def test_registry_shape():
                  "asof_backward_latest_order",
                  "asof_union_strategy_equivalence"):
         assert gone not in qs, f"{gone} was retired in round 6"
+    # round-8 consolidation: both merged into variant-tagged union rows
+    # (ann_topk_variants's 'lsh' leg; encode_kernel_summaries's
+    # 'ksvd_learn' legs) to fund the semdedup/dsir rows
+    for gone in ("ann_lsh_topk", "dictionary_learning"):
+        assert gone not in qs, f"{gone} was consolidated in round 8"
 
 
 def test_every_oracle_sql_binds_in_duckdb():

@@ -904,3 +904,30 @@ def test_dedup_paragraphs_separator_containing_quote_end(spark):
     assert out.loc[0, "n_paras"] == 3 and out.loc[0, "n_removed"] == 1
     assert out.loc[1, "text"] == "unique B"
     assert out.loc[2, "text"] == "no separator here"
+
+
+def test_release_span_caches(spark):
+    """Every dedup_spans/dedup_token_spans call caches one hot-position
+    frame; release_span_caches() frees them all (long-lived drivers
+    would otherwise accumulate one per call until LRU pressure), and a
+    released result still recomputes correctly (the cache is
+    lineage-preserving, not a checkpoint)."""
+    from lyssandra_spark.operators.dedup import _SPAN_CACHES, release_span_caches
+
+    release_span_caches()  # clean slate from earlier tests in the module
+    docs = spark.createDataFrame(
+        [(1, "dup one. dup two. dup three. solo a."),
+         (2, "dup one. dup two. dup three. solo b."),
+         (3, "other text entirely.")],
+        "doc_id long, text string",
+    )
+    out = DD.dedup_spans(docs, n_sents=3, min_dup=2)
+    before = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(_SPAN_CACHES) == 1
+    assert release_span_caches() == 1
+    assert not _SPAN_CACHES
+    # the already-built plan still evaluates identically post-release
+    after = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # idempotent
+    assert release_span_caches() == 0

@@ -301,3 +301,29 @@ def test_resample_threshold_method(spark):
     assert dsir_resample(df, n + 5, method="threshold").count() == n
     with pytest.raises(ValueError, match="method"):
         dsir_resample(df, 5, method="nope")
+
+
+def test_resample_auto_routes_to_threshold_above_exact_limit(spark):
+    """The auto cutover is deliberately conservative (exact_limit
+    default 100k — a per-task k-row heap is per CONCURRENT task): above
+    it the default path must be the sketch+filter plan, never
+    TakeOrdered."""
+    import inspect
+
+    sig = inspect.signature(dsir_resample)
+    assert sig.parameters["exact_limit"].default == 100_000
+
+    df = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).cast("double").alias("dsir_logw"),
+    )
+    got = dsir_resample(df, 150_000)  # method="auto", k > exact_limit
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    n = got.count()
+    assert abs(n - 150_000) <= 15_000  # sketch-approximate cut
+    # and under the limit the exact heap plan still serves
+    plan_small = (
+        dsir_resample(df, 50)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan_small

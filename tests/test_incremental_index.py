@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from lyssandra_spark.operators import dedup as DD
 from lyssandra_spark.operators.incremental import (
+    dedup_new_batch,
     embneardup_new_batch,
     simhash_new_batch,
 )
@@ -152,3 +153,62 @@ def test_incremental_emblsh_retry_is_idempotent(spark, vecs, tmp_path_factory):
         p1.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True),
         p1r.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True),
     )
+
+
+def test_index_identity_includes_feature_columns(
+    spark, docs, vecs, tmp_path_factory
+):
+    """The SOURCE COLUMN is part of every index's identity: batches
+    signed from a different text/embedding column must be rejected
+    loudly (signatures from different column spaces silently mixing in
+    one chain was the round-7 advice finding), and an embedding whose
+    width != dim errors instead of null-padding the bucket fold into
+    silently degraded recall."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    tmp = tmp_path_factory.mktemp("ident")
+
+    # simhash: text_col in the identity dict
+    cat = ParquetCatalog(spark, str(tmp / "sh"))
+    d = docs.limit(50)
+    simhash_new_batch(cat, "sh", d, text_col="text")
+    with pytest.raises(ValueError, match="do not match the index"):
+        simhash_new_batch(
+            cat, "sh",
+            d.withColumn("alt", F.upper("text")).withColumn(
+                "doc_id", F.col("doc_id") + 90000
+            ),
+            text_col="alt",
+        )
+
+    # minhash: same rule
+    cat2 = ParquetCatalog(spark, str(tmp / "mh"))
+    dedup_new_batch(cat2, "sigs", d, text_col="text")
+    with pytest.raises(ValueError, match="do not match the index"):
+        dedup_new_batch(
+            cat2, "sigs",
+            d.withColumn("alt", F.upper("text")).withColumn(
+                "doc_id", F.col("doc_id") + 90000
+            ),
+            text_col="alt",
+        )
+
+    # embedding-LSH: emb_col in the identity + loud width assert
+    cat3 = ParquetCatalog(spark, str(tmp / "el"))
+    v = vecs.limit(40)
+    embneardup_new_batch(cat3, "el", v, dim=64, n_planes=8)
+    with pytest.raises(ValueError, match="do not match the index"):
+        embneardup_new_batch(
+            cat3, "el",
+            v.withColumn("other", F.col("embedding")).withColumn(
+                "vec_id", F.col("vec_id") + 90000
+            ),
+            emb_col="other", dim=64, n_planes=8,
+        )
+
+    cat4 = ParquetCatalog(spark, str(tmp / "dim"))
+    bad = v.withColumn("embedding", F.slice("embedding", 1, 32))
+    with pytest.raises((Py4JJavaError, SparkRuntimeException),
+                       match="width != dim"):
+        embneardup_new_batch(cat4, "el", bad, dim=64, n_planes=8)
