@@ -182,15 +182,17 @@ def needs_retrain(catalog, table: str, threshold: float = 1.5,
 
 
 def _chain_state(catalog, src_table: str, index_table: str, spec_key: str,
-                 spec: dict):
+                 spec: dict, force: bool = False):
     """Shared watermark bookkeeping: returns (src_snaps, newest,
     needs_rebuild, last, idx_snaps, skip). Loud error on a spec
-    mismatch; a dead watermark (destructive overwrite) or an expired
-    delta snapshot routes to rebuild. A source ``compact()`` whose
-    folded snapshots were all already indexed is audit-only for this
-    consumer: no rebuild, and its id lands in ``skip`` so the delta
-    scan never re-reads the corpus blob (see :func:`~lyssandra_spark
-    .sources.catalog.incremental_chain_start`)."""
+    mismatch (unless ``force`` — a forced rebuild replaces the whole
+    index, so a NEW spec is legitimate there); a dead watermark
+    (destructive overwrite) or an expired delta snapshot routes to
+    rebuild. A source ``compact()`` whose folded snapshots were all
+    already indexed is audit-only for this consumer: no rebuild, and
+    its id lands in ``skip`` so the delta scan never re-reads the
+    corpus blob (see :func:`~lyssandra_spark.sources.catalog
+    .incremental_chain_start`)."""
     src_snaps = catalog.snapshots(src_table)
     if not src_snaps:
         raise FileNotFoundError(f"no snapshots for source {src_table!r}")
@@ -199,11 +201,12 @@ def _chain_state(catalog, src_table: str, index_table: str, spec_key: str,
     head_meta = (
         (catalog.latest_meta(index_table, spec_key) or {}) if idx_snaps else {}
     )
-    if idx_snaps and head_meta and head_meta.get(spec_key) != spec:
+    if idx_snaps and head_meta and head_meta.get(spec_key) != spec \
+            and not force:
         raise ValueError(
             f"refresh spec {spec} does not match the index table's "
             f"{head_meta.get(spec_key)} — use a different index_table or "
-            "rebuild"
+            "force_rebuild"
         )
     last = head_meta.get(spec_key[:-5] + "_last_snap") if head_meta else None
     needs_rebuild, skip = consumer_needs_rebuild(src_snaps, last)
@@ -253,6 +256,7 @@ def refresh_ivf_index(
     seed: int = 23,
     refine_iters: int = 1,
     drift_metrics: bool = True,
+    force_rebuild: bool = False,
 ) -> int:
     """Keep ``index_table`` = (id, embedding, cell) over ``src_table``'s
     full chain, training centroids ONCE (on rebuild) and assigning only
@@ -272,15 +276,19 @@ def refresh_ivf_index(
     (``ivf_drift``; one map-only pass over the rebuild corpus / the
     delta): frozen centroids decay silently as the embedding
     distribution drifts, and :func:`needs_retrain` turns this record
-    into the rebuild signal.
+    into the rebuild signal. ``force_rebuild=True`` is how a caller
+    ACTS on that signal: retrain + reassign over the full chain in
+    place (one overwrite snapshot, fresh drift baseline) without
+    touching the source table.
     """
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "n_cells": n_cells, "sample_rows": sample_rows, "seed": seed,
             "refine_iters": refine_iters}
     src_snaps, newest, rebuild, last, idx_snaps, skip = _chain_state(
-        catalog, src_table, index_table, "ivf_spec", spec
+        catalog, src_table, index_table, "ivf_spec", spec,
+        force=force_rebuild,
     )
-    if rebuild:
+    if rebuild or force_rebuild:
         corpus = _dedup_src(catalog, src_table, id_col, emb_col)
         sample = _training_sample(corpus, id_col, emb_col, sample_rows)
         if sample.size == 0:
@@ -403,6 +411,7 @@ def refresh_pq_index(
     seed: int = 29,
     refine_iters: int = 1,
     drift_metrics: bool = True,
+    force_rebuild: bool = False,
 ) -> int:
     """Keep ``index_table`` = (id, embedding, code) over ``src_table``'s
     chain: codebooks trained once (rebuild) exactly as
@@ -416,14 +425,16 @@ def refresh_pq_index(
     (id, code), ~64x less bandwidth than the vectors. Returns the index
     snapshot id. ``drift_metrics`` records the batch's mean squared PQ
     reconstruction error (``pq_drift`` meta, one map-only pass) for
-    :func:`needs_retrain`."""
+    :func:`needs_retrain`; ``force_rebuild=True`` retrains in place
+    when that signal fires (fresh baseline, source untouched)."""
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "m": m, "n_codes": n_codes, "sample_rows": sample_rows,
             "seed": seed, "refine_iters": refine_iters}
     src_snaps, newest, rebuild, last, idx_snaps, skip = _chain_state(
-        catalog, src_table, index_table, "pq_spec", spec
+        catalog, src_table, index_table, "pq_spec", spec,
+        force=force_rebuild,
     )
-    if rebuild:
+    if rebuild or force_rebuild:
         corpus = _dedup_src(catalog, src_table, id_col, emb_col)
         sample = _training_sample(corpus, id_col, emb_col, sample_rows)
         if sample.size == 0:

@@ -522,3 +522,51 @@ def test_semdedup_online_drift_watermark(spark, tmp_path):
     d1 = cat.latest_meta("sd", "semdedup_drift")["semdedup_drift"]
     assert d1["baseline_qerr"] == d0["baseline_qerr"]  # carried forward
     assert d1["mean_qerr"] > d1["baseline_qerr"]
+
+
+def test_force_rebuild_acts_on_drift_signal(spark, tmp_path):
+    """The needs_retrain -> force_rebuild loop: after a drifted batch
+    flips the signal, refresh(force_rebuild=True) retrains over the
+    FULL chain in place (source untouched), resets the drift baseline,
+    and the signal clears. Covers IVF and PQ."""
+    from lyssandra_spark.operators.ann_index import needs_retrain
+
+    rng = np.random.default_rng(17)
+    d1 = np.array([1.0, 0, 0, 0, 1.0, 0, 0, 0])
+    d3 = np.array([0, 0, 1.0, 0, 0, 0, 1.0, 0])
+    base = d1 + rng.normal(size=(200, 8)) * 0.05
+    far = d3 + rng.normal(size=(100, 8)) * 0.05
+
+    def _df(mat, id0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(v) for v in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    for kind, refresh in (("ivf", refresh_ivf_index),
+                          ("pq", refresh_pq_index)):
+        kw = dict(sample_rows=128)
+        kw.update({"ivf": dict(n_cells=4), "pq": dict(m=4, n_codes=16)}[kind])
+        cat = ParquetCatalog(spark, str(tmp_path / kind))
+        cat.write(_df(base, 0), "vecs", mode="overwrite")
+        refresh(cat, "vecs", "idx", **kw)
+        cat.write(_df(far, 1000), "vecs", mode="append")
+        refresh(cat, "vecs", "idx", **kw)
+        assert needs_retrain(cat, "idx") is True, kind
+
+        n_src_snaps = len(cat.snapshots("vecs"))
+        sid = refresh(cat, "vecs", "idx", force_rebuild=True, **kw)
+        assert cat.snapshots("idx")[-1]["id"] == sid
+        assert cat.snapshots("idx")[-1]["mode"] == "overwrite"  # in place
+        assert len(cat.snapshots("vecs")) == n_src_snaps  # source untouched
+        assert needs_retrain(cat, "idx") is False, kind  # fresh baseline
+        assert cat.read("idx").count() == 300  # full chain reassigned
+        key = f"{kind}_drift"
+        d = cat.latest_meta("idx", key)[key]
+        assert d["mean_qerr"] == d["baseline_qerr"] and d["n"] == 300
+        # and the index keeps serving incrementally after the retrain
+        cat.write(_df(far + 0.01, 2000), "vecs", mode="append")
+        refresh(cat, "vecs", "idx", **kw)
+        assert cat.snapshots("idx")[-1]["mode"] == "append"
+        assert needs_retrain(cat, "idx") is False, kind
+        assert cat.read("idx").count() == 400
