@@ -257,6 +257,7 @@ def refresh_ivf_index(
     refine_iters: int = 1,
     drift_metrics: bool = True,
     force_rebuild: bool = False,
+    auto_retrain: float | None = None,
 ) -> int:
     """Keep ``index_table`` = (id, embedding, cell) over ``src_table``'s
     full chain, training centroids ONCE (on rebuild) and assigning only
@@ -279,7 +280,11 @@ def refresh_ivf_index(
     into the rebuild signal. ``force_rebuild=True`` is how a caller
     ACTS on that signal: retrain + reassign over the full chain in
     place (one overwrite snapshot, fresh drift baseline) without
-    touching the source table.
+    touching the source table. ``auto_retrain=<threshold>`` closes the
+    loop in ONE call: when the delta just folded drifts past
+    threshold x baseline, the refresh immediately rebuilds — explicit
+    opt-in, because at 100 TB the rebuild is a full-corpus retrain the
+    caller must be willing to pay inside this call.
     """
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "n_cells": n_cells, "sample_rows": sample_rows, "seed": seed,
@@ -340,12 +345,24 @@ def refresh_ivf_index(
             q, n, prior_drift["ivf_drift"]["baseline_qerr"]
         )
     try:
-        return catalog.write(
+        sid = catalog.write(
             tag_cell(delta, C, emb_col, out_col="cell"), index_table,
             mode="append", sort_by=["cell"], meta=meta,
         )
     finally:
         delta.unpersist()
+    if auto_retrain is not None and "ivf_drift" in meta and needs_retrain(
+        catalog, index_table, threshold=auto_retrain, drift_key="ivf_drift"
+    ):
+        # the batch that just folded drifted past the caller's budget:
+        # rebuild NOW (full-chain retrain, fresh baseline) — opt-in
+        return refresh_ivf_index(
+            catalog, src_table, index_table, id_col=id_col, emb_col=emb_col,
+            n_cells=n_cells, sample_rows=sample_rows, seed=seed,
+            refine_iters=refine_iters, drift_metrics=drift_metrics,
+            force_rebuild=True,
+        )
+    return sid
 
 
 def ivf_topk_indexed(
@@ -412,6 +429,7 @@ def refresh_pq_index(
     refine_iters: int = 1,
     drift_metrics: bool = True,
     force_rebuild: bool = False,
+    auto_retrain: float | None = None,
 ) -> int:
     """Keep ``index_table`` = (id, embedding, code) over ``src_table``'s
     chain: codebooks trained once (rebuild) exactly as
@@ -426,7 +444,10 @@ def refresh_pq_index(
     snapshot id. ``drift_metrics`` records the batch's mean squared PQ
     reconstruction error (``pq_drift`` meta, one map-only pass) for
     :func:`needs_retrain`; ``force_rebuild=True`` retrains in place
-    when that signal fires (fresh baseline, source untouched)."""
+    when that signal fires (fresh baseline, source untouched), and
+    ``auto_retrain=<threshold>`` does so automatically inside this call
+    when the just-folded batch drifts past threshold x baseline (opt-in
+    — the rebuild is a full-corpus retrain)."""
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "m": m, "n_codes": n_codes, "sample_rows": sample_rows,
             "seed": seed, "refine_iters": refine_iters}
@@ -479,12 +500,22 @@ def refresh_pq_index(
             q, n, prior_drift["pq_drift"]["baseline_qerr"]
         )
     try:
-        return catalog.write(
+        sid = catalog.write(
             pq_assign_codes(delta, books, id_col, emb_col), index_table,
             mode="append", meta=meta,
         )
     finally:
         delta.unpersist()
+    if auto_retrain is not None and "pq_drift" in meta and needs_retrain(
+        catalog, index_table, threshold=auto_retrain, drift_key="pq_drift"
+    ):
+        return refresh_pq_index(
+            catalog, src_table, index_table, id_col=id_col, emb_col=emb_col,
+            m=m, n_codes=n_codes, sample_rows=sample_rows, seed=seed,
+            refine_iters=refine_iters, drift_metrics=drift_metrics,
+            force_rebuild=True,
+        )
+    return sid
 
 
 def pq_topk_indexed(

@@ -570,3 +570,83 @@ def test_force_rebuild_acts_on_drift_signal(spark, tmp_path):
         assert cat.snapshots("idx")[-1]["mode"] == "append"
         assert needs_retrain(cat, "idx") is False, kind
         assert cat.read("idx").count() == 400
+
+
+def test_mean_quantization_error_matches_numpy(spark):
+    """The distributed (sum, n) drift pass == a direct numpy mean, and
+    the skip contract holds (rows the error fn drops don't count)."""
+    from lyssandra_spark.operators.ann_index import (
+        _ivf_row_err,
+        _pq_row_err,
+        mean_quantization_error,
+    )
+    from lyssandra_spark.operators.similarity import pq_train
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(500, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+
+    C = rng.normal(size=(6, 8))
+    got, n = mean_quantization_error(df, "embedding", _ivf_row_err(C))
+    want = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(1).mean()
+    assert n == 500 and got == pytest.approx(want, rel=1e-12)
+
+    books = pq_train(
+        X[:128] / np.linalg.norm(X[:128], axis=1, keepdims=True),
+        m=4, n_codes=8, seed=3,
+    )
+    got_pq, n_pq = mean_quantization_error(df, "embedding",
+                                           _pq_row_err(books))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn.reshape(500, 4, 2)
+    want_pq = sum(
+        ((S[:, j, :][:, None, :] - books[j][None, :, :]) ** 2)
+        .sum(-1).min(1)
+        for j in range(4)
+    ).mean()
+    assert n_pq == 500 and got_pq == pytest.approx(want_pq, rel=1e-12)
+
+    # skip contract: an error fn that drops every row -> (0.0, 0)
+    got0, n0 = mean_quantization_error(
+        df, "embedding", lambda X: np.empty(0)
+    )
+    assert (got0, n0) == (0.0, 0)
+
+
+def test_auto_retrain_rebuilds_within_one_call(spark, tmp_path):
+    """auto_retrain closes the drift loop inside the refresh call: a
+    drifted delta folds, the signal fires, and the SAME call returns a
+    rebuilt (overwrite) index with a fresh baseline; an un-drifted
+    delta stays a plain append."""
+    from lyssandra_spark.operators.ann_index import needs_retrain
+
+    rng = np.random.default_rng(29)
+    d1 = np.array([1.0, 0, 0, 0, 1.0, 0, 0, 0])
+    d3 = np.array([0, 0, 1.0, 0, 0, 0, 1.0, 0])
+    base = d1 + rng.normal(size=(200, 8)) * 0.05
+    same = d1 + rng.normal(size=(50, 8)) * 0.05
+    far = d3 + rng.normal(size=(100, 8)) * 0.05
+
+    def _df(mat, id0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(v) for v in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    kw = dict(n_cells=4, sample_rows=128, auto_retrain=1.5)
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(_df(base, 0), "vecs", mode="overwrite")
+    refresh_ivf_index(cat, "vecs", "idx", **kw)
+
+    cat.write(_df(same, 1000), "vecs", mode="append")
+    refresh_ivf_index(cat, "vecs", "idx", **kw)
+    assert cat.snapshots("idx")[-1]["mode"] == "append"  # no drift
+
+    cat.write(_df(far, 2000), "vecs", mode="append")
+    refresh_ivf_index(cat, "vecs", "idx", **kw)
+    assert cat.snapshots("idx")[-1]["mode"] == "overwrite"  # rebuilt
+    assert needs_retrain(cat, "idx") is False  # fresh baseline
+    assert cat.read("idx").count() == 350
