@@ -94,7 +94,17 @@ def mean_quantization_error(df: DataFrame, emb_col: str, row_err) -> tuple[float
         for batch in it:
             if batch.num_rows == 0:
                 continue
-            flat = batch.column(0).flatten().to_numpy(zero_copy_only=False)
+            col = batch.column(0)
+            # loud guard: ListArray.flatten() DROPS nulls and happily
+            # concatenates ragged lists — reshape would then misalign
+            # rows and silently corrupt the drift record
+            offs = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if col.null_count or (len(offs) and (offs != offs[0]).any()):
+                raise ValueError(
+                    "null or ragged embedding arrays in the drift pass — "
+                    "every row must carry a fixed-width non-null vector"
+                )
+            flat = col.flatten().to_numpy(zero_copy_only=False)
             X = flat.reshape(batch.num_rows, -1)
             e = row_err(X)
             s += float(e.sum())
@@ -166,15 +176,22 @@ def needs_retrain(catalog, table: str, threshold: float = 1.5,
     in the manifest meta for free (one map-only pass over the delta),
     so this reader costs no data access at all: schedule rebuilds on it
     instead of on a blind cadence. ``drift_key`` pins one of
-    :data:`DRIFT_KEYS`; by default the newest recorded kind wins
-    (an index table only ever carries one kind)."""
+    :data:`DRIFT_KEYS`; by default the NEWEST recorded record of any
+    kind wins (manifest scanned newest-first, stopping at a destructive
+    overwrite boundary exactly like ``latest_meta``)."""
     keys = (drift_key,) if drift_key else DRIFT_KEYS
-    for key in keys:
-        meta = catalog.latest_meta(table, key)
-        if meta is not None:
-            d = meta[key]
-            base = max(float(d.get("baseline_qerr", 0.0)), 1e-12)
-            return float(d["mean_qerr"]) > threshold * base
+
+    def verdict(d: dict) -> bool:
+        base = max(float(d.get("baseline_qerr", 0.0)), 1e-12)
+        return float(d["mean_qerr"]) > threshold * base
+
+    for s in reversed(catalog.snapshots(table)):
+        meta = s.get("meta", {})
+        for key in keys:
+            if key in meta:
+                return verdict(meta[key])
+        if s["mode"] == "overwrite" and "compaction_of" not in meta:
+            break  # data was replaced: older drift records are dead
     raise ValueError(
         f"no drift metrics ({'/'.join(keys)}) recorded for {table!r} — "
         "refresh the index with drift_metrics=True first"
@@ -186,7 +203,11 @@ def _chain_state(catalog, src_table: str, index_table: str, spec_key: str,
     """Shared watermark bookkeeping: returns (src_snaps, newest,
     needs_rebuild, last, idx_snaps, skip). Loud error on a spec
     mismatch (unless ``force`` — a forced rebuild replaces the whole
-    index, so a NEW spec is legitimate there); a dead watermark
+    index, so a NEW spec is legitimate there). The identity comparison
+    is deliberately EXACT, so an index chain written under different
+    defaults (e.g. pre-round-8 ``refine_iters=0``) fails loudly on the
+    next refresh instead of silently mixing artifact generations — the
+    remedy the error names is ``force_rebuild``, a one-time retrain; a dead watermark
     (destructive overwrite) or an expired delta snapshot routes to
     rebuild. A source ``compact()`` whose folded snapshots were all
     already indexed is audit-only for this consumer: no rebuild, and
@@ -286,6 +307,11 @@ def refresh_ivf_index(
     opt-in, because at 100 TB the rebuild is a full-corpus retrain the
     caller must be willing to pay inside this call.
     """
+    if auto_retrain is not None and not drift_metrics:
+        raise ValueError(
+            "auto_retrain needs drift_metrics=True — without the drift "
+            "record there is no signal to act on"
+        )
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "n_cells": n_cells, "sample_rows": sample_rows, "seed": seed,
             "refine_iters": refine_iters}
@@ -294,25 +320,42 @@ def refresh_ivf_index(
         force=force_rebuild,
     )
     if rebuild or force_rebuild:
-        corpus = _dedup_src(catalog, src_table, id_col, emb_col)
-        sample = _training_sample(corpus, id_col, emb_col, sample_rows)
-        if sample.size == 0:
-            raise ValueError("refresh_ivf_index requires a non-empty source")
-        C = _lloyd_centroids(sample, n_cells, seed=seed)
-        if refine_iters > 0:
-            C = kmeans_refine(corpus, C, emb_col=emb_col, n_iter=refine_iters)
-        tagged = tag_cell(corpus, C, emb_col, out_col="cell")
-        meta = {"ivf_spec": spec, "ivf_last_snap": newest,
-                "centroids": [[float(v) for v in row] for row in C]}
-        if drift_metrics:
-            q, n = mean_quantization_error(corpus, emb_col, _ivf_row_err(C))
-            meta["ivf_drift"] = _drift_meta(q, n, None)
-        return catalog.write(
-            tagged, index_table, mode="overwrite", sort_by=["cell"],
-            meta=meta,
-        )
+        # persist: the dedup'd full-chain frame feeds the sample
+        # collect, each refine pass, the drift pass, and the final
+        # write — without the cache that groupBy-agg over the whole
+        # corpus re-runs up to 4x
+        corpus = _dedup_src(catalog, src_table, id_col, emb_col).persist()
+        try:
+            sample = _training_sample(corpus, id_col, emb_col, sample_rows)
+            if sample.size == 0:
+                raise ValueError(
+                    "refresh_ivf_index requires a non-empty source"
+                )
+            C = _lloyd_centroids(sample, n_cells, seed=seed)
+            if refine_iters > 0:
+                C = kmeans_refine(corpus, C, emb_col=emb_col,
+                                  n_iter=refine_iters)
+            tagged = tag_cell(corpus, C, emb_col, out_col="cell")
+            meta = {"ivf_spec": spec, "ivf_last_snap": newest,
+                    "centroids": [[float(v) for v in row] for row in C]}
+            if drift_metrics:
+                q, n = mean_quantization_error(corpus, emb_col,
+                                               _ivf_row_err(C))
+                meta["ivf_drift"] = _drift_meta(q, n, None)
+            return catalog.write(
+                tagged, index_table, mode="overwrite", sort_by=["cell"],
+                meta=meta,
+            )
+        finally:
+            corpus.unpersist()
     if last >= newest:
         return idx_snaps[-1]["id"]  # nothing new: no-op
+    prior_drift = catalog.latest_meta(index_table, "ivf_drift")
+    if auto_retrain is not None and prior_drift is None:
+        raise ValueError(
+            "auto_retrain has no baseline on this chain (it predates "
+            "drift metrics) — run once with force_rebuild=True first"
+        )
     delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
                             id_col, [id_col, emb_col], skip)
     if delta is not None:
@@ -336,7 +379,6 @@ def refresh_ivf_index(
         dtype=np.float64,
     )
     meta = {"ivf_spec": spec, "ivf_last_snap": newest}
-    prior_drift = catalog.latest_meta(index_table, "ivf_drift")
     if drift_metrics and prior_drift is not None:
         # the batch's error under the FROZEN centroids vs the baseline
         # recorded at training — the drift signal needs_retrain reads
@@ -448,6 +490,11 @@ def refresh_pq_index(
     ``auto_retrain=<threshold>`` does so automatically inside this call
     when the just-folded batch drifts past threshold x baseline (opt-in
     — the rebuild is a full-corpus retrain)."""
+    if auto_retrain is not None and not drift_metrics:
+        raise ValueError(
+            "auto_retrain needs drift_metrics=True — without the drift "
+            "record there is no signal to act on"
+        )
     spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
             "m": m, "n_codes": n_codes, "sample_rows": sample_rows,
             "seed": seed, "refine_iters": refine_iters}
@@ -456,26 +503,40 @@ def refresh_pq_index(
         force=force_rebuild,
     )
     if rebuild or force_rebuild:
-        corpus = _dedup_src(catalog, src_table, id_col, emb_col)
-        sample = _training_sample(corpus, id_col, emb_col, sample_rows)
-        if sample.size == 0:
-            raise ValueError("refresh_pq_index requires a non-empty source")
-        nrm = np.linalg.norm(sample, axis=1, keepdims=True)
-        books = pq_train(sample / np.maximum(nrm, 1e-300), m=m,
-                         n_codes=n_codes, seed=seed)
-        if refine_iters > 0:
-            books = pq_refine(corpus, books, emb_col=emb_col,
-                              n_iter=refine_iters)
-        coded = pq_assign_codes(corpus, books, id_col, emb_col)
-        meta = {"pq_spec": spec, "pq_last_snap": newest,
-                "codebooks": books.tolist()}
-        if drift_metrics:
-            q, n = mean_quantization_error(corpus, emb_col,
-                                           _pq_row_err(books))
-            meta["pq_drift"] = _drift_meta(q, n, None)
-        return catalog.write(coded, index_table, mode="overwrite", meta=meta)
+        # persist: sample collect + refine pass(es) + drift pass + write
+        # all read this full-chain groupBy-agg (see the IVF twin)
+        corpus = _dedup_src(catalog, src_table, id_col, emb_col).persist()
+        try:
+            sample = _training_sample(corpus, id_col, emb_col, sample_rows)
+            if sample.size == 0:
+                raise ValueError(
+                    "refresh_pq_index requires a non-empty source"
+                )
+            nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+            books = pq_train(sample / np.maximum(nrm, 1e-300), m=m,
+                             n_codes=n_codes, seed=seed)
+            if refine_iters > 0:
+                books = pq_refine(corpus, books, emb_col=emb_col,
+                                  n_iter=refine_iters)
+            coded = pq_assign_codes(corpus, books, id_col, emb_col)
+            meta = {"pq_spec": spec, "pq_last_snap": newest,
+                    "codebooks": books.tolist()}
+            if drift_metrics:
+                q, n = mean_quantization_error(corpus, emb_col,
+                                               _pq_row_err(books))
+                meta["pq_drift"] = _drift_meta(q, n, None)
+            return catalog.write(coded, index_table, mode="overwrite",
+                                 meta=meta)
+        finally:
+            corpus.unpersist()
     if last >= newest:
         return idx_snaps[-1]["id"]
+    prior_drift = catalog.latest_meta(index_table, "pq_drift")
+    if auto_retrain is not None and prior_drift is None:
+        raise ValueError(
+            "auto_retrain has no baseline on this chain (it predates "
+            "drift metrics) — run once with force_rebuild=True first"
+        )
     delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
                             id_col, [id_col, emb_col], skip)
     if delta is not None:
@@ -493,7 +554,6 @@ def refresh_pq_index(
         dtype=np.float64,
     )
     meta = {"pq_spec": spec, "pq_last_snap": newest}
-    prior_drift = catalog.latest_meta(index_table, "pq_drift")
     if drift_metrics and prior_drift is not None:
         q, n = mean_quantization_error(delta, emb_col, _pq_row_err(books))
         meta["pq_drift"] = _drift_meta(

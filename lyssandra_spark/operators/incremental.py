@@ -57,7 +57,12 @@ def _index_batch_state(catalog, table: str, prior: list, params: dict,
     """Shared head-params validation + retry-replay lookup for the
     signature-index batch operators. Returns (replay_entry_or_None,
     prior_as_of_if_replaying). Params are the index identity
-    (signatures from different parameter spaces never collide); a
+    (signatures from different parameter spaces never collide) and the
+    comparison is EXACT — an index written before a key joined the
+    identity (e.g. ``text_col``/``emb_col``, added in round 8) fails
+    validation on the next batch rather than silently grandfathering a
+    column space nobody recorded; the remedy is a rebuild, as the
+    error says; a
     stamped ``batch_id`` makes a retried batch find its half-done
     snapshot instead of appending twice (see :func:`dedup_new_batch`'s
     retry-safety contract, which all three generators share)."""

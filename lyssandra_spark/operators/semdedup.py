@@ -153,6 +153,15 @@ def semdedup(
     ``centroids`` overrides the seeded sample+Lloyd training — pass
     the IVF index's centroids to share one clustering across search
     and dedup, or a fixed array in tests.
+
+    ``max_cell`` default is 12k (round 8; the paper's mean cell is
+    ~12k): cells past it are sub-clustered, which is a recall
+    approximation — a 12k-50k cell that the old 50k default paired
+    exhaustively now may miss near-dups split across sub-cells. The
+    cap bounds the per-cell QUADRATIC compute (a 50k hot cell is 2.5G
+    similarity products in one task); memory is independently bounded
+    by the chunked Gram product. Pass ``max_cell`` explicitly to trade
+    the other way.
     """
     if not (0.0 < threshold):
         raise ValueError(f"threshold ({threshold}) must be > 0")
@@ -364,11 +373,17 @@ def semdedup_new_batch(
                 "centroids": [[float(v) for v in row] for row in C]}
     if batch_id is not None:
         meta["batch_id"] = batch_id
+    # persist: the batch plan carries dropDuplicates and (non-bootstrap)
+    # the anti-join whose right side reads EVERY indexed id — the drift
+    # pass, the bootstrap sample, and the decisions write each consume
+    # it, so pay that full-index scan once, not per consumer (the
+    # refresh_ivf_index delta convention)
+    batch = batch.persist()
     if drift_metrics:
         # frozen-centroid drift signal: the batch's mean cosine
         # quantization error (1 - cos to the nearest centroid; zero-norm
         # rows skipped) vs the bootstrap baseline — needs_retrain reads
-        # it. One extra map-only pass over the NEW rows only.
+        # it. One extra map-only pass over the NEW (persisted) rows only.
         from lyssandra_spark.operators.ann_index import (
             _drift_meta,
             mean_quantization_error,
@@ -465,8 +480,11 @@ def semdedup_new_batch(
         return pd.DataFrame(out)
 
     decisions = tagged.groupBy("cell").applyInPandas(admit, out_schema)
-    snap_id = catalog.write(
-        decisions, table, mode="append" if prior else "overwrite",
-        sort_by=["cell"], meta=meta,
-    )
+    try:
+        snap_id = catalog.write(
+            decisions, table, mode="append" if prior else "overwrite",
+            sort_by=["cell"], meta=meta,
+        )
+    finally:
+        batch.unpersist()
     return catalog.read_snapshot(table, snap_id), snap_id

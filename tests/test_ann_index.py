@@ -650,3 +650,67 @@ def test_auto_retrain_rebuilds_within_one_call(spark, tmp_path):
     assert cat.snapshots("idx")[-1]["mode"] == "overwrite"  # rebuilt
     assert needs_retrain(cat, "idx") is False  # fresh baseline
     assert cat.read("idx").count() == 350
+
+
+def test_drift_guards_and_recency(spark, tmp_path):
+    """Round-8 review hardening: (a) mean_quantization_error rejects
+    null/ragged vectors loudly instead of silently misaligning the
+    drift record; (b) auto_retrain without drift_metrics or without a
+    baseline errors instead of silently disarming; (c) needs_retrain
+    reads the NEWEST drift record of any kind, not a fixed-priority
+    stale one."""
+    from lyssandra_spark.operators.ann_index import (
+        _ivf_row_err,
+        mean_quantization_error,
+        needs_retrain,
+    )
+
+    rng = np.random.default_rng(5)
+    C = rng.normal(size=(3, 4))
+
+    # coalesce(1): the guard is per Arrow batch — mixed widths must
+    # share a batch to be distinguishable from a consistent narrow
+    # batch (cross-batch raggedness still errors, via the dim mismatch
+    # in the error fn itself)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    # Python-worker errors surface as PythonException; match broadly
+    with pytest.raises(Exception, match="ragged"):
+        mean_quantization_error(ragged, "embedding", _ivf_row_err(C))
+    nulled = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="null or ragged"):
+        mean_quantization_error(nulled, "embedding", _ivf_row_err(C))
+
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=4)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cat = ParquetCatalog(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="drift_metrics"):
+        cat.write(df, "vecs", mode="overwrite")
+        refresh_ivf_index(cat, "vecs", "idx", n_cells=2, sample_rows=16,
+                          drift_metrics=False, auto_retrain=1.5)
+    # a chain whose rebuild predates drift metrics has no baseline
+    refresh_ivf_index(cat, "vecs", "idx", n_cells=2, sample_rows=16,
+                      drift_metrics=False)
+    cat.write(df.withColumn("vec_id", F.col("vec_id") + 100), "vecs",
+              mode="append")
+    with pytest.raises(ValueError, match="baseline"):
+        refresh_ivf_index(cat, "vecs", "idx", n_cells=2, sample_rows=16,
+                          auto_retrain=1.5)
+
+    # recency: a stale ivf_drift followed by a fresh semdedup_drift —
+    # the newest record decides (manifest order, not key priority)
+    cat.write(df.limit(5), "two_kinds", mode="overwrite",
+              meta={"ivf_drift": {"mean_qerr": 9.0, "n": 5,
+                                  "baseline_qerr": 1.0}})
+    assert needs_retrain(cat, "two_kinds") is True
+    cat.write(df.limit(5), "two_kinds", mode="append",
+              meta={"semdedup_drift": {"mean_qerr": 1.0, "n": 5,
+                                       "baseline_qerr": 1.0}})
+    assert needs_retrain(cat, "two_kinds") is False
