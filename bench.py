@@ -288,6 +288,35 @@ def llm_bench(spark, sf_dir: str) -> dict:
     timed("semdedup_64c", lambda: _force(
         semdedup(emb, n_clusters=64, threshold=0.95)))
 
+    # round-8 ops: persisted-index economics — build once (train +
+    # full assignment + drift baseline, the rebuild price), then serve
+    # 4 queries from the index alone (the steady-state price)
+    import shutil
+    import tempfile
+
+    from lyssandra_spark.operators.ann_index import (
+        ivf_topk_indexed,
+        refresh_ivf_index,
+    )
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    wh = tempfile.mkdtemp(prefix="bench_ivf_wh_")
+    try:
+        cat = ParquetCatalog(spark, wh)
+        cat.write(emb.select("vec_id", "embedding"), "vecs",
+                  mode="overwrite")
+        q4 = emb.where(F.col("vec_id") < 4)
+
+        def build():
+            shutil.rmtree(os.path.join(wh, "ivf"), ignore_errors=True)
+            refresh_ivf_index(cat, "vecs", "ivf", n_cells=64,
+                              sample_rows=2048)
+        timed("ivf_index_build_64c", build)
+        timed("ivf_indexed_serve_4q", lambda: _force(
+            ivf_topk_indexed(cat, "ivf", q4, k=10, nprobe=8)))
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
     d.unpersist()
     total = round(sum(timings.values()), 3)
     slowest = max(timings.values())
