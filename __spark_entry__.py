@@ -169,7 +169,12 @@ def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
       one full-corpus refine pass + drift metrics recorded — then the
       *_topk_indexed serve reads the index alone, never re-training or
       re-scanning the corpus; indexed == per-call is pytest-pinned in
-      tests/test_ann_index.py).
+      tests/test_ann_index.py);
+    - 'pq_adc_dist' (round 9): the NO-COLLECT distributed serve plan for
+      corpus-scale query tables — executor-side LUT build via
+      cogroup(...).applyInArrow, block nested-loop over hashed code
+      blocks; bit-identical to the collected path (pytest-pinned), the
+      plan that replaced the former hard max_queries ceiling.
     """
     import shutil
 
@@ -214,10 +219,13 @@ def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_idx = pq_topk_indexed(cat, "pq_idx", q, k=5).withColumn(
         "variant", F.lit("pq_adc_indexed")
     )
+    pq_dist = pq_topk_indexed(
+        cat, "pq_idx", q, k=5, distributed=True, corpus_blocks=4
+    ).withColumn("variant", F.lit("pq_adc_dist"))
     return (
         lsh.unionByName(base).unionByName(ref).unionByName(wide)
         .unionByName(pq).unionByName(pqr).unionByName(ivf_idx)
-        .unionByName(pq_idx)
+        .unionByName(pq_idx).unionByName(pq_dist)
     )
 
 
@@ -566,7 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_minhash_clusters"] = _minhash_clusters
     out["simhash_neardup_pairs"] = _simhash_pairs
     out["embedding_neardup_pairs"] = _embedding_neardup
-    out["ann_topk_variants"] = _ann_variants  # lsh / ivf / ivf_refined / ivf_wide / pq_adc / pq_refined / ivf_indexed / pq_adc_indexed
+    out["ann_topk_variants"] = _ann_variants  # lsh / ivf / ivf_refined / ivf_wide / pq_adc / pq_refined / ivf_indexed / pq_adc_indexed / pq_adc_dist
     out["semdedup_embeddings"] = _semdedup_embeddings
     out["dsir_fit_score_sample"] = _dsir_fit_score_sample
     out["multimodal_decode"] = _multimodal

@@ -99,10 +99,17 @@ def mean_quantization_error(df: DataFrame, emb_col: str, row_err) -> tuple[float
             # concatenates ragged lists — reshape would then misalign
             # rows and silently corrupt the drift record
             offs = np.diff(col.offsets.to_numpy(zero_copy_only=False))
-            if col.null_count or (len(offs) and (offs != offs[0]).any()):
+            # width 0 is checked too: a batch of uniformly EMPTY arrays
+            # passes the ragged test but reshape(n, -1) on a size-0 flat
+            # buffer raises an opaque numpy error (and bypasses the
+            # caller's dim expectations entirely)
+            if col.null_count or (
+                len(offs) and ((offs != offs[0]).any() or offs[0] == 0)
+            ):
                 raise ValueError(
-                    "null or ragged embedding arrays in the drift pass — "
-                    "every row must carry a fixed-width non-null vector"
+                    "null, ragged, or zero-width embedding arrays in the "
+                    "drift pass — every row must carry a fixed-width "
+                    "non-empty non-null vector"
                 )
             flat = col.flatten().to_numpy(zero_copy_only=False)
             X = flat.reshape(batch.num_rows, -1)
@@ -176,22 +183,36 @@ def needs_retrain(catalog, table: str, threshold: float = 1.5,
     in the manifest meta for free (one map-only pass over the delta),
     so this reader costs no data access at all: schedule rebuilds on it
     instead of on a blind cadence. ``drift_key`` pins one of
-    :data:`DRIFT_KEYS`; by default the NEWEST recorded record of any
-    kind wins (manifest scanned newest-first, stopping at a destructive
-    overwrite boundary exactly like ``latest_meta``)."""
+    :data:`DRIFT_KEYS`; without it the chain must carry exactly ONE
+    kind of drift record within the live boundary (the normal case —
+    one index table, one artifact family) and that kind's newest record
+    wins. A chain carrying MORE than one kind with no key pinned raises
+    instead of silently following whichever kind wrote last — the
+    manifest is scanned newest-first, stopping at a destructive
+    overwrite boundary exactly like ``latest_meta``."""
     keys = (drift_key,) if drift_key else DRIFT_KEYS
 
     def verdict(d: dict) -> bool:
         base = max(float(d.get("baseline_qerr", 0.0)), 1e-12)
         return float(d["mean_qerr"]) > threshold * base
 
+    found: dict[str, dict] = {}  # key -> its NEWEST record in the chain
     for s in reversed(catalog.snapshots(table)):
         meta = s.get("meta", {})
         for key in keys:
-            if key in meta:
-                return verdict(meta[key])
+            if key in meta and key not in found:
+                found[key] = meta[key]
         if s["mode"] == "overwrite" and "compaction_of" not in meta:
             break  # data was replaced: older drift records are dead
+    if len(found) > 1:
+        raise ValueError(
+            f"table {table!r} carries drift records of more than one kind "
+            f"({'/'.join(sorted(found))}) — pin drift_key to the one this "
+            "caller maintains; an unpinned read would silently follow "
+            "whichever kind wrote last"
+        )
+    if found:
+        return verdict(next(iter(found.values())))
     raise ValueError(
         f"no drift metrics ({'/'.join(keys)}) recorded for {table!r} — "
         "refresh the index with drift_metrics=True first"
@@ -358,35 +379,42 @@ def refresh_ivf_index(
         )
     delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
                             id_col, [id_col, emb_col], skip)
-    if delta is not None:
-        # persist: the delta plan carries an anti-join whose right side
-        # scans the WHOLE index's ids — pay it once for the emptiness
-        # probe AND the write, not twice
-        delta = delta.select(
-            id_col, F.col(emb_col).cast("array<double>").alias(emb_col)
-        ).persist()
-    if delta is None or delta.count() == 0:
-        # audit-only compaction or all ids re-ingested: advance the
-        # watermark only
-        if delta is not None:
-            delta.unpersist()
+    if delta is None:
+        # audit-only compaction: advance the watermark only
         return catalog.write(
             catalog.read(index_table).limit(0), index_table, mode="append",
             meta={"ivf_spec": spec, "ivf_last_snap": newest},
         )
-    C = np.asarray(
-        (catalog.latest_meta(index_table, "centroids") or {})["centroids"],
-        dtype=np.float64,
-    )
-    meta = {"ivf_spec": spec, "ivf_last_snap": newest}
-    if drift_metrics and prior_drift is not None:
-        # the batch's error under the FROZEN centroids vs the baseline
-        # recorded at training — the drift signal needs_retrain reads
-        q, n = mean_quantization_error(delta, emb_col, _ivf_row_err(C))
-        meta["ivf_drift"] = _drift_meta(
-            q, n, prior_drift["ivf_drift"]["baseline_qerr"]
-        )
+    # persist: the delta plan carries an anti-join whose right side
+    # scans the WHOLE index's ids — pay it once for the emptiness
+    # probe, the drift pass, AND the write. The try/finally covers the
+    # drift pass too: it raises on null/ragged vectors, and a failed
+    # pass must not leave the delta cached.
+    delta = delta.select(
+        id_col, F.col(emb_col).cast("array<double>").alias(emb_col)
+    ).persist()
     try:
+        if delta.count() == 0:
+            # all ids re-ingested: advance the watermark only
+            return catalog.write(
+                catalog.read(index_table).limit(0), index_table,
+                mode="append",
+                meta={"ivf_spec": spec, "ivf_last_snap": newest},
+            )
+        C = np.asarray(
+            (catalog.latest_meta(index_table, "centroids") or {})
+            ["centroids"],
+            dtype=np.float64,
+        )
+        meta = {"ivf_spec": spec, "ivf_last_snap": newest}
+        if drift_metrics and prior_drift is not None:
+            # the batch's error under the FROZEN centroids vs the
+            # baseline recorded at training — the drift signal
+            # needs_retrain reads
+            q, n = mean_quantization_error(delta, emb_col, _ivf_row_err(C))
+            meta["ivf_drift"] = _drift_meta(
+                q, n, prior_drift["ivf_drift"]["baseline_qerr"]
+            )
         sid = catalog.write(
             tag_cell(delta, C, emb_col, out_col="cell"), index_table,
             mode="append", sort_by=["cell"], meta=meta,
@@ -539,27 +567,34 @@ def refresh_pq_index(
         )
     delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
                             id_col, [id_col, emb_col], skip)
-    if delta is not None:
-        # same persist-once rationale as the IVF path above
-        delta = delta.persist()
-    if delta is None or delta.count() == 0:
-        if delta is not None:
-            delta.unpersist()
+    if delta is None:
         return catalog.write(
             catalog.read(index_table).limit(0), index_table, mode="append",
             meta={"pq_spec": spec, "pq_last_snap": newest},
         )
-    books = np.asarray(
-        (catalog.latest_meta(index_table, "codebooks") or {})["codebooks"],
-        dtype=np.float64,
-    )
-    meta = {"pq_spec": spec, "pq_last_snap": newest}
-    if drift_metrics and prior_drift is not None:
-        q, n = mean_quantization_error(delta, emb_col, _pq_row_err(books))
-        meta["pq_drift"] = _drift_meta(
-            q, n, prior_drift["pq_drift"]["baseline_qerr"]
-        )
+    # same persist-once rationale as the IVF path above — and the same
+    # widened try/finally, so a drift pass that raises (null/ragged
+    # vectors) never leaves the delta cached
+    delta = delta.persist()
     try:
+        if delta.count() == 0:
+            return catalog.write(
+                catalog.read(index_table).limit(0), index_table,
+                mode="append",
+                meta={"pq_spec": spec, "pq_last_snap": newest},
+            )
+        books = np.asarray(
+            (catalog.latest_meta(index_table, "codebooks") or {})
+            ["codebooks"],
+            dtype=np.float64,
+        )
+        meta = {"pq_spec": spec, "pq_last_snap": newest}
+        if drift_metrics and prior_drift is not None:
+            q, n = mean_quantization_error(delta, emb_col,
+                                           _pq_row_err(books))
+            meta["pq_drift"] = _drift_meta(
+                q, n, prior_drift["pq_drift"]["baseline_qerr"]
+            )
         sid = catalog.write(
             pq_assign_codes(delta, books, id_col, emb_col), index_table,
             mode="append", meta=meta,
@@ -578,6 +613,35 @@ def refresh_pq_index(
     return sid
 
 
+def _rerank_exact(catalog, index_table: str, cand: "DataFrame",
+                  qdf: "DataFrame", k: int, id_col: str, emb_col: str,
+                  broadcast_small: bool) -> DataFrame:
+    """Shared exact-cosine re-rank of ADC candidates: join true vectors
+    for the candidate set only, then top-``k`` per query (ties on id).
+    ``broadcast_small`` broadcasts the candidate/query sides — right for
+    the driver-collected path where both are provably tiny; the
+    distributed path leaves join strategy to Catalyst/AQE (a 1M-query
+    candidate set must not be forced through a broadcast)."""
+    c = catalog.read(index_table).select(
+        id_col, F.col(emb_col).alias("emb")
+    )
+    cand_j = F.broadcast(cand) if broadcast_small else cand
+    qdf_j = F.broadcast(qdf) if broadcast_small else qdf
+    sims = (
+        c.join(cand_j, id_col)
+        .join(qdf_j, "qid")
+        .select(
+            "qid", id_col,
+            (_dot(F.col("qemb"), F.col("emb"))
+             / (_norm(F.col("qemb")) * _norm(F.col("emb")))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
 def pq_topk_indexed(
     catalog,
     index_table: str,
@@ -587,23 +651,34 @@ def pq_topk_indexed(
     id_col: str | None = None,
     emb_col: str | None = None,
     max_queries: int = 10_000,
+    distributed: bool | None = None,
+    corpus_blocks: int = 32,
+    query_chunk: int = 4096,
 ) -> DataFrame:
     """:func:`~lyssandra_spark.operators.similarity.pq_topk` semantics
     from the persisted code table: the ADC scan streams ONLY (id, code)
     — never the vectors, never a re-quantization — gathers each query's
-    broadcast LUT, emits per-batch top-``rerank`` candidates, and the
-    exact cosine re-rank joins true vectors for the bounded candidate
-    set alone. Identical output to the per-call operator under the same
-    codebooks (the per-batch partial top-k union provably contains the
-    global top-``rerank`` regardless of partitioning).
+    LUT, emits per-batch top-``rerank`` candidates, and the exact cosine
+    re-rank joins true vectors for the bounded candidate set alone.
+    Identical output to the per-call operator under the same codebooks
+    (the per-batch partial top-k union provably contains the global
+    top-``rerank`` regardless of partitioning).
 
-    The query frame is collected to the driver to build the per-query
-    ADC lookup tables, so it is bounded by ``max_queries`` (loud error
-    beyond — chunk the query set and union the results; per-query
-    outputs are independent). The CORPUS side is never collected."""
-    import pyarrow as pa
-    from pyspark.sql import types as T
+    TWO physical plans, one semantics (pytest-pinned bit-identical):
 
+    - collected (small query tables, the low-latency default): the
+      query frame is collected to the driver, the per-query ADC lookup
+      tables are built there and broadcast, and one ``mapInArrow`` pass
+      scans the codes. Bounded by ``max_queries`` (the LUT stack is
+      ~16 KB/query of driver memory).
+    - distributed (``distributed=True``, or AUTOMATIC when the query
+      table exceeds ``max_queries``): no driver collect anywhere — see
+      :func:`_pq_topk_distributed`. A corpus-scale query workload (e.g.
+      corpus-vs-corpus decontamination by ANN) gets a distributed plan
+      instead of an error. ``distributed=False`` restores the round-8
+      loud-error-on-overflow behavior for callers who would rather size
+      the workload than pay a corpus rescan per ``query_chunk``.
+    """
     meta = catalog.latest_meta(index_table, "codebooks")
     if meta is None:
         raise ValueError(
@@ -617,7 +692,23 @@ def pq_topk_indexed(
     )
     id_col = id_col or spec.get("id_col", "vec_id")
     emb_col = emb_col or spec.get("emb_col", "embedding")
-    q = _collect_bounded_queries(queries, id_col, emb_col, max_queries)
+    q = None
+    if distributed is not True:
+        q = _collect_bounded_queries(
+            queries, id_col, emb_col, max_queries,
+            on_overflow="raise" if distributed is False else "none",
+        )
+    if q is None:
+        # forced, or the query table overflowed max_queries: the
+        # no-collect plan
+        return _pq_topk_distributed(
+            catalog, index_table, queries, books, k=k, rerank=rerank,
+            id_col=id_col, emb_col=emb_col, corpus_blocks=corpus_blocks,
+            query_chunk=query_chunk,
+        )
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
     if not q:
         return queries.sparkSession.createDataFrame(
             [], f"qid long, {id_col} long, cos_sim double, rk int"
@@ -683,19 +774,173 @@ def pq_topk_indexed(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
         "qid long, qemb array<double>",
     )
-    c = catalog.read(index_table).select(
-        id_col, F.col(emb_col).alias("emb")
+    return _rerank_exact(catalog, index_table, cand, qdf, k, id_col,
+                         emb_col, broadcast_small=True)
+
+
+def _pq_topk_distributed(
+    catalog,
+    index_table: str,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int,
+    rerank: int,
+    id_col: str,
+    emb_col: str,
+    corpus_blocks: int,
+    query_chunk: int,
+) -> DataFrame:
+    """The no-collect ADC serve plan for corpus-scale query tables —
+    :func:`pq_topk_indexed` semantics with the query frame never
+    touching the driver.
+
+    Shape (a block nested-loop join, the only honest plan for flat ADC
+    where EVERY query must meet EVERY code):
+
+    1. the code table is hashed into ``corpus_blocks`` content-keyed
+       blocks (``pmod(xxhash64(id))`` — deterministic, layout-free) and
+       shuffled ONCE; the scan still reads only (id, code), so the
+       shuffle moves ~(8 + 4m) bytes/vector, never embeddings;
+    2. the query frame is replicated to every block (small side
+       replicated, ``corpus_blocks`` x |queries| rows — queries are the
+       side that fits);
+    3. one ``cogroup(...).applyInArrow`` pass per (block) builds LUTs
+       executor-side in ``query_chunk`` slices (peak LUT memory
+       query_chunk x m x n_codes x 8 B ≈ 16 MB at defaults, regardless
+       of total query count) and emits each block's top-``rerank`` per
+       query;
+    4. a global per-query window keeps the overall top-``rerank`` —
+       provably identical to the collected path's candidate set (every
+       block partial contains its block's top-rerank; ties break on id
+       everywhere) — and the same exact re-rank finishes, with join
+       strategy left to AQE instead of a forced broadcast.
+
+    Sizing at 100 TB: per-task live memory is (corpus/corpus_blocks)
+    codes + one LUT slice, so ``corpus_blocks`` scales with corpus row
+    count (rows/blocks ≲ a few million), and candidate traffic into the
+    window is |queries| x rerank x corpus_blocks skinny rows — for
+    multi-million-query workloads raise ``query_chunk``/lower
+    ``corpus_blocks`` accordingly, or pre-filter queries. Total compute
+    is the same flops as the collected path; what is REMOVED is the
+    driver-memory ceiling, not the inherent cost of flat ADC.
+    """
+    import pyarrow as pa
+
+    if corpus_blocks < 1:
+        raise ValueError(f"corpus_blocks ({corpus_blocks}) must be >= 1")
+    m, n_codes, dsub = books.shape
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    codes_src = catalog.read(index_table).select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(corpus_blocks))
+        .cast("int").alias("part"),
+        F.col(id_col).cast("long").alias("vid"),
+        F.col("code"),
     )
-    sims = (
-        c.join(F.broadcast(cand), id_col)
-        .join(F.broadcast(qdf), "qid")
-        .select(
-            "qid", id_col,
-            (_dot(F.col("qemb"), F.col("emb"))
-             / (_norm(F.col("qemb")) * _norm(F.col("emb")))).alias("cos_sim"),
+    qsrc = queries.select(
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(emb_col).cast("array<double>").alias("qemb"),
+    )
+    qrep = qsrc.withColumn(
+        "part",
+        F.explode(F.sequence(F.lit(0), F.lit(int(corpus_blocks) - 1))),
+    ).withColumn("part", F.col("part").cast("int"))
+    rr_cap = int(rerank)
+    qch = max(1, int(query_chunk))
+
+    def scan_block(codes_tbl: "pa.Table", q_tbl: "pa.Table") -> "pa.Table":
+        books_ = bc.value
+        n, nq = codes_tbl.num_rows, q_tbl.num_rows
+        if n == 0 or nq == 0:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "approx_ip": pa.array([], pa.float64())}
+            )
+        ids = codes_tbl.column("vid").to_numpy(zero_copy_only=False)
+        codes = (
+            codes_tbl.column("code").combine_chunks()
+            .flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+        )
+        qids = q_tbl.column("qid").to_numpy(zero_copy_only=False)
+        Q = (
+            q_tbl.column("qemb").combine_chunks()
+            .flatten().to_numpy(zero_copy_only=False).reshape(nq, -1)
+        )
+        Qn = Q / np.maximum(
+            np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
+        )
+        out_q, out_i, out_v = [], [], []
+        for c0 in range(0, nq, qch):
+            Qc = Qn[c0:c0 + qch]
+            qids_c = qids[c0:c0 + qch]
+            nc = len(Qc)
+            # executor-side LUT slice — the exact einsum the collected
+            # path runs on the driver (per-query-independent, so the
+            # slicing cannot change a single bit)
+            luts = np.einsum(
+                "ijs,jcs->ijc", Qc.reshape(nc, m, dsub), books_
+            )
+            # corpus rows in sub-chunks so the (rows x queries) approx
+            # block stays ~64 MB regardless of block size
+            rch = max(1024, (1 << 23) // max(nc, 1))
+            ai_parts, av_parts, ac_parts = [], [], []
+            for r0 in range(0, n, rch):
+                ids_r = ids[r0:r0 + rch]
+                codes_r = codes[r0:r0 + rch]
+                nr = len(ids_r)
+                approx = np.zeros((nr, nc))
+                for j in range(m):
+                    approx += luts[:, j, codes_r[:, j]].T
+                approx[ids_r[:, None] == qids_c[None, :]] = -np.inf
+                rr = min(rr_cap, nr)
+                rows = np.concatenate([
+                    np.lexsort((ids_r, -approx[:, i]))[:rr]
+                    for i in range(nc)
+                ])
+                cols = np.repeat(np.arange(nc), rr)
+                ai_parts.append(ids_r[rows])
+                av_parts.append(approx[rows, cols])
+                ac_parts.append(cols)
+            # merge this block's sub-chunk partials to ONE top-rerank
+            # per query before emitting (bounds candidate traffic at
+            # |queries| x rerank per block)
+            ai = np.concatenate(ai_parts)
+            av = np.concatenate(av_parts)
+            ac = np.concatenate(ac_parts)
+            order = np.lexsort((ai, -av, ac))  # q asc, val desc, id asc
+            oc = ac[order]
+            starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+            grp_start = np.repeat(
+                starts, np.diff(np.r_[starts, len(oc)])
+            )
+            sel = order[np.arange(len(oc)) - grp_start < rr_cap]
+            vals = av[sel]
+            keep = np.isfinite(vals)
+            out_q.append(qids_c[ac[sel][keep]])
+            out_i.append(ai[sel][keep])
+            out_v.append(vals[keep])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_i), pa.int64()),
+            "approx_ip": pa.array(np.concatenate(out_v), pa.float64()),
+        })
+
+    partial = (
+        codes_src.groupBy("part")
+        .cogroup(qrep.groupBy("part"))
+        .applyInArrow(
+            scan_block, f"qid long, {id_col} long, approx_ip double"
         )
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
+    w0 = Window.partitionBy("qid").orderBy(
+        F.col("approx_ip").desc(), F.col(id_col).asc()
     )
-    return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    cand = (
+        partial.withColumn("crk", F.row_number().over(w0))
+        .where(F.col("crk") <= rerank)
+        .select("qid", id_col)
+    )
+    return _rerank_exact(catalog, index_table, cand, qsrc, k, id_col,
+                         emb_col, broadcast_small=False)

@@ -25,6 +25,7 @@ has to be high-recall, not exact.
 
 from __future__ import annotations
 
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -62,7 +63,17 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 # frame so reassembly doesn't re-derive the discovery chain. A
 # long-lived driver running many dedup calls accumulates these until
 # LRU pressure evicts them — release_span_caches() frees them eagerly.
+# The lock makes register/release safe from concurrent driver threads
+# (multiple notebook cells / a thread pool issuing dedup calls): list
+# append/pop alone would interleave and could double-release or skip a
+# frame.
 _SPAN_CACHES: list[DataFrame] = []
+_SPAN_CACHES_LOCK = threading.Lock()
+
+
+def _register_span_cache(df: DataFrame) -> None:
+    with _SPAN_CACHES_LOCK:
+        _SPAN_CACHES.append(df)
 
 
 def release_span_caches() -> int:
@@ -70,16 +81,19 @@ def release_span_caches() -> int:
     dedup calls in this session (safe any time: the caches are
     lineage-preserving, so a still-running consumer just recomputes).
     Returns the number of caches released. Long-running drivers should
-    call this after the dedup output has been written."""
+    call this after the dedup output has been written. Thread-safe:
+    concurrent callers each release a disjoint subset."""
     n = 0
-    while _SPAN_CACHES:
-        df = _SPAN_CACHES.pop()
+    while True:
+        with _SPAN_CACHES_LOCK:
+            if not _SPAN_CACHES:
+                return n
+            df = _SPAN_CACHES.pop()
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
-    return n
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", keys=("doc_id",)) -> DataFrame:
@@ -556,7 +570,7 @@ def _dedup_window_spans(
         from pyspark.storagelevel import StorageLevel
 
         hot_pos = hot_pos.persist(StorageLevel.MEMORY_AND_DISK)
-        _SPAN_CACHES.append(hot_pos)
+        _register_span_cache(hot_pos)
     # covered chunk positions, expanded per-row from the (tiny) arrays —
     # distinct by construction within a doc, no corpus-sized explode
     covered = hot_pos.select(

@@ -58,7 +58,22 @@ from lyssandra_spark.operators.similarity import (
     assign_cells_arrow,
 )
 
-__all__ = ["semdedup", "semdedup_new_batch"]
+__all__ = ["semdedup", "semdedup_new_batch", "semdedup_rebootstrap"]
+
+
+def _semdedup_row_err(C: np.ndarray):
+    """Per-row cosine quantization error (1 - cos to the nearest
+    centroid) under frozen centroids ``C`` — the online-SemDeDup drift
+    measure (:mod:`~lyssandra_spark.operators.ann_index` conventions).
+    Zero-norm rows are skipped (cosine to anything is undefined)."""
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+
+    def err(X):
+        nrm = np.linalg.norm(X, axis=1)
+        ok = nrm > 0
+        return 1.0 - ((X[ok] / nrm[ok, None]) @ Cn.T).max(1)
+
+    return err
 
 
 def _local_subcells(Xn: np.ndarray, n_sub: int, seed: int) -> np.ndarray:
@@ -274,6 +289,7 @@ def semdedup_new_batch(
     batch_id: str | None = None,
     centroids: np.ndarray | None = None,
     drift_metrics: bool = True,
+    auto_rebootstrap: float | None = None,
 ) -> tuple[DataFrame, int]:
     """Online semantic dedup: admit a NEW batch against the persisted
     exemplar index — the fourth generator on the
@@ -321,11 +337,33 @@ def semdedup_new_batch(
     Returns ``(decisions, snapshot_id)`` where decisions is the new
     batch's (id, embedding, cell, keep, dup_of, max_sim) read back
     from the written snapshot.
+
+    ``auto_rebootstrap=<threshold>`` is the one-call drift-ACT path
+    (the :func:`~lyssandra_spark.operators.ann_index.refresh_ivf_index`
+    ``auto_retrain`` analogue): after this batch's decisions land, if
+    its recorded ``semdedup_drift`` exceeds threshold x the baseline,
+    :func:`semdedup_rebootstrap` runs in the same call — fresh
+    centroids from the retained exemplars, every audit row reassigned,
+    fresh drift baseline. Decisions already made are history (the
+    online contract cannot revisit them); only candidate GENERATION
+    refreshes, so batches admitted AFTER the rebootstrap compare
+    against the same exemplar set under a clustering that actually
+    covers the drifted region. Requires ``drift_metrics=True`` and an
+    armed baseline (loud error otherwise — a chain whose bootstrap
+    skipped drift metrics must run :func:`semdedup_rebootstrap` once
+    to arm it). The returned snapshot id is the BATCH's append
+    snapshot (the decisions' snapshot — what a ``batch_id`` retry
+    replays), not the rebootstrap overwrite.
     """
     from lyssandra_spark.operators.incremental import _index_batch_state
 
     if not (0.0 < threshold):
         raise ValueError(f"threshold ({threshold}) must be > 0")
+    if auto_rebootstrap is not None and not drift_metrics:
+        raise ValueError(
+            "auto_rebootstrap needs drift_metrics=True — without the "
+            "drift record there is no signal to act on"
+        )
     # id_col AND emb_col are index identity: signatures/decisions made
     # from different columns must never silently mix in one chain
     params = {"n_clusters": n_clusters, "sample_rows": sample_rows,
@@ -373,118 +411,234 @@ def semdedup_new_batch(
                 "centroids": [[float(v) for v in row] for row in C]}
     if batch_id is not None:
         meta["batch_id"] = batch_id
+    prior_drift = (
+        catalog.latest_meta(table, "semdedup_drift") if prior else None
+    )
+    if auto_rebootstrap is not None and prior and prior_drift is None:
+        raise ValueError(
+            "auto_rebootstrap has no baseline on this chain (its "
+            "bootstrap predates drift metrics or skipped them) — run "
+            "semdedup_rebootstrap once to arm it"
+        )
     # persist: the batch plan carries dropDuplicates and (non-bootstrap)
     # the anti-join whose right side reads EVERY indexed id — the drift
     # pass, the bootstrap sample, and the decisions write each consume
     # it, so pay that full-index scan once, not per consumer (the
-    # refresh_ivf_index delta convention)
+    # refresh_ivf_index delta convention). The try/finally opens HERE so
+    # a drift pass that raises (null/ragged vectors) can't leak the
+    # cached batch.
     batch = batch.persist()
-    if drift_metrics:
-        # frozen-centroid drift signal: the batch's mean cosine
-        # quantization error (1 - cos to the nearest centroid; zero-norm
-        # rows skipped) vs the bootstrap baseline — needs_retrain reads
-        # it. One extra map-only pass over the NEW (persisted) rows only.
-        from lyssandra_spark.operators.ann_index import (
-            _drift_meta,
-            mean_quantization_error,
-        )
-
-        Cn_drift = C / np.maximum(
-            np.linalg.norm(C, axis=1, keepdims=True), 1e-30
-        )
-
-        def _sd_err(X, _Cn=Cn_drift):
-            nrm = np.linalg.norm(X, axis=1)
-            ok = nrm > 0
-            return 1.0 - ((X[ok] / nrm[ok, None]) @ _Cn.T).max(1)
-
-        q_err, n_err = mean_quantization_error(batch, "__e", _sd_err)
-        if n_err > 0:
-            prior_drift = (
-                catalog.latest_meta(table, "semdedup_drift") if prior
-                else None
-            )
-            meta["semdedup_drift"] = _drift_meta(
-                q_err, n_err,
-                prior_drift["semdedup_drift"]["baseline_qerr"]
-                if prior_drift else None,
-            )
-
-    id_type = batch.schema["__id"].dataType
-    out_schema = T.StructType([
-        T.StructField(id_col, id_type, True),
-        T.StructField(emb_col, T.ArrayType(T.DoubleType()), True),
-        T.StructField("cell", T.IntegerType(), True),
-        T.StructField("keep", T.BooleanType(), True),
-        T.StructField("dup_of", id_type, True),
-        T.StructField("max_sim", T.DoubleType(), True),
-    ])
-
-    tagged = assign_cells_arrow(batch, C, "__e", nprobe=1).withColumn(
-        "cell", F.element_at("cells", 1)
-    ).drop("cells").withColumn("is_new", F.lit(True))
-    if prior:
-        batch_cells = tagged.select("cell").distinct()
-        exemplars = (
-            catalog.read(table)
-            .where(F.col("keep"))
-            .join(F.broadcast(batch_cells), "cell")
-            .select(
-                F.col(id_col).alias("__id"),
-                F.col(emb_col).alias("__e"),
-                "cell",
-                F.lit(False).alias("is_new"),
-            )
-        )
-        tagged = tagged.unionByName(exemplars)
-
-    thr = float(threshold)
-
-    def admit(pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = int(pdf["cell"].iloc[0])
-        # sort BOTH sides by id: the keep/drop decision is max-vs-
-        # threshold (order-free), but dup_of attribution uses argmax,
-        # whose tie-break must not depend on partition arrival order
-        old = pdf[~pdf["is_new"]].sort_values("__id")
-        new = pdf[pdf["is_new"]].sort_values("__id")
-        if len(new) == 0:
-            return pd.DataFrame(
-                {c.name: pd.Series(dtype=object) for c in out_schema}
-            )
-        K = list(np.asarray(list(old["__e"]), dtype=np.float64)) \
-            if len(old) else []
-        kept_ids = list(old["__id"])
-        for i, k in enumerate(K):
-            n = np.linalg.norm(k)
-            K[i] = k / n if n > 0 else k
-        out = {c.name: [] for c in out_schema}
-        for rid, e in zip(new["__id"], new["__e"]):
-            x = np.asarray(e, dtype=np.float64)
-            nx = np.linalg.norm(x)
-            keep, dup_of, max_sim = True, None, None
-            if nx > 0 and K:
-                sims = np.stack(K) @ (x / nx)
-                j = int(sims.argmax())
-                max_sim = float(sims[j])
-                if max_sim >= thr:
-                    keep, dup_of = False, kept_ids[j]
-            if keep and nx > 0:
-                K.append(x / nx)
-                kept_ids.append(rid)
-            out[id_col].append(rid)
-            out[emb_col].append(list(e))
-            out["cell"].append(cell)
-            out["keep"].append(keep)
-            out["dup_of"].append(dup_of)
-            out["max_sim"].append(max_sim)
-        return pd.DataFrame(out)
-
-    decisions = tagged.groupBy("cell").applyInPandas(admit, out_schema)
     try:
+        if drift_metrics and (not prior or prior_drift is not None):
+            # frozen-centroid drift signal: the batch's mean cosine
+            # quantization error (1 - cos to the nearest centroid;
+            # zero-norm rows skipped) vs the bootstrap baseline —
+            # needs_retrain reads it. One extra map-only pass over the
+            # NEW (persisted) rows only. When the chain carries NO
+            # baseline (bootstrap ran with drift_metrics=False), no
+            # record is written at all: seeding the baseline from an
+            # already-drifted batch would silently disarm the signal, so
+            # the signal stays LOUDLY disarmed (needs_retrain raises its
+            # no-metrics error; semdedup_rebootstrap re-arms it).
+            from lyssandra_spark.operators.ann_index import (
+                _drift_meta,
+                mean_quantization_error,
+            )
+
+            q_err, n_err = mean_quantization_error(
+                batch, "__e", _semdedup_row_err(C)
+            )
+            if n_err > 0:
+                meta["semdedup_drift"] = _drift_meta(
+                    q_err, n_err,
+                    prior_drift["semdedup_drift"]["baseline_qerr"]
+                    if prior_drift else None,
+                )
+
+        id_type = batch.schema["__id"].dataType
+        out_schema = T.StructType([
+            T.StructField(id_col, id_type, True),
+            T.StructField(emb_col, T.ArrayType(T.DoubleType()), True),
+            T.StructField("cell", T.IntegerType(), True),
+            T.StructField("keep", T.BooleanType(), True),
+            T.StructField("dup_of", id_type, True),
+            T.StructField("max_sim", T.DoubleType(), True),
+        ])
+
+        tagged = assign_cells_arrow(batch, C, "__e", nprobe=1).withColumn(
+            "cell", F.element_at("cells", 1)
+        ).drop("cells").withColumn("is_new", F.lit(True))
+        if prior:
+            batch_cells = tagged.select("cell").distinct()
+            exemplars = (
+                catalog.read(table)
+                .where(F.col("keep"))
+                .join(F.broadcast(batch_cells), "cell")
+                .select(
+                    F.col(id_col).alias("__id"),
+                    F.col(emb_col).alias("__e"),
+                    "cell",
+                    F.lit(False).alias("is_new"),
+                )
+            )
+            tagged = tagged.unionByName(exemplars)
+
+        thr = float(threshold)
+
+        def admit(pdf: pd.DataFrame) -> pd.DataFrame:
+            cell = int(pdf["cell"].iloc[0])
+            # sort BOTH sides by id: the keep/drop decision is max-vs-
+            # threshold (order-free), but dup_of attribution uses argmax,
+            # whose tie-break must not depend on partition arrival order
+            old = pdf[~pdf["is_new"]].sort_values("__id")
+            new = pdf[pdf["is_new"]].sort_values("__id")
+            if len(new) == 0:
+                return pd.DataFrame(
+                    {c.name: pd.Series(dtype=object) for c in out_schema}
+                )
+            K = list(np.asarray(list(old["__e"]), dtype=np.float64)) \
+                if len(old) else []
+            kept_ids = list(old["__id"])
+            for i, k in enumerate(K):
+                n = np.linalg.norm(k)
+                K[i] = k / n if n > 0 else k
+            out = {c.name: [] for c in out_schema}
+            for rid, e in zip(new["__id"], new["__e"]):
+                x = np.asarray(e, dtype=np.float64)
+                nx = np.linalg.norm(x)
+                keep, dup_of, max_sim = True, None, None
+                if nx > 0 and K:
+                    sims = np.stack(K) @ (x / nx)
+                    j = int(sims.argmax())
+                    max_sim = float(sims[j])
+                    if max_sim >= thr:
+                        keep, dup_of = False, kept_ids[j]
+                if keep and nx > 0:
+                    K.append(x / nx)
+                    kept_ids.append(rid)
+                out[id_col].append(rid)
+                out[emb_col].append(list(e))
+                out["cell"].append(cell)
+                out["keep"].append(keep)
+                out["dup_of"].append(dup_of)
+                out["max_sim"].append(max_sim)
+            return pd.DataFrame(out)
+
+        decisions = tagged.groupBy("cell").applyInPandas(admit, out_schema)
         snap_id = catalog.write(
             decisions, table, mode="append" if prior else "overwrite",
             sort_by=["cell"], meta=meta,
         )
     finally:
         batch.unpersist()
-    return catalog.read_snapshot(table, snap_id), snap_id
+    # read the batch's decisions BEFORE any rebootstrap overwrite — the
+    # returned frame is what was DECIDED (and what a batch_id retry
+    # replays), pinned to its own snapshot
+    decisions_out = catalog.read_snapshot(table, snap_id)
+    from lyssandra_spark.operators.ann_index import needs_retrain
+
+    if auto_rebootstrap is not None and "semdedup_drift" in meta and \
+            needs_retrain(catalog, table, threshold=auto_rebootstrap,
+                          drift_key="semdedup_drift"):
+        # the batch that just landed drifted past the caller's budget:
+        # refresh the clustering NOW (exemplar set unchanged, fresh
+        # centroids + baseline) — opt-in, one extra pass over the index
+        semdedup_rebootstrap(catalog, table)
+    return decisions_out, snap_id
+
+
+def semdedup_rebootstrap(catalog, table: str) -> int:
+    """Re-bootstrap an online-SemDeDup index's CLUSTERING in place — the
+    drift-ACT path that pairs with the ``semdedup_drift`` record, the
+    online analogue of :func:`~lyssandra_spark.operators.ann_index
+    .refresh_ivf_index`'s ``force_rebuild``.
+
+    What a rebootstrap can and cannot change, stated plainly: the
+    keep/drop DECISIONS are history — the online first-wins contract
+    cannot revisit them (a dropped document's bytes are gone downstream)
+    — so the retained exemplar set is untouched. What drifts is the
+    candidate GENERATOR: frozen centroids trained on the bootstrap
+    batch put drifted-region arrivals into a few catch-all cells whose
+    exemplar lists keep growing (per-admission cost creeps toward
+    all-pairs against the drifted mass). Retraining the centroids on a
+    hash-ordered sample of the CURRENT retained exemplars restores
+    balanced cells for the distribution actually in the index.
+
+    Mechanics: fresh centroids (same deterministic sample + Lloyd
+    recipe and same ``n_clusters``/``sample_rows``/``seed`` params as
+    the bootstrap, read from the chain head), every audit row —
+    retained and dropped alike — reassigned to its new cell in ONE
+    Arrow pass, one ``overwrite`` snapshot carrying the new centroids
+    and a FRESH ``semdedup_drift`` baseline (the retained exemplars'
+    error under the new clustering). Old snapshots stay on disk for
+    time travel/retry replay; the overwrite carries no ``batch_id`` so
+    retry lookups still resolve to the original batch snapshots.
+
+    One consequence worth knowing: two exemplars admitted into
+    DIFFERENT old cells may land in the SAME new cell with similarity
+    >= threshold (their admissions never compared them). They both stay
+    — history is history — and new arrivals simply dedup against both,
+    which is strictly MORE recall against drifted data than the stale
+    clustering had. The sequential==greedy parity contract therefore
+    carries across the boundary with the oracle switching centroid sets
+    at the same point (pytest-pinned).
+
+    Returns the overwrite snapshot id.
+    """
+    from lyssandra_spark.operators.ann_index import (
+        _drift_meta,
+        mean_quantization_error,
+    )
+
+    head = catalog.latest_meta(table, "semdedup_params")
+    if head is None:
+        raise ValueError(
+            f"table {table!r} carries no semdedup_params — nothing to "
+            "rebootstrap (bootstrap it with semdedup_new_batch first)"
+        )
+    params = head["semdedup_params"]
+    id_col, emb_col = params["id_col"], params["emb_col"]
+
+    # persist: the full audit read feeds the sample collect, the drift
+    # pass, and the reassignment write
+    full = catalog.read(table).persist()
+    try:
+        kept = full.where(F.col("keep")).select(
+            F.col(id_col).alias("__id"),
+            F.col(emb_col).cast("array<double>").alias("__e"),
+        )
+        sample = _training_sample(kept, "__id", "__e",
+                                  params["sample_rows"])
+        if sample.size == 0:
+            raise ValueError(
+                "semdedup_rebootstrap found no retained exemplars to "
+                "train on"
+            )
+        C = _lloyd_centroids(
+            sample, min(params["n_clusters"], len(sample)),
+            seed=params["seed"],
+        )
+        # fresh baseline: the retained exemplars' error under the NEW
+        # clustering — the population future admissions compare against
+        q_err, n_err = mean_quantization_error(
+            kept, "__e", _semdedup_row_err(C)
+        )
+        meta = {
+            "semdedup_params": params,
+            "centroids": [[float(v) for v in row] for row in C],
+        }
+        if n_err > 0:
+            meta["semdedup_drift"] = _drift_meta(q_err, n_err, None)
+        cols = [f.name for f in full.schema.fields]
+        reassigned = (
+            assign_cells_arrow(full.drop("cell"), C, emb_col, nprobe=1)
+            .withColumn("cell", F.element_at("cells", 1))
+            .drop("cells")
+            .select(*cols)
+        )
+        return catalog.write(
+            reassigned, table, mode="overwrite", sort_by=["cell"],
+            meta=meta,
+        )
+    finally:
+        full.unpersist()

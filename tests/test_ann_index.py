@@ -160,9 +160,13 @@ def test_pq_indexed_matches_per_call(spark, emb, tmp_path):
         pq_topk_indexed(cat, "pq", q, k=5, rerank=48)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # an over-large query table can't silently OOM the driver LUT build
+    # an over-large query table can't silently OOM the driver LUT build:
+    # distributed=False restores the loud refusal (the default now ROUTES
+    # the overflow to the no-collect distributed plan instead — covered
+    # by test_pq_distributed_serve_matches_collected)
     with pytest.raises(ValueError, match="max_queries"):
-        pq_topk_indexed(cat, "pq", emb, k=5, max_queries=100)
+        pq_topk_indexed(cat, "pq", emb, k=5, max_queries=100,
+                        distributed=False)
     cat_scans = [
         ln for ln in plan.splitlines() if "FileScan" in ln and "snap#" in ln
     ]
@@ -683,8 +687,16 @@ def test_drift_guards_and_recency(spark, tmp_path):
         [(0, [1.0, 2.0, 3.0, 4.0]), (1, None)],
         "vec_id long, embedding array<double>",
     ).coalesce(1)
-    with pytest.raises(Exception, match="null or ragged"):
+    with pytest.raises(Exception, match="null, ragged"):
         mean_quantization_error(nulled, "embedding", _ivf_row_err(C))
+    # round-9: uniformly EMPTY vectors are as unusable as ragged ones —
+    # without the width-0 guard they'd surface as an opaque numpy
+    # reshape error (and a width-0 batch would dodge the dim check)
+    empty_w = spark.createDataFrame(
+        [(0, []), (1, [])], "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="zero-width"):
+        mean_quantization_error(empty_w, "embedding", _ivf_row_err(C))
 
     df = spark.createDataFrame(
         [(i, [float(v) for v in rng.normal(size=4)]) for i in range(60)],
@@ -704,13 +716,92 @@ def test_drift_guards_and_recency(spark, tmp_path):
         refresh_ivf_index(cat, "vecs", "idx", n_cells=2, sample_rows=16,
                           auto_retrain=1.5)
 
-    # recency: a stale ivf_drift followed by a fresh semdedup_drift —
-    # the newest record decides (manifest order, not key priority)
+    # recency + the round-9 mixed-kind guard: within ONE kind the newest
+    # record decides; a chain that carries TWO kinds refuses an unpinned
+    # read (whichever wrote last would otherwise silently shadow the
+    # other) while pinned reads see their own kind's newest record
     cat.write(df.limit(5), "two_kinds", mode="overwrite",
               meta={"ivf_drift": {"mean_qerr": 9.0, "n": 5,
                                   "baseline_qerr": 1.0}})
-    assert needs_retrain(cat, "two_kinds") is True
+    assert needs_retrain(cat, "two_kinds") is True  # single kind: fine
     cat.write(df.limit(5), "two_kinds", mode="append",
               meta={"semdedup_drift": {"mean_qerr": 1.0, "n": 5,
                                        "baseline_qerr": 1.0}})
-    assert needs_retrain(cat, "two_kinds") is False
+    with pytest.raises(ValueError, match="more than one kind"):
+        needs_retrain(cat, "two_kinds")
+    assert needs_retrain(cat, "two_kinds", drift_key="ivf_drift") is True
+    assert needs_retrain(
+        cat, "two_kinds", drift_key="semdedup_drift"
+    ) is False
+    # a destructive overwrite kills the older kind: unpinned reads work
+    # again off the surviving record
+    cat.write(df.limit(5), "two_kinds", mode="overwrite",
+              meta={"semdedup_drift": {"mean_qerr": 4.0, "n": 5,
+                                       "baseline_qerr": 1.0}})
+    assert needs_retrain(cat, "two_kinds") is True
+
+
+def test_pq_distributed_serve_matches_collected(spark, emb, tmp_path):
+    """Round-9: the NO-COLLECT distributed ADC plan. (a) bit-identical
+    to the collected path on the same index (forced via
+    distributed=True, small blocks/chunks so every code path runs);
+    (b) a query table 12x over the max_queries guard AUTO-routes to the
+    distributed plan instead of refusing, and matches the collected
+    path run under a loose guard; (c) the distributed plan never
+    touches the driver-collect helper (monkeypatch fence) and its
+    physical plan carries the cogrouped Arrow stage."""
+    import lyssandra_spark.operators.ann_index as AI
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(emb, "vecs", mode="overwrite")
+    refresh_pq_index(cat, "vecs", "pq", m=8, n_codes=32, refine_iters=0)
+
+    q = emb.where(F.col("vec_id") < 25)
+    want = _sorted(pq_topk_indexed(cat, "pq", q, k=5, rerank=48))
+    got = _sorted(pq_topk_indexed(
+        cat, "pq", q, k=5, rerank=48, distributed=True,
+        corpus_blocks=5, query_chunk=7,
+    ))
+    pd.testing.assert_frame_equal(got, want)
+
+    # (b) 500 queries against max_queries=40 (12x over): auto-routed
+    want_all = _sorted(pq_topk_indexed(cat, "pq", emb, k=3, rerank=32))
+    got_all = _sorted(pq_topk_indexed(
+        cat, "pq", emb, k=3, rerank=32, max_queries=40, corpus_blocks=3,
+    ))
+    pd.testing.assert_frame_equal(got_all, want_all)
+
+    # (c) no query-side collect in the forced-distributed path
+    fence_df = pq_topk_indexed(
+        cat, "pq", q, k=5, rerank=48, distributed=True, corpus_blocks=5,
+    )
+    orig = AI._collect_bounded_queries
+    AI._collect_bounded_queries = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("distributed path collected the query frame")
+    )
+    try:
+        built = pq_topk_indexed(
+            cat, "pq", q, k=5, rerank=48, distributed=True,
+            corpus_blocks=5,
+        )
+        assert built.count() == want.shape[0]
+    finally:
+        AI._collect_bounded_queries = orig
+    plan = (
+        fence_df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapCoGroups" in plan  # the executor-side LUT/scan stage
+    # and the codes scan is still column-pruned (no embedding column)
+    code_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "code:array<int>" in ln
+        and "embedding" not in ln
+    ]
+    assert code_scans, "no column-pruned (id, code) scan in the plan"
+
+    # empty query frame: clean empty result, correct schema
+    got_empty = pq_topk_indexed(
+        cat, "pq", emb.limit(0), k=5, distributed=True, corpus_blocks=2,
+    )
+    assert got_empty.count() == 0
+    assert got_empty.columns == ["qid", "vec_id", "cos_sim", "rk"]

@@ -409,3 +409,230 @@ def test_online_spec_drift_and_frozen_centroids(spark, tmp_path):
             cat, "sd", _vecs(spark, ONLINE_ROWS), threshold=0.9,
             centroids=CENTROIDS,
         )
+
+
+# ---------------------------------------------------------------- round 9
+# drift-ACT path: semdedup_rebootstrap / auto_rebootstrap
+
+
+def _dir_clusters(rng, dim, axes, n_per, noise=0.05):
+    """Rows clustered around unit axes — the drift-test corpus shape."""
+    out = []
+    for ax in axes:
+        base = np.zeros(dim)
+        base[ax] = 1.0
+        out.append(base + rng.normal(size=(n_per, dim)) * noise)
+    return np.vstack(out)
+
+
+def _mat_df(spark, mat, id0):
+    return spark.createDataFrame(
+        [(id0 + i, [float(v) for v in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _boundary_oracle(batches_with_C, thr):
+    """Greedy online oracle ACROSS a rebootstrap boundary: each batch
+    is admitted under ITS centroid set; the retained exemplar set is
+    global, re-bucketed per batch under the centroids current at that
+    point (cells from raw vectors, squared-L2 argmin, stable ties)."""
+    kept = []  # (id, raw vector) in admission order
+    out = {}
+    for rows, C in batches_with_C:
+        C = np.asarray(C, dtype=float)
+        for rid, v in sorted(rows):
+            x = np.asarray(v, dtype=float)
+            cell = int(((x[None, :] - C) ** 2).sum(1).argmin())
+            nx = np.linalg.norm(x)
+            exem = []
+            for kid, kv in kept:
+                kcell = int(((kv[None, :] - C) ** 2).sum(1).argmin())
+                if kcell == cell:
+                    kn = np.linalg.norm(kv)
+                    exem.append((kid, kv / kn if kn > 0 else kv))
+            keep, dup_of = True, None
+            if nx > 0 and exem:
+                sims = np.stack([u for _, u in exem]) @ (x / nx)
+                j = int(sims.argmax())
+                if sims[j] >= thr:
+                    keep, dup_of = False, exem[j][0]
+            if keep and nx > 0:
+                kept.append((rid, x))
+            out[rid] = (keep, dup_of)
+    return out
+
+
+def test_rebootstrap_refreshes_clustering_preserves_decisions(
+    spark, tmp_path
+):
+    """semdedup_rebootstrap: decisions (keep/dup_of/max_sim) are
+    HISTORY and survive byte-for-byte; cells are reassigned under the
+    new centroids (numpy-checked); the drift baseline is fresh (the
+    signal the drifted batch raised is cleared); the params identity
+    survives so the chain keeps accepting batches."""
+    from lyssandra_spark.operators.ann_index import needs_retrain
+    from lyssandra_spark.operators.semdedup import (
+        semdedup_new_batch,
+        semdedup_rebootstrap,
+    )
+
+    rng = np.random.default_rng(17)
+    thr = 0.95
+    kw = dict(n_clusters=4, sample_rows=256, threshold=thr)
+    cat = _catalog(spark, tmp_path, "rb")
+
+    semdedup_new_batch(
+        cat, "sd", _mat_df(spark, _dir_clusters(rng, 6, [0, 1], 50), 0),
+        **kw,
+    )
+    semdedup_new_batch(
+        cat, "sd", _mat_df(spark, _dir_clusters(rng, 6, [3], 50), 1000),
+        **kw,
+    )
+    assert needs_retrain(cat, "sd", threshold=2.0) is True  # drifted
+
+    before = {
+        r["vec_id"]: (r["keep"], r["dup_of"], r["max_sim"])
+        for r in cat.read("sd").collect()
+    }
+    c_old = cat.latest_meta("sd", "centroids")["centroids"]
+
+    semdedup_rebootstrap(cat, "sd")
+
+    snaps = cat.snapshots("sd")
+    assert snaps[-1]["mode"] == "overwrite"
+    c_new = np.asarray(
+        cat.latest_meta("sd", "centroids")["centroids"], dtype=float
+    )
+    assert c_new.tolist() != c_old
+    # fresh baseline: the exemplars' own error under the new clustering
+    assert needs_retrain(cat, "sd", threshold=2.0) is False
+    d = cat.latest_meta("sd", "semdedup_drift")["semdedup_drift"]
+    assert d["mean_qerr"] == d["baseline_qerr"]
+
+    after = cat.read("sd").collect()
+    assert len(after) == len(before)
+    for r in after:
+        assert before[r["vec_id"]] == (r["keep"], r["dup_of"], r["max_sim"])
+        x = np.asarray(r["embedding"], dtype=float)
+        want_cell = int(((x[None, :] - c_new) ** 2).sum(1).argmin())
+        assert r["cell"] == want_cell
+
+    # the chain still accepts batches under the same params
+    dec, _ = semdedup_new_batch(
+        cat, "sd", _mat_df(spark, _dir_clusters(rng, 6, [3], 5), 2000),
+        **kw,
+    )
+    assert dec.count() == 5
+
+
+def test_auto_rebootstrap_one_call_and_cross_boundary_parity(
+    spark, tmp_path
+):
+    """auto_rebootstrap closes the maintain-or-rebootstrap loop in ONE
+    call (the drifted batch lands, then the clustering refreshes), the
+    batch's decisions equal the plain greedy run (the rebootstrap can
+    never rewrite history), and the NEXT batch's admissions equal the
+    cross-boundary greedy oracle (old centroids before the boundary,
+    new after, exemplar set carried over)."""
+    from lyssandra_spark.operators.ann_index import needs_retrain
+    from lyssandra_spark.operators.semdedup import semdedup_new_batch
+
+    rng = np.random.default_rng(23)
+    thr = 0.95
+    kw = dict(n_clusters=4, sample_rows=256, threshold=thr)
+
+    b1 = _dir_clusters(rng, 6, [0, 1], 40)
+    b2 = _dir_clusters(rng, 6, [3, 4], 40)  # drifted region
+    b3 = _dir_clusters(rng, 6, [3, 4, 0], 15)  # post-boundary arrivals
+    rows1 = [(i, list(map(float, v))) for i, v in enumerate(b1)]
+    rows2 = [(1000 + i, list(map(float, v))) for i, v in enumerate(b2)]
+    rows3 = [(2000 + i, list(map(float, v))) for i, v in enumerate(b3)]
+
+    cat = _catalog(spark, tmp_path, "auto")
+    semdedup_new_batch(cat, "sd", _mat_df(spark, b1, 0), **kw)
+    c_old = np.asarray(
+        cat.latest_meta("sd", "centroids")["centroids"], dtype=float
+    )
+
+    dec2, s2 = semdedup_new_batch(
+        cat, "sd", _mat_df(spark, b2, 1000), auto_rebootstrap=2.0, **kw
+    )
+    # the rebootstrap fired inside the call: head is an overwrite with a
+    # fresh sub-threshold baseline...
+    assert cat.snapshots("sd")[-1]["mode"] == "overwrite"
+    assert cat.snapshots("sd")[-1]["id"] > s2
+    assert needs_retrain(cat, "sd", threshold=2.0) is False
+    c_new = np.asarray(
+        cat.latest_meta("sd", "centroids")["centroids"], dtype=float
+    )
+    # ...and the batch's decisions are exactly the plain greedy ones
+    # under the OLD clustering (history is history)
+    want12 = _boundary_oracle([(rows1, c_old), (rows2, c_old)], thr)
+    got2 = {r["vec_id"]: (r["keep"], r["dup_of"]) for r in dec2.collect()}
+    assert got2 == {i: want12[i] for i, _ in rows2}
+
+    # the next batch admits under the NEW clustering with the carried
+    # exemplar set — the cross-boundary oracle
+    dec3, _ = semdedup_new_batch(cat, "sd", _mat_df(spark, b3, 2000), **kw)
+    want = _boundary_oracle(
+        [(rows1, c_old), (rows2, c_old), (rows3, c_new)], thr
+    )
+    got3 = {r["vec_id"]: (r["keep"], r["dup_of"]) for r in dec3.collect()}
+    assert got3 == {i: want[i] for i, _ in rows3}
+    assert sum(1 for k, _ in got3.values() if not k) > 0  # dups found
+
+
+def test_rebootstrap_arms_disarmed_baseline(spark, tmp_path):
+    """A chain bootstrapped with drift_metrics=False must stay LOUDLY
+    disarmed — later batches write no self-seeded baseline (the round-9
+    ADVICE fix), needs_retrain raises, auto_rebootstrap refuses — until
+    semdedup_rebootstrap re-arms it with an honest baseline."""
+    from lyssandra_spark.operators.ann_index import needs_retrain
+    from lyssandra_spark.operators.semdedup import (
+        semdedup_new_batch,
+        semdedup_rebootstrap,
+    )
+
+    rng = np.random.default_rng(31)
+    kw = dict(n_clusters=4, sample_rows=256, threshold=0.95)
+    cat = _catalog(spark, tmp_path, "arm")
+
+    semdedup_new_batch(
+        cat, "sd", _mat_df(spark, _dir_clusters(rng, 6, [0, 1], 40), 0),
+        drift_metrics=False, **kw,
+    )
+    # default drift_metrics=True on the next batch: NO record appears
+    # (a baseline seeded from this possibly-drifted batch would disarm
+    # the signal silently)
+    semdedup_new_batch(
+        cat, "sd", _mat_df(spark, _dir_clusters(rng, 6, [3], 40), 1000),
+        **kw,
+    )
+    assert cat.latest_meta("sd", "semdedup_drift") is None
+    with pytest.raises(ValueError, match="no drift metrics"):
+        needs_retrain(cat, "sd")
+    with pytest.raises(ValueError, match="baseline"):
+        semdedup_new_batch(
+            cat, "sd",
+            _mat_df(spark, _dir_clusters(rng, 6, [3], 5), 2000),
+            auto_rebootstrap=2.0, **kw,
+        )
+    with pytest.raises(ValueError, match="drift_metrics"):
+        semdedup_new_batch(
+            cat, "sd",
+            _mat_df(spark, _dir_clusters(rng, 6, [3], 5), 3000),
+            drift_metrics=False, auto_rebootstrap=2.0, **kw,
+        )
+
+    semdedup_rebootstrap(cat, "sd")  # re-arms with an honest baseline
+    assert needs_retrain(cat, "sd", threshold=2.0) is False
+    d0 = cat.latest_meta("sd", "semdedup_drift")["semdedup_drift"]
+
+    semdedup_new_batch(
+        cat, "sd", _mat_df(spark, _dir_clusters(rng, 6, [3], 10), 4000),
+        **kw,
+    )
+    d1 = cat.latest_meta("sd", "semdedup_drift")["semdedup_drift"]
+    assert d1["baseline_qerr"] == d0["baseline_qerr"]  # carried forward

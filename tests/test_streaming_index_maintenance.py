@@ -251,3 +251,115 @@ def test_streaming_ivf_index_maintenance(spark, vecs, tmp_path_factory):
     q = vecs.where(F.col("vec_id") < 5)
     got = ivf_topk_indexed(cat, "ivf", q, k=3, nprobe=4).toPandas()
     assert (got.groupby("qid").size() == 3).all()
+
+
+def test_streaming_drift_triggered_rebuild(spark, vecs, tmp_path_factory):
+    """Round-9: the full maintain -> detect -> retrain loop under real
+    micro-batches. The stream's later files carry a deliberately
+    DRIFTED distribution (scaled + offset embeddings the bootstrap
+    centroids never saw); the foreachBatch body folds each micro-batch
+    with auto_retrain, so the index must REBUILD mid-stream. Pinned:
+    (a) at least one auto rebuild beyond the bootstrap actually fired;
+    (b) the final index holds every row exactly once with every cell ==
+    tag_cell under the FINAL manifest centroids (rebuild reassigned
+    history; post-rebuild deltas froze the same centroids); (c) the
+    stream-fed chain is bit-identical to replaying the SAME micro-batch
+    sequence through plain batch calls — streaming adds no
+    nondeterminism (refine_iters=0, the bit-exact contract)."""
+    import os
+    import time
+
+    from lyssandra_spark.operators.ann_index import (
+        ivf_topk_indexed,
+        refresh_ivf_index,
+    )
+    from lyssandra_spark.operators.similarity import tag_cell
+
+    tmp = tmp_path_factory.mktemp("ivf_drift_stream")
+    src = str(tmp / "src")
+    normal = vecs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    drifted = normal.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v: v * F.lit(25.0) + F.lit(40.0)
+        ).alias("embedding"),
+    )
+    normal.repartition(3).write.parquet(src)
+    before = set(os.listdir(src))
+    drifted.repartition(2).write.mode("append").parquet(src)
+    # the file source drains oldest-first: pin the drifted files firmly
+    # AFTER the normal ones (append already wrote them later; the bump
+    # makes it robust to coarse timestamps)
+    now = time.time()
+    for name in set(os.listdir(src)) - before:
+        if name.endswith(".parquet"):
+            os.utime(os.path.join(src, name), (now + 3600, now + 3600))
+
+    kw = dict(n_cells=8, sample_rows=64, seed=23, refine_iters=0,
+              auto_retrain=4.0)
+    cat = ParquetCatalog(spark, str(tmp / "wh"))
+
+    def fold(batch_df, batch_id):
+        if batch_df.rdd.isEmpty():
+            return
+        cat.write(batch_df, "vecs", mode="append")
+        refresh_ivf_index(cat, "vecs", "ivf", **kw)
+
+    sdf = ST.read_transcript_stream(spark, src, normal.schema, max_files=1)
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    # (a) the drifted micro-batch forced a rebuild beyond the bootstrap
+    overwrites = [
+        s for s in cat.snapshots("ivf") if s["mode"] == "overwrite"
+    ]
+    assert len(overwrites) >= 2, "auto_retrain never fired in-stream"
+
+    # (b) complete, unique, and consistent under the FINAL centroids
+    corpus = normal.unionByName(drifted)
+    idx = cat.read("ivf").select("vec_id", "cell").toPandas()
+    assert len(idx) == corpus.count()
+    assert idx.vec_id.is_unique
+    C = np.asarray(
+        cat.latest_meta("ivf", "centroids")["centroids"], dtype=np.float64
+    )
+    want = tag_cell(
+        corpus.withColumnRenamed("embedding", "emb"), C, "emb"
+    ).select("vec_id", "cell").toPandas()
+    pd.testing.assert_frame_equal(
+        idx.sort_values("vec_id").reset_index(drop=True),
+        want.sort_values("vec_id").reset_index(drop=True),
+    )
+
+    # (c) replay the recovered micro-batch sequence through plain batch
+    # calls: identical final centroids and assignments
+    cat2 = ParquetCatalog(spark, str(tmp / "wh2"))
+    for s in cat.snapshots("vecs"):
+        cat2.write(
+            cat.read_snapshot("vecs", s["id"]), "vecs", mode="append"
+        )
+        refresh_ivf_index(cat2, "vecs", "ivf", **kw)
+    assert (
+        cat2.latest_meta("ivf", "centroids")["centroids"]
+        == cat.latest_meta("ivf", "centroids")["centroids"]
+    )
+    idx2 = (
+        cat2.read("ivf").select("vec_id", "cell").toPandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        idx.sort_values("vec_id").reset_index(drop=True), idx2
+    )
+
+    # the rebuilt index serves drifted-region queries from the index
+    got = ivf_topk_indexed(
+        cat, "ivf", drifted.where(F.col("vec_id") < 100_005), k=3, nprobe=4
+    ).toPandas()
+    assert (got.groupby("qid").size() == 3).all()
