@@ -68,6 +68,7 @@ from lyssandra_spark.sources.catalog import consumer_needs_rebuild
 __all__ = [
     "refresh_ivf_index", "ivf_topk_indexed",
     "refresh_pq_index", "pq_topk_indexed",
+    "ann_decontaminate",
     "mean_quantization_error", "needs_retrain", "DRIFT_KEYS",
 ]
 
@@ -443,11 +444,12 @@ def ivf_topk_indexed(
     nprobe: int = 4,
     id_col: str | None = None,
     emb_col: str | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """:func:`~lyssandra_spark.operators.similarity.ivf_topk` semantics
     served from the persisted index: NO training, NO corpus assignment —
-    the plan tags the (tiny, broadcast) query side with its ``nprobe``
-    probe cells under the manifest centroids, joins it to the index
+    the plan tags the (tiny, broadcast by default) query side with its
+    ``nprobe`` probe cells under the manifest centroids, joins it to the index
     parquet on cell (the sort-by-cell layout prunes row groups), and
     exactly re-ranks the probed candidates. Output (qid, id, cos_sim,
     rk), identical to the per-call operator under the same artifacts
@@ -471,10 +473,18 @@ def ivf_topk_indexed(
         id_col, "qid"
     )
     qtag = tag_probe_cells(q, C, "qemb", nprobe=nprobe, out_col="qcell")
+    # broadcast_queries=False: a corpus-scale query table must not be
+    # forced through a broadcast — fall back to an equi-join on the cell
+    # key (one shuffle each side keyed by cell; AQE may still choose a
+    # broadcast if the probed query side turns out small). Results are
+    # identical either way (pytest-pinned).
+    qside = F.broadcast(qtag) if broadcast_queries else qtag
     cand = idx.join(
-        F.broadcast(qtag),
-        (F.col("cell") == F.col("qcell")) & (F.col(id_col) != F.col("qid")),
-    ).select("qid", id_col, "qemb", "emb").dropDuplicates(["qid", id_col])
+        qside.withColumnRenamed("qcell", "cell"),
+        "cell",
+    ).where(F.col(id_col) != F.col("qid")).select(
+        "qid", id_col, "qemb", "emb"
+    ).dropDuplicates(["qid", id_col])
     sims = cand.select(
         "qid", id_col,
         (_dot(F.col("qemb"), F.col("emb"))
@@ -944,3 +954,66 @@ def _pq_topk_distributed(
     )
     return _rerank_exact(catalog, index_table, cand, qsrc, k, id_col,
                          emb_col, broadcast_small=False)
+
+
+def ann_decontaminate(
+    catalog,
+    index_table: str,
+    eval_embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    k: int = 16,
+    rerank: int | None = None,
+    id_col: str | None = None,
+    emb_col: str | None = None,
+    **serve_kwargs,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination over the persisted PQ
+    index — the semantic sibling of :func:`~lyssandra_spark.functions
+    .textstats.ngram_contamination` (which catches verbatim n-gram
+    overlap; this catches paraphrased/translated eval leakage that
+    shares no 8-gram with the benchmark).
+
+    For every eval example, its top-``k`` ADC candidates are exactly
+    re-ranked and corpus rows with cosine >= ``min_cosine`` to ANY eval
+    example are returned as ``(id_col, n_eval_hits, max_sim,
+    worst_eval_id)`` — one row per contaminated CORPUS doc, ready to
+    ``join(..., "left_anti")`` out of the training set (and to audit:
+    which benchmark item leaked, how hard, how often). Deterministic
+    given the index artifacts.
+
+    Scale shape: the eval set is the QUERY side of
+    :func:`pq_topk_indexed`, so a benchmark suite of ANY size gets a
+    plan — small suites take the driver-LUT path, large ones (HELM-scale
+    sweeps, corpus-vs-corpus checks) auto-route to the no-collect
+    distributed ADC scan; pass ``distributed``/``corpus_blocks`` etc.
+    through ``serve_kwargs``. The corpus side streams (id, code) only.
+
+    Honest bound, stated plainly: a corpus doc is flagged only if it
+    enters some eval example's top-``k``. If MORE than ``k`` corpus
+    docs sit above ``min_cosine`` of one eval example (mass-duplicated
+    contamination), the excess escapes this pass — raise ``k``, or run
+    exact dedup first so duplicate mass collapses to one id. ``rerank``
+    defaults to ``4 * k`` (the ADC candidate pool the exact re-rank
+    sees; the approximation the PQ recall tests gate).
+    """
+    if not (-1.0 <= min_cosine <= 1.0):
+        raise ValueError(f"min_cosine ({min_cosine}) must be in [-1, 1]")
+    spec = (catalog.latest_meta(index_table, "pq_spec") or {}).get(
+        "pq_spec", {}
+    )
+    id_col = id_col or spec.get("id_col", "vec_id")
+    hits = pq_topk_indexed(
+        catalog, index_table, eval_embeddings, k=k,
+        rerank=(4 * k if rerank is None else rerank),
+        id_col=id_col, emb_col=emb_col, **serve_kwargs,
+    )
+    return (
+        hits.where(F.col("cos_sim") >= F.lit(float(min_cosine)))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_sim"),
+            F.max_by("qid", F.struct("cos_sim", (-F.col("qid")).alias("q")))
+            .alias("worst_eval_id"),
+        )
+    )

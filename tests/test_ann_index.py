@@ -805,3 +805,88 @@ def test_pq_distributed_serve_matches_collected(spark, emb, tmp_path):
     )
     assert got_empty.count() == 0
     assert got_empty.columns == ["qid", "vec_id", "cos_sim", "rk"]
+
+
+def test_ann_decontaminate_flags_planted_leakage(spark, emb, tmp_path):
+    """ann_decontaminate: planted eval leakage (scaled copies of corpus
+    vectors — cosine exactly 1) is flagged with the right audit columns;
+    the flag set equals the numpy brute-force >=threshold oracle
+    (top-k-capped semantics verified applicable: every eval example has
+    fewer than k corpus hits); far eval vectors flag nothing; the
+    auto-routed distributed serve returns the identical flag set; the
+    anti-join composition removes exactly the flagged rows."""
+    from lyssandra_spark.operators.ann_index import ann_decontaminate
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(emb, "vecs", mode="overwrite")
+    refresh_pq_index(cat, "vecs", "pq", m=8, n_codes=32, refine_iters=0)
+
+    corpus = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    rng = np.random.default_rng(41)
+    eval_rows = [
+        (9000 + i, [float(2.0 * v) for v in corpus[i]]) for i in (3, 7, 11)
+    ] + [
+        (9900 + j, [float(v) for v in rng.normal(size=64)]) for j in range(2)
+    ]
+    eval_df = spark.createDataFrame(
+        eval_rows, "vec_id long, embedding array<double>"
+    )
+
+    thr, k = 0.99, 16
+    got = ann_decontaminate(
+        cat, "pq", eval_df, min_cosine=thr, k=k
+    ).toPandas().set_index("vec_id").sort_index()
+
+    # numpy oracle: every corpus doc with cosine >= thr to ANY eval row
+    E = np.asarray([r[1] for r in eval_rows], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cids = sorted(corpus)
+    X = np.stack([corpus[i] for i in cids])
+    Xn = X / np.maximum(
+        np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+    )
+    sims = En @ Xn.T  # (n_eval, n_corpus)
+    per_eval_hits = (sims >= thr).sum(1)
+    assert per_eval_hits.max() < k  # top-k cap provably not binding
+    expect = {cids[j] for j in np.where((sims >= thr).any(0))[0]}
+    assert {3, 7, 11} <= expect
+    assert set(got.index) == expect
+    for i in (3, 7, 11):
+        assert got.loc[i, "max_sim"] >= 0.999
+        assert got.loc[i, "worst_eval_id"] == 9000 + i
+        assert got.loc[i, "n_eval_hits"] >= 1
+
+    # distributed route (5 eval rows > max_queries=2) — identical flags
+    got_dist = ann_decontaminate(
+        cat, "pq", eval_df, min_cosine=thr, k=k, max_queries=2,
+        corpus_blocks=3,
+    ).toPandas().set_index("vec_id").sort_index()
+    pd.testing.assert_frame_equal(got.sort_index(), got_dist.sort_index())
+
+    # the composition the operator exists for
+    clean = emb.join(
+        ann_decontaminate(cat, "pq", eval_df, min_cosine=thr, k=k)
+        .select("vec_id"),
+        "vec_id", "left_anti",
+    )
+    assert clean.count() == emb.count() - len(expect)
+
+    with pytest.raises(ValueError, match="min_cosine"):
+        ann_decontaminate(cat, "pq", eval_df, min_cosine=1.5)
+
+
+def test_ivf_indexed_no_broadcast_path_matches(spark, emb, tmp_path):
+    """broadcast_queries=False (the corpus-scale query table setting)
+    returns results identical to the default broadcast plan."""
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(emb, "vecs", mode="overwrite")
+    refresh_ivf_index(cat, "vecs", "ivf", refine_iters=0)
+    q = emb.where(F.col("vec_id") < 12)
+    pd.testing.assert_frame_equal(
+        _sorted(ivf_topk_indexed(cat, "ivf", q, k=5, nprobe=4,
+                                 broadcast_queries=False)),
+        _sorted(ivf_topk_indexed(cat, "ivf", q, k=5, nprobe=4)),
+    )
