@@ -146,7 +146,7 @@ def _minhash_lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven ANN strategies in one result (union, `variant` column):
+    """Ten ANN strategies in one result (union, `variant` column):
 
     - 'lsh': multi-table hyperplane LSH (merged from the former
       ann_lsh_topk row — round-8 registry consolidation; the recall
@@ -174,13 +174,18 @@ def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpus-scale query tables — executor-side LUT build via
       cogroup(...).applyInArrow, block nested-loop over hashed code
       blocks; bit-identical to the collected path (pytest-pinned), the
-      plan that replaced the former hard max_queries ceiling.
+      plan that replaced the former hard max_queries ceiling;
+    - 'ivfpq_indexed' (round 9): the IVF-PQ HYBRID (Jegou 2011 IVFADC)
+      — coarse cells prune each query's ADC scan to its nprobe cells
+      (static cell-IN pushdown over the sort-by-cell layout) and PQ
+      codes over normalized-vector RESIDUALS compress what remains;
+      serve == numpy-oracle pytest-pinned, recall gated vs brute force.
     """
     import shutil
 
     from lyssandra_spark.operators.ann_index import (
-        ivf_topk_indexed, pq_topk_indexed,
-        refresh_ivf_index, refresh_pq_index,
+        ivf_topk_indexed, ivfpq_topk_indexed, pq_topk_indexed,
+        refresh_ivf_index, refresh_ivfpq_index, refresh_pq_index,
     )
     from lyssandra_spark.operators.similarity import (
         cosine_topk_lsh, ivf_topk, pq_topk,
@@ -222,10 +227,15 @@ def _ann_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_dist = pq_topk_indexed(
         cat, "pq_idx", q, k=5, distributed=True, corpus_blocks=4
     ).withColumn("variant", F.lit("pq_adc_dist"))
+    refresh_ivfpq_index(cat, "vecs", "ivfpq_idx", n_cells=8, m=8,
+                        n_codes=32)
+    ivfpq = ivfpq_topk_indexed(
+        cat, "ivfpq_idx", q, k=5, nprobe=4
+    ).withColumn("variant", F.lit("ivfpq_indexed"))
     return (
         lsh.unionByName(base).unionByName(ref).unionByName(wide)
         .unionByName(pq).unionByName(pqr).unionByName(ivf_idx)
-        .unionByName(pq_idx).unionByName(pq_dist)
+        .unionByName(pq_idx).unionByName(pq_dist).unionByName(ivfpq)
     )
 
 
@@ -574,7 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_minhash_clusters"] = _minhash_clusters
     out["simhash_neardup_pairs"] = _simhash_pairs
     out["embedding_neardup_pairs"] = _embedding_neardup
-    out["ann_topk_variants"] = _ann_variants  # lsh / ivf / ivf_refined / ivf_wide / pq_adc / pq_refined / ivf_indexed / pq_adc_indexed / pq_adc_dist
+    out["ann_topk_variants"] = _ann_variants  # lsh / ivf / ivf_refined / ivf_wide / pq_adc / pq_refined / ivf_indexed / pq_adc_indexed / pq_adc_dist / ivfpq_indexed
     out["semdedup_embeddings"] = _semdedup_embeddings
     out["dsir_fit_score_sample"] = _dsir_fit_score_sample
     out["multimodal_decode"] = _multimodal

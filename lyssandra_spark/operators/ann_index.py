@@ -68,6 +68,7 @@ from lyssandra_spark.sources.catalog import consumer_needs_rebuild
 __all__ = [
     "refresh_ivf_index", "ivf_topk_indexed",
     "refresh_pq_index", "pq_topk_indexed",
+    "refresh_ivfpq_index", "ivfpq_topk_indexed",
     "ann_decontaminate",
     "mean_quantization_error", "needs_retrain", "DRIFT_KEYS",
 ]
@@ -164,8 +165,9 @@ def _pq_row_err(books: np.ndarray):
 
 
 #: manifest-meta keys that carry per-batch drift records, newest-batch
-#: semantics via ``latest_meta`` (IVF / PQ indexes, online SemDeDup)
-DRIFT_KEYS = ("ivf_drift", "pq_drift", "semdedup_drift")
+#: semantics via ``latest_meta`` (IVF / PQ / IVF-PQ indexes, online
+#: SemDeDup)
+DRIFT_KEYS = ("ivf_drift", "pq_drift", "ivfpq_drift", "semdedup_drift")
 
 
 def _drift_meta(mean_qerr: float, n: int, baseline: float | None) -> dict:
@@ -1017,3 +1019,391 @@ def ann_decontaminate(
             .alias("worst_eval_id"),
         )
     )
+
+
+# --------------------------------------------------------------- IVF-PQ
+# The production hybrid (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search", Sec. V "IVFADC"): a coarse IVF quantizer
+# prunes each query's scan to its nprobe cells, and PQ codes over the
+# RESIDUAL (normalized vector minus its cell's unit anchor) compress
+# what remains. Flat ADC (refresh_pq_index) scans every code for every
+# query; IVF-PQ scans ~nprobe/n_cells of them — the difference between
+# O(corpus) and O(corpus / n_cells * nprobe) per query at 100 TB —
+# while the residual codebooks spend their 8 bits per subspace on the
+# (much smaller) within-cell variation instead of the whole space.
+
+
+def _unit_anchors(C: np.ndarray) -> np.ndarray:
+    """Per-cell unit anchor a_cell = C[cell]/||C[cell]|| — the point the
+    residual is taken from. Unit-izing keeps the residual in the same
+    scale as the normalized vectors; a zero centroid anchors at 0."""
+    nrm = np.linalg.norm(C, axis=1, keepdims=True)
+    return np.where(nrm > 0, C / np.maximum(nrm, 1e-300), 0.0)
+
+
+def _ivfpq_row_err(C: np.ndarray, books: np.ndarray):
+    """Per-row squared residual-reconstruction error under the frozen
+    (centroids, residual codebooks) — the IVF-PQ drift measure."""
+    Cv = np.ascontiguousarray(C, np.float64)
+    A = _unit_anchors(Cv)
+    cn2 = (Cv * Cv).sum(1)
+    bk = np.ascontiguousarray(books, np.float64)
+    m, _, dsub = bk.shape
+
+    def err(X):
+        n = len(X)
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ Cv.T) + cn2[None, :]
+        cells = d2.argmin(1)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        R = (Xn - A[cells]).reshape(n, m, dsub)
+        e = np.zeros(n)
+        for j in range(m):
+            Cj = bk[j]
+            dj = -2.0 * (R[:, j, :] @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+            e += dj.min(1) + (R[:, j, :] * R[:, j, :]).sum(1)
+        return np.maximum(e, 0.0)
+
+    return err
+
+
+def _ivfpq_assign(df: DataFrame, C: np.ndarray, books: np.ndarray,
+                  id_col: str, emb_col: str) -> DataFrame:
+    """ONE mapInArrow pass appending (cell, code) under the frozen
+    artifacts: cell by raw-vector expanded-L2 argmin (bit-compatible
+    with :func:`~lyssandra_spark.operators.similarity
+    .assign_cells_arrow` — numpy argmin takes the FIRST minimum, the
+    same lowest-cell tie rule), code by per-subspace argmin over the
+    normalized-vector RESIDUAL (the :func:`~lyssandra_spark.operators
+    .similarity.pq_assign_codes` tie rule, applied to residuals)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    m, n_codes, dsub = books.shape
+    src = df.select(
+        F.col(id_col),
+        F.col(emb_col).cast("array<double>").alias(emb_col),
+    )
+    bc = src.sparkSession.sparkContext.broadcast((
+        np.ascontiguousarray(C, np.float64),
+        np.ascontiguousarray(books, np.float64),
+    ))
+    out_schema = T.StructType([
+        src.schema[id_col],
+        T.StructField(emb_col, T.ArrayType(T.DoubleType()), True),
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("code", T.ArrayType(T.IntegerType()), False),
+    ])
+
+    def gen(it):
+        Cv, bk = bc.value
+        A = _unit_anchors(Cv)
+        cn2 = (Cv * Cv).sum(1)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(n, -1)
+            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ Cv.T) + cn2[None, :]
+            cells = d2.argmin(1).astype(np.int32)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+            )
+            R = (Xn - A[cells]).reshape(n, m, dsub)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                Cj = bk[j]
+                dj = -2.0 * (R[:, j, :] @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+                codes[:, j] = dj.argmin(1)
+            offs = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(cells, pa.int32()),
+                    pa.ListArray.from_arrays(
+                        offs, pa.array(codes.ravel(), pa.int32())
+                    ),
+                ],
+                names=[f.name for f in out_schema.fields],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
+def refresh_ivfpq_index(
+    catalog,
+    src_table: str,
+    index_table: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 2048,
+    seed: int = 31,
+    refine_iters: int = 1,
+    drift_metrics: bool = True,
+    force_rebuild: bool = False,
+    auto_retrain: float | None = None,
+) -> int:
+    """Keep ``index_table`` = (id, embedding, cell, code) over
+    ``src_table``'s chain — the IVF-PQ hybrid: ONE index whose rows are
+    both cell-pruned (sorted by cell, so a probe scan prunes row
+    groups AND the code scan carries a static ``cell IN (...)``
+    pushdown) and PQ-compressed (residual codes — the ADC scan still
+    never reads the vectors).
+
+    Training (rebuild only, frozen thereafter): centroids exactly as
+    :func:`refresh_ivf_index` (unbiased hash-ordered sample + seeded
+    Lloyd; ``refine_iters`` full-corpus distributed Lloyd passes refine
+    the CENTROIDS); residual codebooks are then trained on the SAMPLE's
+    normalized-vector residuals under those (refined) centroids —
+    sample-trained by design (a full-corpus residual refine would need
+    a residual-space Lloyd pass; the exact re-rank bounds the cost of
+    the approximation, and the recall gate in pytest measures it).
+    Deltas are assigned under the frozen artifacts in one Arrow pass;
+    ``drift_metrics`` records the batch's mean squared residual
+    reconstruction error (``ivfpq_drift``) for :func:`needs_retrain`;
+    ``force_rebuild`` / ``auto_retrain`` behave exactly as in the flat
+    twins. Returns the index snapshot id."""
+    if auto_retrain is not None and not drift_metrics:
+        raise ValueError(
+            "auto_retrain needs drift_metrics=True — without the drift "
+            "record there is no signal to act on"
+        )
+    spec = {"src": src_table, "id_col": id_col, "emb_col": emb_col,
+            "n_cells": n_cells, "m": m, "n_codes": n_codes,
+            "sample_rows": sample_rows, "seed": seed,
+            "refine_iters": refine_iters}
+    src_snaps, newest, rebuild, last, idx_snaps, skip = _chain_state(
+        catalog, src_table, index_table, "ivfpq_spec", spec,
+        force=force_rebuild,
+    )
+    if rebuild or force_rebuild:
+        corpus = _dedup_src(catalog, src_table, id_col, emb_col).persist()
+        try:
+            sample = _training_sample(corpus, id_col, emb_col, sample_rows)
+            if sample.size == 0:
+                raise ValueError(
+                    "refresh_ivfpq_index requires a non-empty source"
+                )
+            C = _lloyd_centroids(sample, n_cells, seed=seed)
+            if refine_iters > 0:
+                C = kmeans_refine(corpus, C, emb_col=emb_col,
+                                  n_iter=refine_iters)
+            A = _unit_anchors(C)
+            cn2 = (C * C).sum(1)
+            d2 = ((sample * sample).sum(1)[:, None]
+                  - 2.0 * (sample @ C.T) + cn2[None, :])
+            cells = d2.argmin(1)
+            Sn = sample / np.maximum(
+                np.linalg.norm(sample, axis=1, keepdims=True), 1e-300
+            )
+            books = pq_train(Sn - A[cells], m=m, n_codes=n_codes,
+                             seed=seed)
+            meta = {"ivfpq_spec": spec, "ivfpq_last_snap": newest,
+                    "centroids": [[float(v) for v in r] for r in C],
+                    "ivfpq_books": books.tolist()}
+            if drift_metrics:
+                q, n = mean_quantization_error(
+                    corpus, emb_col, _ivfpq_row_err(C, books)
+                )
+                meta["ivfpq_drift"] = _drift_meta(q, n, None)
+            return catalog.write(
+                _ivfpq_assign(corpus, C, books, id_col, emb_col),
+                index_table, mode="overwrite", sort_by=["cell"],
+                meta=meta,
+            )
+        finally:
+            corpus.unpersist()
+    if last >= newest:
+        return idx_snaps[-1]["id"]
+    prior_drift = catalog.latest_meta(index_table, "ivfpq_drift")
+    if auto_retrain is not None and prior_drift is None:
+        raise ValueError(
+            "auto_retrain has no baseline on this chain (it predates "
+            "drift metrics) — run once with force_rebuild=True first"
+        )
+    delta = _delta_new_rows(catalog, src_table, index_table, src_snaps, last,
+                            id_col, [id_col, emb_col], skip)
+    if delta is None:
+        return catalog.write(
+            catalog.read(index_table).limit(0), index_table, mode="append",
+            meta={"ivfpq_spec": spec, "ivfpq_last_snap": newest},
+        )
+    delta = delta.persist()
+    try:
+        if delta.count() == 0:
+            return catalog.write(
+                catalog.read(index_table).limit(0), index_table,
+                mode="append",
+                meta={"ivfpq_spec": spec, "ivfpq_last_snap": newest},
+            )
+        C = np.asarray(
+            (catalog.latest_meta(index_table, "centroids") or {})
+            ["centroids"], dtype=np.float64,
+        )
+        books = np.asarray(
+            (catalog.latest_meta(index_table, "ivfpq_books") or {})
+            ["ivfpq_books"], dtype=np.float64,
+        )
+        meta = {"ivfpq_spec": spec, "ivfpq_last_snap": newest}
+        if drift_metrics and prior_drift is not None:
+            q, n = mean_quantization_error(
+                delta, emb_col, _ivfpq_row_err(C, books)
+            )
+            meta["ivfpq_drift"] = _drift_meta(
+                q, n, prior_drift["ivfpq_drift"]["baseline_qerr"]
+            )
+        sid = catalog.write(
+            _ivfpq_assign(delta, C, books, id_col, emb_col), index_table,
+            mode="append", sort_by=["cell"], meta=meta,
+        )
+    finally:
+        delta.unpersist()
+    if auto_retrain is not None and "ivfpq_drift" in meta and needs_retrain(
+        catalog, index_table, threshold=auto_retrain,
+        drift_key="ivfpq_drift",
+    ):
+        return refresh_ivfpq_index(
+            catalog, src_table, index_table, id_col=id_col, emb_col=emb_col,
+            n_cells=n_cells, m=m, n_codes=n_codes, sample_rows=sample_rows,
+            seed=seed, refine_iters=refine_iters,
+            drift_metrics=drift_metrics, force_rebuild=True,
+        )
+    return sid
+
+
+def ivfpq_topk_indexed(
+    catalog,
+    index_table: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 64,
+    id_col: str | None = None,
+    emb_col: str | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Approximate cosine top-k served from the persisted IVF-PQ index:
+    each query probes its ``nprobe`` nearest cells (raw-vector centroid
+    distance, the :func:`~lyssandra_spark.operators.similarity
+    .tag_probe_cells` tie rules), the ADC scan reads ONLY
+    (id, code, cell) rows of the probed cells — a STATIC ``cell IN``
+    predicate, so the sort-by-cell parquet layout prunes row groups
+    before any compute — scores candidates as
+    ``q_n . a_cell + LUT(residual code)`` (the IVFADC decomposition:
+    one per-(query, cell) scalar plus the standard per-subspace lookup
+    sums), and exactly re-ranks the per-query top-``rerank``. Output
+    (qid, id, cos_sim, rk).
+
+    Query LUTs are driver-built and broadcast (bounded by
+    ``max_queries``, loud error beyond — chunk the query set; results
+    are independent per query). Per-query scan cost is
+    ~``nprobe / n_cells`` of the flat :func:`pq_topk_indexed` scan —
+    the reason this index exists; recall is gated in pytest against
+    brute force, and a numpy oracle pins the serve bit-exactly."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    meta = catalog.latest_meta(index_table, "ivfpq_books")
+    if meta is None:
+        raise ValueError(
+            f"index table {index_table!r} has no ivfpq_books meta — run "
+            "refresh_ivfpq_index first"
+        )
+    books = np.asarray(meta["ivfpq_books"], dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    C = np.asarray(
+        (catalog.latest_meta(index_table, "centroids") or {})["centroids"],
+        dtype=np.float64,
+    )
+    A = _unit_anchors(C)
+    spec = (catalog.latest_meta(index_table, "ivfpq_spec") or {}).get(
+        "ivfpq_spec", {}
+    )
+    id_col = id_col or spec.get("id_col", "vec_id")
+    emb_col = emb_col or spec.get("emb_col", "embedding")
+    q = _collect_bounded_queries(queries, id_col, emb_col, max_queries)
+    if not q:
+        return queries.sparkSession.createDataFrame(
+            [], f"qid long, {id_col} long, cos_sim double, rk int"
+        )
+    qids = np.asarray([r[0] for r in q], dtype=np.int64)
+    Q = np.asarray([r[1] for r in q], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    # probe cells from the RAW query (the IVF convention; stable
+    # argsort = ascending distance, ties to the lower cell id)
+    dq = ((Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T)
+          + (C * C).sum(1)[None, :])
+    p = min(nprobe, len(C))
+    probes = np.argsort(dq, axis=1, kind="stable")[:, :p]
+    probe_mat = np.zeros((len(C), len(qids)), dtype=bool)
+    for i in range(len(qids)):
+        probe_mat[probes[i], i] = True
+    luts = np.einsum("ijs,jcs->ijc", Qn.reshape(len(Qn), m, dsub), books)
+    cell_consts = Qn @ A.T  # (nq, n_cells): the q_n . a_cell term
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (qids, luts, cell_consts, probe_mat)
+    )
+    out_schema = T.StructType([
+        T.StructField("qid", T.LongType(), False),
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("approx_ip", T.DoubleType(), False),
+    ])
+    probed_cells = sorted(int(c) for c in np.unique(probes))
+    codes_src = catalog.read(index_table).select(
+        F.col(id_col).cast("long").alias("vid"), F.col("code"),
+        F.col("cell"),
+    ).where(F.col("cell").isin(probed_cells))
+
+    def scan(it):
+        qids_, luts_, consts_, pmat_ = bc.value
+        nq = len(qids_)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            codes = (
+                batch.column(1).flatten().to_numpy(zero_copy_only=False)
+                .reshape(n, m)
+            )
+            cells = batch.column(2).to_numpy(zero_copy_only=False)
+            approx = consts_[:, cells].T.copy()  # (n, nq)
+            for j in range(m):
+                approx += luts_[:, j, codes[:, j]].T
+            approx[~pmat_[cells]] = -np.inf  # not probed by that query
+            approx[ids[:, None] == qids_[None, :]] = -np.inf
+            rr = min(rerank, n)
+            rows = np.concatenate([
+                np.lexsort((ids, -approx[:, i]))[:rr] for i in range(nq)
+            ])
+            cols = np.repeat(np.arange(nq), rr)
+            vals = approx[rows, cols]
+            keep = np.isfinite(vals)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids_[cols[keep]], pa.int64()),
+                    pa.array(ids[rows[keep]], pa.int64()),
+                    pa.array(vals[keep], pa.float64()),
+                ],
+                names=["qid", id_col, "approx_ip"],
+            )
+
+    partial = codes_src.mapInArrow(scan, out_schema)
+    w0 = Window.partitionBy("qid").orderBy(
+        F.col("approx_ip").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        partial.withColumn("crk", F.row_number().over(w0))
+        .where(F.col("crk") <= rerank)
+        .select("qid", id_col)
+    )
+    qdf = queries.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
+        "qid long, qemb array<double>",
+    )
+    return _rerank_exact(catalog, index_table, cand, qdf, k, id_col,
+                         emb_col, broadcast_small=True)
