@@ -363,3 +363,100 @@ def test_streaming_drift_triggered_rebuild(spark, vecs, tmp_path_factory):
         cat, "ivf", drifted.where(F.col("vec_id") < 100_005), k=3, nprobe=4
     ).toPandas()
     assert (got.groupby("qid").size() == 3).all()
+
+
+def test_streaming_semdedup_auto_rebootstrap(spark, tmp_path_factory):
+    """Round-9: the online-SemDeDup maintain -> detect -> rebootstrap
+    loop under real micro-batches. Later files carry an orthogonal
+    direction the bootstrap clustering never saw; every admission runs
+    with auto_rebootstrap, so the clustering must refresh mid-stream.
+    Pinned: (a) a rebootstrap overwrite (no batch_id — rebootstraps are
+    not batches) landed beyond the bootstrap; (b) every input row has
+    exactly one decision row; (c) replaying the SAME micro-batch
+    sequence through plain batch calls yields identical decisions,
+    cells, and final centroids — streaming adds no nondeterminism."""
+    import os
+    import time
+
+    from lyssandra_spark.operators.semdedup import semdedup_new_batch
+
+    rng = np.random.default_rng(13)
+
+    def _dirs(axes, n_per, id0):
+        rows = []
+        rid = id0
+        for ax in axes:
+            base = np.zeros(8)
+            base[ax] = 1.0
+            for v in base + rng.normal(size=(n_per, 8)) * 0.05:
+                rows.append((rid, [float(x) for x in v]))
+                rid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    tmp = tmp_path_factory.mktemp("sd_reboot_stream")
+    src = str(tmp / "src")
+    normal = _dirs([0, 1], 40, 0)
+    drifted = _dirs([4, 5], 40, 10_000)
+    normal.repartition(2).write.parquet(src)
+    before = set(os.listdir(src))
+    drifted.repartition(2).write.mode("append").parquet(src)
+    now = time.time()
+    for name in set(os.listdir(src)) - before:
+        if name.endswith(".parquet"):
+            os.utime(os.path.join(src, name), (now + 3600, now + 3600))
+
+    kw = dict(threshold=0.95, n_clusters=4, sample_rows=256,
+              auto_rebootstrap=2.0)
+    cat = ParquetCatalog(spark, str(tmp / "wh"))
+
+    def fold(batch_df, batch_id):
+        if batch_df.rdd.isEmpty():
+            return
+        semdedup_new_batch(cat, "sd", batch_df,
+                           batch_id=f"mb{batch_id}", **kw)
+
+    sdf = ST.read_transcript_stream(spark, src, normal.schema, max_files=1)
+    q = (
+        sdf.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    snaps = cat.snapshots("sd")
+    reboots = [
+        s for s in snaps
+        if s["mode"] == "overwrite" and "batch_id" not in s.get("meta", {})
+    ]
+    assert reboots, "auto_rebootstrap never fired in-stream"
+
+    full = cat.read("sd").toPandas()
+    assert len(full) == normal.count() + drifted.count()
+    assert full.vec_id.is_unique
+    assert (~full.keep).sum() > 0  # tight clusters produced drops
+
+    # replay the recovered micro-batch sequence as plain batch calls
+    cat2 = ParquetCatalog(spark, str(tmp / "wh2"))
+    for s in snaps:
+        if "batch_id" not in s.get("meta", {}):
+            continue  # rebootstrap overwrites are not batches
+        batch = cat.read_snapshot("sd", s["id"]).select(
+            "vec_id", "embedding"
+        )
+        semdedup_new_batch(cat2, "sd", batch,
+                           batch_id=s["meta"]["batch_id"], **kw)
+    replay = cat2.read("sd").toPandas()
+    key = lambda df: {  # noqa: E731
+        int(r.vec_id): (bool(r.keep),
+                        None if pd.isna(r.dup_of) else int(r.dup_of),
+                        int(r.cell))
+        for r in df.itertuples()
+    }
+    assert key(full) == key(replay)
+    assert (
+        cat.latest_meta("sd", "centroids")["centroids"]
+        == cat2.latest_meta("sd", "centroids")["centroids"]
+    )
