@@ -1285,6 +1285,9 @@ def ivfpq_topk_indexed(
     id_col: str | None = None,
     emb_col: str | None = None,
     max_queries: int = 10_000,
+    distributed: bool | None = None,
+    corpus_blocks: int = 32,
+    query_chunk: int = 4096,
 ) -> DataFrame:
     """Approximate cosine top-k served from the persisted IVF-PQ index:
     each query probes its ``nprobe`` nearest cells (raw-vector centroid
@@ -1298,9 +1301,12 @@ def ivfpq_topk_indexed(
     sums), and exactly re-ranks the per-query top-``rerank``. Output
     (qid, id, cos_sim, rk).
 
-    Query LUTs are driver-built and broadcast (bounded by
-    ``max_queries``, loud error beyond — chunk the query set; results
-    are independent per query). Per-query scan cost is
+    Query LUTs are driver-built and broadcast for query tables under
+    ``max_queries``; beyond it (or with ``distributed=True``) the serve
+    AUTO-ROUTES to the no-collect plan of :func:`_ivfpq_topk_distributed`
+    — the :func:`pq_topk_indexed` routing contract, cell pruning
+    included (``distributed=False`` restores the loud refusal).
+    Per-query scan cost is
     ~``nprobe / n_cells`` of the flat :func:`pq_topk_indexed` scan —
     the reason this index exists; recall is gated in pytest against
     brute force, and a numpy oracle pins the serve bit-exactly."""
@@ -1325,7 +1331,18 @@ def ivfpq_topk_indexed(
     )
     id_col = id_col or spec.get("id_col", "vec_id")
     emb_col = emb_col or spec.get("emb_col", "embedding")
-    q = _collect_bounded_queries(queries, id_col, emb_col, max_queries)
+    q = None
+    if distributed is not True:
+        q = _collect_bounded_queries(
+            queries, id_col, emb_col, max_queries,
+            on_overflow="raise" if distributed is False else "none",
+        )
+    if q is None:
+        return _ivfpq_topk_distributed(
+            catalog, index_table, queries, C, books, k=k, nprobe=nprobe,
+            rerank=rerank, id_col=id_col, emb_col=emb_col,
+            corpus_blocks=corpus_blocks, query_chunk=query_chunk,
+        )
     if not q:
         return queries.sparkSession.createDataFrame(
             [], f"qid long, {id_col} long, cos_sim double, rk int"
@@ -1407,3 +1424,185 @@ def ivfpq_topk_indexed(
     )
     return _rerank_exact(catalog, index_table, cand, qdf, k, id_col,
                          emb_col, broadcast_small=True)
+
+
+def _ivfpq_topk_distributed(
+    catalog,
+    index_table: str,
+    queries: DataFrame,
+    C: np.ndarray,
+    books: np.ndarray,
+    k: int,
+    nprobe: int,
+    rerank: int,
+    id_col: str,
+    emb_col: str,
+    corpus_blocks: int,
+    query_chunk: int,
+) -> DataFrame:
+    """The no-collect IVF-PQ serve for corpus-scale query tables —
+    :func:`ivfpq_topk_indexed` semantics with the query frame never
+    touching the driver, composed from the same pieces as
+    :func:`_pq_topk_distributed` PLUS cell pruning:
+
+    1. probe cells are tagged onto the (distributed) query frame by the
+       broadcast-centroid Arrow pass (:func:`~lyssandra_spark.operators
+       .similarity.assign_cells_arrow` — bit-identical tie rules to the
+       collected path's driver-side argsort);
+    2. the UNION of probed cells — bounded by ``n_cells``, an artifact
+       dimension, never data size — is collected and pushed into the
+       code scan as a STATIC ``cell IN`` predicate, so the sort-by-cell
+       layout still prunes row groups even in the distributed plan;
+    3. the surviving (id, code, cell) rows are hashed into
+       ``corpus_blocks`` blocks and cogrouped with the replicated query
+       frame; each task builds LUT slices + ``q_n . a_cell`` constants
+       executor-side in ``query_chunk`` slices, masks rows outside each
+       query's own probe set, and emits block top-``rerank`` partials;
+    4. one global per-query window + the shared exact re-rank
+       (AQE-chosen joins, no forced broadcast).
+
+    Identical output to the collected path (pytest-pinned); total scan
+    work stays the ~nprobe/n_cells fraction that makes the hybrid
+    worth building.
+    """
+    import pyarrow as pa
+
+    if corpus_blocks < 1:
+        raise ValueError(f"corpus_blocks ({corpus_blocks}) must be >= 1")
+    from lyssandra_spark.operators.similarity import assign_cells_arrow
+
+    m, n_codes, dsub = books.shape
+    A = _unit_anchors(C)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((books, A))
+    p = min(nprobe, len(C))
+
+    qsrc = queries.select(
+        F.col(id_col).cast("long").alias("qid"),
+        F.col(emb_col).cast("array<double>").alias("qemb"),
+    )
+    qprobed = assign_cells_arrow(qsrc, C, "qemb", nprobe=p,
+                                 out_col="qcells")
+    # bounded by n_cells — an artifact-sized collect, like the
+    # centroids themselves; buys a STATIC pushdown no runtime join can
+    probed_cells = sorted(
+        r["cell"]
+        for r in qprobed.select(
+            F.explode("qcells").alias("cell")
+        ).distinct().collect()
+    )
+    qrep = qprobed.withColumn(
+        "part",
+        F.explode(F.sequence(F.lit(0), F.lit(int(corpus_blocks) - 1))),
+    ).withColumn("part", F.col("part").cast("int"))
+
+    codes_src = catalog.read(index_table).select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(corpus_blocks))
+        .cast("int").alias("part"),
+        F.col(id_col).cast("long").alias("vid"),
+        F.col("code"), F.col("cell"),
+    ).where(F.col("cell").isin(probed_cells))
+
+    rr_cap = int(rerank)
+    qch = max(1, int(query_chunk))
+    n_cells_total = len(C)
+
+    def scan_block(codes_tbl: "pa.Table", q_tbl: "pa.Table") -> "pa.Table":
+        books_, A_ = bc.value
+        n, nq = codes_tbl.num_rows, q_tbl.num_rows
+        if n == 0 or nq == 0:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "approx_ip": pa.array([], pa.float64())}
+            )
+        ids = codes_tbl.column("vid").to_numpy(zero_copy_only=False)
+        codes = (
+            codes_tbl.column("code").combine_chunks()
+            .flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+        )
+        cells = codes_tbl.column("cell").to_numpy(zero_copy_only=False)
+        qids = q_tbl.column("qid").to_numpy(zero_copy_only=False)
+        Q = (
+            q_tbl.column("qemb").combine_chunks()
+            .flatten().to_numpy(zero_copy_only=False).reshape(nq, -1)
+        )
+        qcells = (
+            q_tbl.column("qcells").combine_chunks()
+            .flatten().to_numpy(zero_copy_only=False).reshape(nq, -1)
+        )
+        Qn = Q / np.maximum(
+            np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
+        )
+        out_q, out_i, out_v = [], [], []
+        for c0 in range(0, nq, qch):
+            Qc = Qn[c0:c0 + qch]
+            qids_c = qids[c0:c0 + qch]
+            qcells_c = qcells[c0:c0 + qch]
+            nc = len(Qc)
+            luts = np.einsum(
+                "ijs,jcs->ijc", Qc.reshape(nc, m, dsub), books_
+            )
+            consts = Qc @ A_.T  # (nc, n_cells)
+            pmat = np.zeros((n_cells_total, nc), dtype=bool)
+            for i in range(nc):
+                pmat[qcells_c[i], i] = True
+            rch = max(1024, (1 << 23) // max(nc, 1))
+            ai_parts, av_parts, ac_parts = [], [], []
+            for r0 in range(0, n, rch):
+                ids_r = ids[r0:r0 + rch]
+                codes_r = codes[r0:r0 + rch]
+                cells_r = cells[r0:r0 + rch]
+                nr = len(ids_r)
+                approx = consts[:, cells_r].T.copy()
+                for j in range(m):
+                    approx += luts[:, j, codes_r[:, j]].T
+                approx[~pmat[cells_r]] = -np.inf
+                approx[ids_r[:, None] == qids_c[None, :]] = -np.inf
+                rr = min(rr_cap, nr)
+                rows = np.concatenate([
+                    np.lexsort((ids_r, -approx[:, i]))[:rr]
+                    for i in range(nc)
+                ])
+                cols = np.repeat(np.arange(nc), rr)
+                ai_parts.append(ids_r[rows])
+                av_parts.append(approx[rows, cols])
+                ac_parts.append(cols)
+            ai = np.concatenate(ai_parts)
+            av = np.concatenate(av_parts)
+            ac = np.concatenate(ac_parts)
+            order = np.lexsort((ai, -av, ac))
+            oc = ac[order]
+            starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+            grp_start = np.repeat(
+                starts, np.diff(np.r_[starts, len(oc)])
+            )
+            sel = order[np.arange(len(oc)) - grp_start < rr_cap]
+            vals = av[sel]
+            keep = np.isfinite(vals)
+            out_q.append(qids_c[ac[sel][keep]])
+            out_i.append(ai[sel][keep])
+            out_v.append(vals[keep])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_i), pa.int64()),
+            "approx_ip": pa.array(np.concatenate(out_v), pa.float64()),
+        })
+
+    partial = (
+        codes_src.groupBy("part")
+        .cogroup(qrep.groupBy("part"))
+        .applyInArrow(
+            scan_block, f"qid long, {id_col} long, approx_ip double"
+        )
+    )
+    w0 = Window.partitionBy("qid").orderBy(
+        F.col("approx_ip").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        partial.withColumn("crk", F.row_number().over(w0))
+        .where(F.col("crk") <= rerank)
+        .select("qid", id_col)
+    )
+    return _rerank_exact(catalog, index_table, cand, qsrc, k, id_col,
+                         emb_col, broadcast_small=False)

@@ -240,3 +240,75 @@ def test_ivfpq_drift_flips_and_auto_retrains(spark, tmp_path):
     assert needs_retrain(cat, "idx", threshold=3.0,
                          drift_key="ivfpq_drift") is False
     assert cat.read("idx").count() == 360
+
+
+def test_ivfpq_distributed_serve_matches_collected(spark, emb, tmp_path):
+    """The no-collect distributed IVF-PQ serve == the collected path
+    bit-for-bit; the auto-route engages over max_queries; the plan
+    keeps BOTH the static probed-cell pushdown AND the cogrouped Arrow
+    stage; the collect fence holds (only the artifact-bounded probed-
+    cell set may be collected)."""
+    import lyssandra_spark.operators.ann_index as AI
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(emb, "vecs", mode="overwrite")
+    refresh_ivfpq_index(cat, "vecs", "pqidx", n_cells=8, m=8, n_codes=16,
+                        refine_iters=0)
+    q = emb.where(F.col("vec_id") < 25)
+
+    want = ivfpq_topk_indexed(cat, "pqidx", q, k=5, nprobe=4, rerank=48)
+    got = ivfpq_topk_indexed(
+        cat, "pqidx", q, k=5, nprobe=4, rerank=48, distributed=True,
+        corpus_blocks=5, query_chunk=7,
+    )
+    sort = lambda df: (df.toPandas()  # noqa: E731
+                       .sort_values(["qid", "rk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(sort(got), sort(want))
+
+    # auto-route: 500 queries over max_queries=40
+    want_all = sort(ivfpq_topk_indexed(cat, "pqidx", emb, k=3, nprobe=4,
+                                       rerank=32))
+    got_all = sort(ivfpq_topk_indexed(cat, "pqidx", emb, k=3, nprobe=4,
+                                      rerank=32, max_queries=40,
+                                      corpus_blocks=3))
+    pd.testing.assert_frame_equal(got_all, want_all)
+
+    # loud refusal still available
+    with pytest.raises(ValueError, match="max_queries"):
+        ivfpq_topk_indexed(cat, "pqidx", emb, k=3, max_queries=40,
+                           distributed=False)
+
+    # fence: the query frame is never driver-collected on the forced
+    # path (the probed-cell union is the one allowed, n_cells-bounded
+    # collect and goes through DataFrame.collect, not the helper)
+    orig = AI._collect_bounded_queries
+    AI._collect_bounded_queries = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("distributed ivfpq path collected the queries")
+    )
+    try:
+        built = ivfpq_topk_indexed(
+            cat, "pqidx", q, k=5, nprobe=4, rerank=48, distributed=True,
+            corpus_blocks=5,
+        )
+        assert built.count() == want.count()
+    finally:
+        AI._collect_bounded_queries = orig
+
+    plan = (
+        ivfpq_topk_indexed(cat, "pqidx", q, k=5, nprobe=4, rerank=48,
+                           distributed=True, corpus_blocks=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapCoGroups" in plan
+    assert any("In(cell" in ln for ln in plan.splitlines()), \
+        "probed-cell pushdown lost in the distributed plan"
+    code_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "code:array<int>" in ln
+        and "embedding" not in ln
+    ]
+    assert code_scans
+
+    got_empty = ivfpq_topk_indexed(cat, "pqidx", emb.limit(0), k=5,
+                                   distributed=True, corpus_blocks=2)
+    assert got_empty.count() == 0
