@@ -654,6 +654,173 @@ def _rerank_exact(catalog, index_table: str, cand: "DataFrame",
     return sims.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
+def _candidate_topk(partial: DataFrame, id_col: str, rerank: int) -> DataFrame:
+    """Global per-query top-``rerank`` over ADC partials — the shared
+    candidate window of all four serve plans (ties on id asc, matching
+    every scanner's lexsort)."""
+    w0 = Window.partitionBy("qid").orderBy(
+        F.col("approx_ip").desc(), F.col(id_col).asc()
+    )
+    return (
+        partial.withColumn("crk", F.row_number().over(w0))
+        .where(F.col("crk") <= rerank)
+        .select("qid", id_col)
+    )
+
+
+def _route_distributed(queries: DataFrame, id_col: str, max_queries: int,
+                       distributed: bool | None) -> bool:
+    """True when an indexed serve should take its no-collect distributed
+    plan: forced via ``distributed=True``, or (the ``None`` default) the
+    query table exceeds ``max_queries`` — probed with an IDS-ONLY
+    limit+count, so the overflow decision never ships embeddings to the
+    driver. ``distributed=False`` skips the probe; the bounded collect
+    then raises its loud refusal."""
+    if distributed is True:
+        return True
+    if distributed is False:
+        return False
+    n = queries.select(F.col(id_col)).limit(max_queries + 1).count()
+    return n > max_queries
+
+
+def _flat_fixed(col, what: str) -> np.ndarray:
+    """Arrow list column -> (n, width) float64 block with the same
+    null/ragged/zero-width guard as :func:`mean_quantization_error`:
+    ``ListArray.flatten()`` silently DROPS nulls and concatenates
+    ragged lists, so an unguarded reshape either raises an opaque numpy
+    error on an executor or — worse — misaligns every subsequent row.
+    User-supplied vectors (the distributed serves' query side) must
+    fail loudly instead."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    if col.null_count or (
+        len(offs) and ((offs != offs[0]).any() or offs[0] == 0)
+    ):
+        raise ValueError(
+            f"null, ragged, or zero-width {what} arrays in the "
+            "distributed ADC scan — every row must carry a fixed-width "
+            "non-empty non-null vector"
+        )
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(offs), -1) if len(offs) else flat.reshape(0, 0)
+
+
+def _make_adc_block_scanner(bc, id_col: str, m: int, dsub: int,
+                            rr_cap: int, qch: int, hybrid: bool,
+                            n_cells: int = 0, exclude_self: bool = True):
+    """The ONE executor-side ADC block scanner behind both distributed
+    serves — flat ADC is exactly the hybrid with zero cell constants
+    and no probe mask, so a single implementation keeps the two
+    "pytest-pinned identical" plans from silently diverging. Per
+    cogroup block: LUT slices of ``qch`` queries at a time (peak LUT
+    memory bounded regardless of query count), corpus rows in
+    ~64 MB sub-chunks, per-block top-``rr_cap`` per query merged
+    before emitting. ``bc`` broadcasts ``books`` (flat) or
+    ``(books, unit_anchors)`` (hybrid)."""
+
+    def scan_block(codes_tbl, q_tbl):
+        import pyarrow as pa
+
+        payload = bc.value
+        books_, A_ = payload if hybrid else (payload, None)
+        n, nq = codes_tbl.num_rows, q_tbl.num_rows
+        if n == 0 or nq == 0:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "approx_ip": pa.array([], pa.float64())}
+            )
+        ids = codes_tbl.column("vid").to_numpy(zero_copy_only=False)
+        codes = (
+            codes_tbl.column("code").combine_chunks()
+            .flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+        )
+        cells = (
+            codes_tbl.column("cell").to_numpy(zero_copy_only=False)
+            if hybrid else None
+        )
+        qids = q_tbl.column("qid").to_numpy(zero_copy_only=False)
+        Q = _flat_fixed(q_tbl.column("qemb"), "query embedding")
+        qcells = (
+            q_tbl.column("qcells").combine_chunks()
+            .flatten().to_numpy(zero_copy_only=False).reshape(nq, -1)
+            if hybrid else None
+        )
+        Qn = Q / np.maximum(
+            np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
+        )
+        out_q, out_i, out_v = [], [], []
+        for c0 in range(0, nq, qch):
+            Qc = Qn[c0:c0 + qch]
+            qids_c = qids[c0:c0 + qch]
+            nc = len(Qc)
+            # the exact einsum the collected paths run on the driver
+            # (per-query-independent, so slicing cannot change a bit)
+            luts = np.einsum(
+                "ijs,jcs->ijc", Qc.reshape(nc, m, dsub), books_
+            )
+            if hybrid:
+                consts = Qc @ A_.T  # (nc, n_cells): the q_n . a_cell term
+                pmat = np.zeros((n_cells, nc), dtype=bool)
+                for i in range(nc):
+                    pmat[qcells[c0 + i], i] = True
+            rch = max(1024, (1 << 23) // max(nc, 1))
+            ai_parts, av_parts, ac_parts = [], [], []
+            for r0 in range(0, n, rch):
+                ids_r = ids[r0:r0 + rch]
+                codes_r = codes[r0:r0 + rch]
+                nr = len(ids_r)
+                if hybrid:
+                    cells_r = cells[r0:r0 + rch]
+                    approx = consts[:, cells_r].T.copy()
+                else:
+                    approx = np.zeros((nr, nc))
+                for j in range(m):
+                    approx += luts[:, j, codes_r[:, j]].T
+                if hybrid:
+                    approx[~pmat[cells_r]] = -np.inf  # outside probe set
+                if exclude_self:
+                    approx[ids_r[:, None] == qids_c[None, :]] = -np.inf
+                rr = min(rr_cap, nr)
+                rows = np.concatenate([
+                    np.lexsort((ids_r, -approx[:, i]))[:rr]
+                    for i in range(nc)
+                ])
+                cols = np.repeat(np.arange(nc), rr)
+                ai_parts.append(ids_r[rows])
+                av_parts.append(approx[rows, cols])
+                ac_parts.append(cols)
+            # merge this block's sub-chunk partials to ONE top-rerank
+            # per query before emitting (bounds candidate traffic at
+            # |queries| x rerank per block)
+            ai = np.concatenate(ai_parts)
+            av = np.concatenate(av_parts)
+            ac = np.concatenate(ac_parts)
+            order = np.lexsort((ai, -av, ac))  # q asc, val desc, id asc
+            oc = ac[order]
+            starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+            grp_start = np.repeat(
+                starts, np.diff(np.r_[starts, len(oc)])
+            )
+            sel = order[np.arange(len(oc)) - grp_start < rr_cap]
+            vals = av[sel]
+            keep = np.isfinite(vals)
+            out_q.append(qids_c[ac[sel][keep]])
+            out_i.append(ai[sel][keep])
+            out_v.append(vals[keep])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_i), pa.int64()),
+            "approx_ip": pa.array(np.concatenate(out_v), pa.float64()),
+        })
+
+    return scan_block
+
+
 def pq_topk_indexed(
     catalog,
     index_table: str,
@@ -666,6 +833,7 @@ def pq_topk_indexed(
     distributed: bool | None = None,
     corpus_blocks: int = 32,
     query_chunk: int = 4096,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """:func:`~lyssandra_spark.operators.similarity.pq_topk` semantics
     from the persisted code table: the ADC scan streams ONLY (id, code)
@@ -704,20 +872,16 @@ def pq_topk_indexed(
     )
     id_col = id_col or spec.get("id_col", "vec_id")
     emb_col = emb_col or spec.get("emb_col", "embedding")
-    q = None
-    if distributed is not True:
-        q = _collect_bounded_queries(
-            queries, id_col, emb_col, max_queries,
-            on_overflow="raise" if distributed is False else "none",
-        )
-    if q is None:
-        # forced, or the query table overflowed max_queries: the
-        # no-collect plan
+    if _route_distributed(queries, id_col, max_queries, distributed):
+        # forced, or the ids-only probe says the table overflows
+        # max_queries: the no-collect plan (no embeddings were shipped
+        # to the driver to decide this)
         return _pq_topk_distributed(
             catalog, index_table, queries, books, k=k, rerank=rerank,
             id_col=id_col, emb_col=emb_col, corpus_blocks=corpus_blocks,
-            query_chunk=query_chunk,
+            query_chunk=query_chunk, exclude_self=exclude_self,
         )
+    q = _collect_bounded_queries(queries, id_col, emb_col, max_queries)
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -756,7 +920,8 @@ def pq_topk_indexed(
             approx = np.zeros((n, nq))
             for j in range(m):
                 approx += luts_[:, j, codes[:, j]].T
-            approx[ids[:, None] == qids_[None, :]] = -np.inf
+            if exclude_self:
+                approx[ids[:, None] == qids_[None, :]] = -np.inf
             rr = min(rerank, n)
             rows = np.concatenate([
                 np.lexsort((ids, -approx[:, i]))[:rr] for i in range(nq)
@@ -773,14 +938,8 @@ def pq_topk_indexed(
                 names=["qid", id_col, "approx_ip"],
             )
 
-    partial = codes_src.mapInArrow(scan, out_schema)
-    w0 = Window.partitionBy("qid").orderBy(
-        F.col("approx_ip").desc(), F.col(id_col).asc()
-    )
-    cand = (
-        partial.withColumn("crk", F.row_number().over(w0))
-        .where(F.col("crk") <= rerank)
-        .select("qid", id_col)
+    cand = _candidate_topk(
+        codes_src.mapInArrow(scan, out_schema), id_col, rerank
     )
     qdf = queries.sparkSession.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
@@ -801,6 +960,7 @@ def _pq_topk_distributed(
     emb_col: str,
     corpus_blocks: int,
     query_chunk: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The no-collect ADC serve plan for corpus-scale query tables —
     :func:`pq_topk_indexed` semantics with the query frame never
@@ -816,16 +976,17 @@ def _pq_topk_distributed(
     2. the query frame is replicated to every block (small side
        replicated, ``corpus_blocks`` x |queries| rows — queries are the
        side that fits);
-    3. one ``cogroup(...).applyInArrow`` pass per (block) builds LUTs
-       executor-side in ``query_chunk`` slices (peak LUT memory
-       query_chunk x m x n_codes x 8 B ≈ 16 MB at defaults, regardless
-       of total query count) and emits each block's top-``rerank`` per
-       query;
-    4. a global per-query window keeps the overall top-``rerank`` —
-       provably identical to the collected path's candidate set (every
-       block partial contains its block's top-rerank; ties break on id
-       everywhere) — and the same exact re-rank finishes, with join
-       strategy left to AQE instead of a forced broadcast.
+    3. one ``cogroup(...).applyInArrow`` pass per block runs the SHARED
+       :func:`_make_adc_block_scanner` (executor-side LUT slices of
+       ``query_chunk`` queries — peak LUT memory ~16 MB at defaults
+       regardless of total query count) and emits each block's
+       top-``rerank`` per query;
+    4. the shared :func:`_candidate_topk` window keeps the overall
+       top-``rerank`` — provably identical to the collected path's
+       candidate set (every block partial contains its block's
+       top-rerank; ties break on id everywhere) — and the same exact
+       re-rank finishes, with join strategy left to AQE instead of a
+       forced broadcast.
 
     Sizing at 100 TB: per-task live memory is (corpus/corpus_blocks)
     codes + one LUT slice, so ``corpus_blocks`` scales with corpus row
@@ -836,8 +997,6 @@ def _pq_topk_distributed(
     is the same flops as the collected path; what is REMOVED is the
     driver-memory ceiling, not the inherent cost of flat ADC.
     """
-    import pyarrow as pa
-
     if corpus_blocks < 1:
         raise ValueError(f"corpus_blocks ({corpus_blocks}) must be >= 1")
     m, n_codes, dsub = books.shape
@@ -858,87 +1017,12 @@ def _pq_topk_distributed(
         "part",
         F.explode(F.sequence(F.lit(0), F.lit(int(corpus_blocks) - 1))),
     ).withColumn("part", F.col("part").cast("int"))
-    rr_cap = int(rerank)
-    qch = max(1, int(query_chunk))
 
-    def scan_block(codes_tbl: "pa.Table", q_tbl: "pa.Table") -> "pa.Table":
-        books_ = bc.value
-        n, nq = codes_tbl.num_rows, q_tbl.num_rows
-        if n == 0 or nq == 0:
-            return pa.table(
-                {"qid": pa.array([], pa.int64()),
-                 id_col: pa.array([], pa.int64()),
-                 "approx_ip": pa.array([], pa.float64())}
-            )
-        ids = codes_tbl.column("vid").to_numpy(zero_copy_only=False)
-        codes = (
-            codes_tbl.column("code").combine_chunks()
-            .flatten().to_numpy(zero_copy_only=False).reshape(n, m)
-        )
-        qids = q_tbl.column("qid").to_numpy(zero_copy_only=False)
-        Q = (
-            q_tbl.column("qemb").combine_chunks()
-            .flatten().to_numpy(zero_copy_only=False).reshape(nq, -1)
-        )
-        Qn = Q / np.maximum(
-            np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
-        )
-        out_q, out_i, out_v = [], [], []
-        for c0 in range(0, nq, qch):
-            Qc = Qn[c0:c0 + qch]
-            qids_c = qids[c0:c0 + qch]
-            nc = len(Qc)
-            # executor-side LUT slice — the exact einsum the collected
-            # path runs on the driver (per-query-independent, so the
-            # slicing cannot change a single bit)
-            luts = np.einsum(
-                "ijs,jcs->ijc", Qc.reshape(nc, m, dsub), books_
-            )
-            # corpus rows in sub-chunks so the (rows x queries) approx
-            # block stays ~64 MB regardless of block size
-            rch = max(1024, (1 << 23) // max(nc, 1))
-            ai_parts, av_parts, ac_parts = [], [], []
-            for r0 in range(0, n, rch):
-                ids_r = ids[r0:r0 + rch]
-                codes_r = codes[r0:r0 + rch]
-                nr = len(ids_r)
-                approx = np.zeros((nr, nc))
-                for j in range(m):
-                    approx += luts[:, j, codes_r[:, j]].T
-                approx[ids_r[:, None] == qids_c[None, :]] = -np.inf
-                rr = min(rr_cap, nr)
-                rows = np.concatenate([
-                    np.lexsort((ids_r, -approx[:, i]))[:rr]
-                    for i in range(nc)
-                ])
-                cols = np.repeat(np.arange(nc), rr)
-                ai_parts.append(ids_r[rows])
-                av_parts.append(approx[rows, cols])
-                ac_parts.append(cols)
-            # merge this block's sub-chunk partials to ONE top-rerank
-            # per query before emitting (bounds candidate traffic at
-            # |queries| x rerank per block)
-            ai = np.concatenate(ai_parts)
-            av = np.concatenate(av_parts)
-            ac = np.concatenate(ac_parts)
-            order = np.lexsort((ai, -av, ac))  # q asc, val desc, id asc
-            oc = ac[order]
-            starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
-            grp_start = np.repeat(
-                starts, np.diff(np.r_[starts, len(oc)])
-            )
-            sel = order[np.arange(len(oc)) - grp_start < rr_cap]
-            vals = av[sel]
-            keep = np.isfinite(vals)
-            out_q.append(qids_c[ac[sel][keep]])
-            out_i.append(ai[sel][keep])
-            out_v.append(vals[keep])
-        return pa.table({
-            "qid": pa.array(np.concatenate(out_q), pa.int64()),
-            id_col: pa.array(np.concatenate(out_i), pa.int64()),
-            "approx_ip": pa.array(np.concatenate(out_v), pa.float64()),
-        })
-
+    scan_block = _make_adc_block_scanner(
+        bc, id_col, m, dsub, rr_cap=int(rerank),
+        qch=max(1, int(query_chunk)), hybrid=False,
+        exclude_self=exclude_self,
+    )
     partial = (
         codes_src.groupBy("part")
         .cogroup(qrep.groupBy("part"))
@@ -946,14 +1030,7 @@ def _pq_topk_distributed(
             scan_block, f"qid long, {id_col} long, approx_ip double"
         )
     )
-    w0 = Window.partitionBy("qid").orderBy(
-        F.col("approx_ip").desc(), F.col(id_col).asc()
-    )
-    cand = (
-        partial.withColumn("crk", F.row_number().over(w0))
-        .where(F.col("crk") <= rerank)
-        .select("qid", id_col)
-    )
+    cand = _candidate_topk(partial, id_col, rerank)
     return _rerank_exact(catalog, index_table, cand, qsrc, k, id_col,
                          emb_col, broadcast_small=False)
 
@@ -1004,10 +1081,17 @@ def ann_decontaminate(
         "pq_spec", {}
     )
     id_col = id_col or spec.get("id_col", "vec_id")
+    # exclude_self=False: the serve's qid==id mask exists so a corpus
+    # vector doesn't match ITSELF in similarity search, but here the
+    # query side is a DIFFERENT table whose ids may legitimately
+    # collide with corpus ids (the classic setup: the benchmark was
+    # carved from the corpus keeping its ids) — masking those pairs
+    # would hide exactly the most-contaminated docs
     hits = pq_topk_indexed(
         catalog, index_table, eval_embeddings, k=k,
         rerank=(4 * k if rerank is None else rerank),
-        id_col=id_col, emb_col=emb_col, **serve_kwargs,
+        id_col=id_col, emb_col=emb_col, exclude_self=False,
+        **serve_kwargs,
     )
     return (
         hits.where(F.col("cos_sim") >= F.lit(float(min_cosine)))
@@ -1331,18 +1415,13 @@ def ivfpq_topk_indexed(
     )
     id_col = id_col or spec.get("id_col", "vec_id")
     emb_col = emb_col or spec.get("emb_col", "embedding")
-    q = None
-    if distributed is not True:
-        q = _collect_bounded_queries(
-            queries, id_col, emb_col, max_queries,
-            on_overflow="raise" if distributed is False else "none",
-        )
-    if q is None:
+    if _route_distributed(queries, id_col, max_queries, distributed):
         return _ivfpq_topk_distributed(
             catalog, index_table, queries, C, books, k=k, nprobe=nprobe,
             rerank=rerank, id_col=id_col, emb_col=emb_col,
             corpus_blocks=corpus_blocks, query_chunk=query_chunk,
         )
+    q = _collect_bounded_queries(queries, id_col, emb_col, max_queries)
     if not q:
         return queries.sparkSession.createDataFrame(
             [], f"qid long, {id_col} long, cos_sim double, rk int"
@@ -1409,14 +1488,8 @@ def ivfpq_topk_indexed(
                 names=["qid", id_col, "approx_ip"],
             )
 
-    partial = codes_src.mapInArrow(scan, out_schema)
-    w0 = Window.partitionBy("qid").orderBy(
-        F.col("approx_ip").desc(), F.col(id_col).asc()
-    )
-    cand = (
-        partial.withColumn("crk", F.row_number().over(w0))
-        .where(F.col("crk") <= rerank)
-        .select("qid", id_col)
+    cand = _candidate_topk(
+        codes_src.mapInArrow(scan, out_schema), id_col, rerank
     )
     qdf = queries.sparkSession.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
@@ -1442,31 +1515,32 @@ def _ivfpq_topk_distributed(
 ) -> DataFrame:
     """The no-collect IVF-PQ serve for corpus-scale query tables —
     :func:`ivfpq_topk_indexed` semantics with the query frame never
-    touching the driver, composed from the same pieces as
-    :func:`_pq_topk_distributed` PLUS cell pruning:
+    touching the driver, composed from the SAME block scanner as
+    :func:`_pq_topk_distributed` (``hybrid=True`` adds the
+    ``q_n . a_cell`` constants and the per-query probe mask) PLUS cell
+    pruning:
 
     1. probe cells are tagged onto the (distributed) query frame by the
        broadcast-centroid Arrow pass (:func:`~lyssandra_spark.operators
        .similarity.assign_cells_arrow` — bit-identical tie rules to the
-       collected path's driver-side argsort);
+       collected path's driver-side argsort); the tagged frame is
+       PERSISTED, because both the probed-cell collect and the cogroup
+       job consume it — without the cache the full query-assignment
+       pass runs twice;
     2. the UNION of probed cells — bounded by ``n_cells``, an artifact
        dimension, never data size — is collected and pushed into the
        code scan as a STATIC ``cell IN`` predicate, so the sort-by-cell
        layout still prunes row groups even in the distributed plan;
     3. the surviving (id, code, cell) rows are hashed into
        ``corpus_blocks`` blocks and cogrouped with the replicated query
-       frame; each task builds LUT slices + ``q_n . a_cell`` constants
-       executor-side in ``query_chunk`` slices, masks rows outside each
-       query's own probe set, and emits block top-``rerank`` partials;
-    4. one global per-query window + the shared exact re-rank
-       (AQE-chosen joins, no forced broadcast).
+       frame through the shared scanner;
+    4. the shared candidate window + exact re-rank finish (AQE-chosen
+       joins, no forced broadcast).
 
     Identical output to the collected path (pytest-pinned); total scan
     work stays the ~nprobe/n_cells fraction that makes the hybrid
     worth building.
     """
-    import pyarrow as pa
-
     if corpus_blocks < 1:
         raise ValueError(f"corpus_blocks ({corpus_blocks}) must be >= 1")
     from lyssandra_spark.operators.similarity import assign_cells_arrow
@@ -1481,8 +1555,11 @@ def _ivfpq_topk_distributed(
         F.col(id_col).cast("long").alias("qid"),
         F.col(emb_col).cast("array<double>").alias("qemb"),
     )
+    # persist: consumed by the (bounded) probed-cell collect AND the
+    # cogroup job below — lineage-preserving, reclaimed by LRU/session
+    # end (the result frame is lazy, so there is no safe unpersist site)
     qprobed = assign_cells_arrow(qsrc, C, "qemb", nprobe=p,
-                                 out_col="qcells")
+                                 out_col="qcells").persist()
     # bounded by n_cells — an artifact-sized collect, like the
     # centroids themselves; buys a STATIC pushdown no runtime join can
     probed_cells = sorted(
@@ -1503,92 +1580,10 @@ def _ivfpq_topk_distributed(
         F.col("code"), F.col("cell"),
     ).where(F.col("cell").isin(probed_cells))
 
-    rr_cap = int(rerank)
-    qch = max(1, int(query_chunk))
-    n_cells_total = len(C)
-
-    def scan_block(codes_tbl: "pa.Table", q_tbl: "pa.Table") -> "pa.Table":
-        books_, A_ = bc.value
-        n, nq = codes_tbl.num_rows, q_tbl.num_rows
-        if n == 0 or nq == 0:
-            return pa.table(
-                {"qid": pa.array([], pa.int64()),
-                 id_col: pa.array([], pa.int64()),
-                 "approx_ip": pa.array([], pa.float64())}
-            )
-        ids = codes_tbl.column("vid").to_numpy(zero_copy_only=False)
-        codes = (
-            codes_tbl.column("code").combine_chunks()
-            .flatten().to_numpy(zero_copy_only=False).reshape(n, m)
-        )
-        cells = codes_tbl.column("cell").to_numpy(zero_copy_only=False)
-        qids = q_tbl.column("qid").to_numpy(zero_copy_only=False)
-        Q = (
-            q_tbl.column("qemb").combine_chunks()
-            .flatten().to_numpy(zero_copy_only=False).reshape(nq, -1)
-        )
-        qcells = (
-            q_tbl.column("qcells").combine_chunks()
-            .flatten().to_numpy(zero_copy_only=False).reshape(nq, -1)
-        )
-        Qn = Q / np.maximum(
-            np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
-        )
-        out_q, out_i, out_v = [], [], []
-        for c0 in range(0, nq, qch):
-            Qc = Qn[c0:c0 + qch]
-            qids_c = qids[c0:c0 + qch]
-            qcells_c = qcells[c0:c0 + qch]
-            nc = len(Qc)
-            luts = np.einsum(
-                "ijs,jcs->ijc", Qc.reshape(nc, m, dsub), books_
-            )
-            consts = Qc @ A_.T  # (nc, n_cells)
-            pmat = np.zeros((n_cells_total, nc), dtype=bool)
-            for i in range(nc):
-                pmat[qcells_c[i], i] = True
-            rch = max(1024, (1 << 23) // max(nc, 1))
-            ai_parts, av_parts, ac_parts = [], [], []
-            for r0 in range(0, n, rch):
-                ids_r = ids[r0:r0 + rch]
-                codes_r = codes[r0:r0 + rch]
-                cells_r = cells[r0:r0 + rch]
-                nr = len(ids_r)
-                approx = consts[:, cells_r].T.copy()
-                for j in range(m):
-                    approx += luts[:, j, codes_r[:, j]].T
-                approx[~pmat[cells_r]] = -np.inf
-                approx[ids_r[:, None] == qids_c[None, :]] = -np.inf
-                rr = min(rr_cap, nr)
-                rows = np.concatenate([
-                    np.lexsort((ids_r, -approx[:, i]))[:rr]
-                    for i in range(nc)
-                ])
-                cols = np.repeat(np.arange(nc), rr)
-                ai_parts.append(ids_r[rows])
-                av_parts.append(approx[rows, cols])
-                ac_parts.append(cols)
-            ai = np.concatenate(ai_parts)
-            av = np.concatenate(av_parts)
-            ac = np.concatenate(ac_parts)
-            order = np.lexsort((ai, -av, ac))
-            oc = ac[order]
-            starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
-            grp_start = np.repeat(
-                starts, np.diff(np.r_[starts, len(oc)])
-            )
-            sel = order[np.arange(len(oc)) - grp_start < rr_cap]
-            vals = av[sel]
-            keep = np.isfinite(vals)
-            out_q.append(qids_c[ac[sel][keep]])
-            out_i.append(ai[sel][keep])
-            out_v.append(vals[keep])
-        return pa.table({
-            "qid": pa.array(np.concatenate(out_q), pa.int64()),
-            id_col: pa.array(np.concatenate(out_i), pa.int64()),
-            "approx_ip": pa.array(np.concatenate(out_v), pa.float64()),
-        })
-
+    scan_block = _make_adc_block_scanner(
+        bc, id_col, m, dsub, rr_cap=int(rerank),
+        qch=max(1, int(query_chunk)), hybrid=True, n_cells=len(C),
+    )
     partial = (
         codes_src.groupBy("part")
         .cogroup(qrep.groupBy("part"))
@@ -1596,13 +1591,6 @@ def _ivfpq_topk_distributed(
             scan_block, f"qid long, {id_col} long, approx_ip double"
         )
     )
-    w0 = Window.partitionBy("qid").orderBy(
-        F.col("approx_ip").desc(), F.col(id_col).asc()
-    )
-    cand = (
-        partial.withColumn("crk", F.row_number().over(w0))
-        .where(F.col("crk") <= rerank)
-        .select("qid", id_col)
-    )
+    cand = _candidate_topk(partial, id_col, rerank)
     return _rerank_exact(catalog, index_table, cand, qsrc, k, id_col,
                          emb_col, broadcast_small=False)

@@ -494,24 +494,22 @@ def pq_refine(
 
 
 def _collect_bounded_queries(queries: DataFrame, id_col: str, emb_col: str,
-                             max_queries: int,
-                             on_overflow: str = "raise") -> list | None:
+                             max_queries: int) -> list:
     """Collect the query frame to the driver, LOUDLY refusing above
     ``max_queries``. The PQ paths build one (m, n_codes) float64 lookup
     table per query on the driver and broadcast the stack (~16 KB per
     query at m=8, n_codes=256), so an unbounded caller joining a
     corpus-sized "query" table would OOM the driver silently — the
     guard converts that into an actionable error (chunk the query set
-    and union the results; every chunk's output is independent).
-    ``on_overflow="none"`` returns None instead of raising — the
-    indexed serve path uses it to ROUTE oversized query tables to its
-    distributed (no-collect) plan rather than refusing them."""
+    and union the results; every chunk's output is independent). The
+    indexed serves route oversized tables to their distributed plans
+    BEFORE calling this (an ids-only count probe), so this collect only
+    ever runs within the bound — or raises for ``distributed=False``
+    callers who asked for the refusal."""
     rows = queries.select(
         F.col(id_col).cast("long"), F.col(emb_col).cast("array<double>")
     ).limit(max_queries + 1).collect()
     if len(rows) > max_queries:
-        if on_overflow == "none":
-            return None
         raise ValueError(
             f"query table exceeds max_queries ({max_queries}): the PQ "
             "LUT broadcast is per-query driver state — chunk the query "

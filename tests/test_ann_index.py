@@ -826,8 +826,11 @@ def test_ann_decontaminate_flags_planted_leakage(spark, emb, tmp_path):
         for r in emb.select("vec_id", "embedding").collect()
     }
     rng = np.random.default_rng(41)
+    # the planted eval examples KEEP their corpus ids — the classic
+    # carve-out setup; the serve's qid==id self-mask must NOT hide them
+    # (round-9 review fix: ann_decontaminate passes exclude_self=False)
     eval_rows = [
-        (9000 + i, [float(2.0 * v) for v in corpus[i]]) for i in (3, 7, 11)
+        (i, [float(2.0 * v) for v in corpus[i]]) for i in (3, 7, 11)
     ] + [
         (9900 + j, [float(v) for v in rng.normal(size=64)]) for j in range(2)
     ]
@@ -856,7 +859,7 @@ def test_ann_decontaminate_flags_planted_leakage(spark, emb, tmp_path):
     assert set(got.index) == expect
     for i in (3, 7, 11):
         assert got.loc[i, "max_sim"] >= 0.999
-        assert got.loc[i, "worst_eval_id"] == 9000 + i
+        assert got.loc[i, "worst_eval_id"] == i  # the colliding-id plant
         assert got.loc[i, "n_eval_hits"] >= 1
 
     # distributed route (5 eval rows > max_queries=2) — identical flags
