@@ -41,7 +41,7 @@ from lyssandra_spark.sources.catalog import consumer_needs_rebuild
 
 __all__ = [
     "build_postings", "bm25_topk", "bm25_topk_indexed",
-    "refresh_postings", "rrf_fuse",
+    "refresh_postings", "rrf_fuse", "hybrid_search_indexed",
 ]
 
 
@@ -482,3 +482,73 @@ def rrf_fuse(
         fused.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def hybrid_search_indexed(
+    catalog,
+    postings_table: str,
+    ann_table: str,
+    queries: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    qemb_col: str = "qemb",
+    ann_method: str = "ivfpq",
+    doc_col: str = "doc_id",
+    bm25_kwargs: dict | None = None,
+    ann_kwargs: dict | None = None,
+) -> DataFrame:
+    """One-call hybrid retrieval ENTIRELY from persisted state: BM25
+    over the postings index (:func:`refresh_postings`) fused by
+    reciprocal rank (:func:`rrf_fuse`) with embedding ANN over a
+    persisted vector index (`ann_method` picks ``'ivf'`` / ``'pq'`` /
+    ``'ivfpq'`` — the :mod:`~lyssandra_spark.operators.ann_index`
+    serves, including their corpus-scale distributed routing). The
+    corpus text and vectors are never re-scanned beyond what each
+    index serve reads; this is the steady-state production shape of
+    "find documents about X" — maintain both indexes incrementally per
+    ingest batch, serve hybrid queries from them alone.
+
+    ``queries`` carries (``qid_col``, ``qtext_col``, ``qemb_col``) —
+    one row per query with both its lexical and its embedding form.
+    Both indexes must cover the SAME document universe under
+    ``doc_col`` ids (the ANN index's id column is renamed to
+    ``doc_col`` for the fusion; its name is read from the index spec).
+    Output: :func:`rrf_fuse`'s (qid, doc, rrf, rk) top-``k``.
+    Composition is exactly ``rrf_fuse([bm25_topk_indexed(...),
+    <ann>_topk_indexed(...)], ...)`` — pytest-pinned, so anything
+    proven about the parts (bit-parity with per-call operators,
+    no-corpus-scan plans) transfers to the whole."""
+    from lyssandra_spark.operators import ann_index as _ai
+
+    serves = {
+        "ivf": (_ai.ivf_topk_indexed, "ivf_spec"),
+        "pq": (_ai.pq_topk_indexed, "pq_spec"),
+        "ivfpq": (_ai.ivfpq_topk_indexed, "ivfpq_spec"),
+    }
+    if ann_method not in serves:
+        raise ValueError(
+            f"ann_method {ann_method!r} — pick one of {sorted(serves)}"
+        )
+    serve, spec_key = serves[ann_method]
+    lex = bm25_topk_indexed(
+        catalog, postings_table, queries.select(qid_col, qtext_col),
+        k=k, qid_col=qid_col, qtext_col=qtext_col,
+        **(bm25_kwargs or {}),
+    )
+    spec = (catalog.latest_meta(ann_table, spec_key) or {}).get(
+        spec_key, {}
+    )
+    ann_id = spec.get("id_col", "vec_id")
+    ann_emb = spec.get("emb_col", "embedding")
+    qvec = queries.select(
+        F.col(qid_col).alias(ann_id), F.col(qemb_col).alias(ann_emb)
+    )
+    ann = (
+        serve(catalog, ann_table, qvec, k=k, **(ann_kwargs or {}))
+        .withColumnRenamed("qid", qid_col)
+        .withColumnRenamed(ann_id, doc_col)
+    )
+    return rrf_fuse([lex, ann], k=k, c=c, qid_col=qid_col,
+                    id_col=doc_col, rank_col="rk")

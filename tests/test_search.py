@@ -350,3 +350,82 @@ def test_postings_survive_audit_compaction(spark, sf_dir, tmp_path):
     head = cat.snapshots("postings")[-1]
     assert head["mode"] == "overwrite"  # rebuild
     assert head["meta"]["n_docs"] == full.count() + b4.count()
+
+
+def test_hybrid_search_indexed_composition(spark, sf_dir, tmp_path):
+    """hybrid_search_indexed == the manual rrf_fuse(bm25_topk_indexed,
+    ann serve) composition, entirely from persisted indexes; a query
+    carrying a doc's own words AND its own embedding puts that doc in
+    the hybrid top-k."""
+    import numpy as np
+
+    from lyssandra_spark.operators.ann_index import (
+        ivf_topk_indexed,
+        refresh_ivf_index,
+    )
+    from lyssandra_spark.operators.search import (
+        bm25_topk_indexed,
+        hybrid_search_indexed,
+        refresh_postings,
+        rrf_fuse,
+    )
+    from lyssandra_spark.sources.catalog import ParquetCatalog
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(150).cache()
+    )
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in rng.normal(size=16)]) for i in sorted(ids)],
+        "doc_id long, embedding array<double>",
+    ).cache()
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(docs, "docs", mode="overwrite")
+    refresh_postings(cat, "docs", "post")
+    cat.write(emb, "vecs", mode="overwrite")
+    refresh_ivf_index(cat, "vecs", "ann", id_col="doc_id", n_cells=8,
+                      sample_rows=256, refine_iters=0)
+
+    emb_by_id = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    probe_ids = sorted(ids)[:3]
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id").isin(probe_ids)).collect()
+    }
+    # qids offset from doc ids: the ANN serve's qid==id self-mask must
+    # not hide the query's own doc (it is a DIFFERENT table here)
+    queries = spark.createDataFrame(
+        [(500_000 + i, " ".join(texts[i].split()[:8]), emb_by_id[i])
+         for i in probe_ids],
+        "qid long, qtext string, qemb array<double>",
+    )
+
+    got = hybrid_search_indexed(
+        cat, "post", "ann", queries, k=5, ann_method="ivf",
+        ann_kwargs=dict(nprobe=8),
+    ).toPandas().sort_values(["qid", "rk"]).reset_index(drop=True)
+
+    lex = bm25_topk_indexed(cat, "post", queries.select("qid", "qtext"),
+                            k=5)
+    ann = ivf_topk_indexed(
+        cat, "ann",
+        queries.select(F.col("qid").alias("doc_id"),
+                       F.col("qemb").alias("embedding")),
+        k=5, nprobe=8,
+    )
+    want = rrf_fuse([lex, ann], k=5).toPandas().sort_values(
+        ["qid", "rk"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # the doc whose words + embedding the query carries must surface
+    for qid, grp in got.groupby("qid"):
+        assert (qid - 500_000) in set(grp.doc_id), \
+            f"query {qid} lost its own doc"
+
+    with pytest.raises(ValueError, match="ann_method"):
+        hybrid_search_indexed(cat, "post", "ann", queries,
+                              ann_method="hnsw")
