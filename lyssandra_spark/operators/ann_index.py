@@ -1044,6 +1044,7 @@ def ann_decontaminate(
     rerank: int | None = None,
     id_col: str | None = None,
     emb_col: str | None = None,
+    method: str = "pq",
     **serve_kwargs,
 ) -> DataFrame:
     """Embedding-level benchmark decontamination over the persisted PQ
@@ -1077,8 +1078,13 @@ def ann_decontaminate(
     """
     if not (-1.0 <= min_cosine <= 1.0):
         raise ValueError(f"min_cosine ({min_cosine}) must be in [-1, 1]")
-    spec = (catalog.latest_meta(index_table, "pq_spec") or {}).get(
-        "pq_spec", {}
+    serves = {"pq": (pq_topk_indexed, "pq_spec"),
+              "ivfpq": (ivfpq_topk_indexed, "ivfpq_spec")}
+    if method not in serves:
+        raise ValueError(f"method {method!r} — pick one of {sorted(serves)}")
+    serve, spec_key = serves[method]
+    spec = (catalog.latest_meta(index_table, spec_key) or {}).get(
+        spec_key, {}
     )
     id_col = id_col or spec.get("id_col", "vec_id")
     # exclude_self=False: the serve's qid==id mask exists so a corpus
@@ -1086,8 +1092,11 @@ def ann_decontaminate(
     # query side is a DIFFERENT table whose ids may legitimately
     # collide with corpus ids (the classic setup: the benchmark was
     # carved from the corpus keeping its ids) — masking those pairs
-    # would hide exactly the most-contaminated docs
-    hits = pq_topk_indexed(
+    # would hide exactly the most-contaminated docs. method='ivfpq'
+    # runs the sweep over the cell-pruned hybrid (~nprobe/n_cells of
+    # the flat scan per eval example — pass nprobe via serve_kwargs;
+    # its top-k cap then also depends on probe recall).
+    hits = serve(
         catalog, index_table, eval_embeddings, k=k,
         rerank=(4 * k if rerank is None else rerank),
         id_col=id_col, emb_col=emb_col, exclude_self=False,
@@ -1372,6 +1381,7 @@ def ivfpq_topk_indexed(
     distributed: bool | None = None,
     corpus_blocks: int = 32,
     query_chunk: int = 4096,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k served from the persisted IVF-PQ index:
     each query probes its ``nprobe`` nearest cells (raw-vector centroid
@@ -1420,6 +1430,7 @@ def ivfpq_topk_indexed(
             catalog, index_table, queries, C, books, k=k, nprobe=nprobe,
             rerank=rerank, id_col=id_col, emb_col=emb_col,
             corpus_blocks=corpus_blocks, query_chunk=query_chunk,
+            exclude_self=exclude_self,
         )
     q = _collect_bounded_queries(queries, id_col, emb_col, max_queries)
     if not q:
@@ -1471,7 +1482,8 @@ def ivfpq_topk_indexed(
             for j in range(m):
                 approx += luts_[:, j, codes[:, j]].T
             approx[~pmat_[cells]] = -np.inf  # not probed by that query
-            approx[ids[:, None] == qids_[None, :]] = -np.inf
+            if exclude_self:
+                approx[ids[:, None] == qids_[None, :]] = -np.inf
             rr = min(rerank, n)
             rows = np.concatenate([
                 np.lexsort((ids, -approx[:, i]))[:rr] for i in range(nq)
@@ -1512,6 +1524,7 @@ def _ivfpq_topk_distributed(
     emb_col: str,
     corpus_blocks: int,
     query_chunk: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The no-collect IVF-PQ serve for corpus-scale query tables —
     :func:`ivfpq_topk_indexed` semantics with the query frame never
@@ -1583,6 +1596,7 @@ def _ivfpq_topk_distributed(
     scan_block = _make_adc_block_scanner(
         bc, id_col, m, dsub, rr_cap=int(rerank),
         qch=max(1, int(query_chunk)), hybrid=True, n_cells=len(C),
+        exclude_self=exclude_self,
     )
     partial = (
         codes_src.groupBy("part")

@@ -880,6 +880,24 @@ def test_ann_decontaminate_flags_planted_leakage(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="min_cosine"):
         ann_decontaminate(cat, "pq", eval_df, min_cosine=1.5)
 
+    # method='ivfpq': the same sweep over the cell-pruned hybrid —
+    # nprobe == n_cells makes probing exhaustive, so the flag set must
+    # equal the brute-force oracle exactly (and the colliding-id plants
+    # again survive the disabled self-mask)
+    from lyssandra_spark.operators.ann_index import refresh_ivfpq_index
+
+    refresh_ivfpq_index(cat, "vecs", "hpq", n_cells=8, m=8, n_codes=32,
+                        refine_iters=0)
+    got_h = ann_decontaminate(
+        cat, "hpq", eval_df, min_cosine=thr, k=k, method="ivfpq",
+        nprobe=8,
+    ).toPandas().set_index("vec_id").sort_index()
+    assert set(got_h.index) == expect
+    for i in (3, 7, 11):
+        assert got_h.loc[i, "worst_eval_id"] == i
+    with pytest.raises(ValueError, match="method"):
+        ann_decontaminate(cat, "hpq", eval_df, method="hnsw")
+
 
 def test_ivf_indexed_no_broadcast_path_matches(spark, emb, tmp_path):
     """broadcast_queries=False (the corpus-scale query table setting)
