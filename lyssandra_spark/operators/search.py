@@ -73,6 +73,7 @@ def bm25_topk(
     qtext_col: str = "qtext",
     k1: float = 1.2,
     b: float = 0.75,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25:
 
@@ -129,6 +130,7 @@ def bm25_topk(
     return _score_postings(
         post, qterms, n_docs, avg_len, k,
         id_col=id_col, qid_col=qid_col, k1=k1, b=b,
+        broadcast_queries=broadcast_queries,
     )
 
 
@@ -142,18 +144,25 @@ def _score_postings(
     qid_col: str = "qid",
     k1: float = 1.2,
     b: float = 0.75,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Score pruned postings against distinct (qid, term) query rows —
     the shared tail of :func:`bm25_topk` and :func:`bm25_topk_indexed`.
 
-    The query vocabulary broadcasts and SEMI-JOIN-prunes the postings
-    first; document frequencies (hence IDF) are then counted over the
-    pruned rows — exact, because df(t) only ever counts rows of term t.
-    One (qid, id) aggregation, one bounded per-qid top-k window; the
-    only corpus-sized shuffle is the pruned-postings score aggregation.
+    The query vocabulary (by default broadcast) SEMI-JOIN-prunes the
+    postings first; document frequencies (hence IDF) are then counted
+    over the pruned rows — exact, because df(t) only ever counts rows
+    of term t. One (qid, id) aggregation, one bounded per-qid top-k
+    window; the only corpus-sized shuffle is the pruned-postings score
+    aggregation. ``broadcast_queries=False`` is the corpus-scale query
+    workload setting (a million-query batch's vocabulary must not be
+    forced through a broadcast): the prune and score joins become
+    shuffle joins on term, with AQE free to pick broadcast back if the
+    vocabulary turns out small — results identical (pytest-pinned).
     """
+    bcast = F.broadcast if broadcast_queries else (lambda df: df)
     uterms = qterms.select("term").distinct()
-    pruned = post.join(F.broadcast(uterms), "term", "left_semi")
+    pruned = post.join(bcast(uterms), "term", "left_semi")
     idf = (
         pruned.groupBy("term")
         # postings are unique per (doc, term): a plain count IS the
@@ -177,8 +186,8 @@ def _score_postings(
         )
     )
     scored = (
-        pruned.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(idf), "term")
+        pruned.join(bcast(qterms), "term")
+        .join(bcast(idf), "term")
         .groupBy(qid_col, id_col)
         .agg(F.round(F.sum(F.col("idf") * tf_part), 6).alias("bm25"))
     )
@@ -371,6 +380,7 @@ def bm25_topk_indexed(
     qtext_col: str = "qtext",
     k1: float = 1.2,
     b: float = 0.75,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """:func:`bm25_topk` semantics served from a PERSISTED postings
     index (maintained by :func:`refresh_postings`) — the corpus text is
@@ -423,6 +433,7 @@ def bm25_topk_indexed(
     return _score_postings(
         post, qterms, n_docs, avg_len, k,
         id_col=id_col, qid_col=qid_col, k1=k1, b=b,
+        broadcast_queries=broadcast_queries,
     )
 
 

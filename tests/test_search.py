@@ -429,3 +429,24 @@ def test_hybrid_search_indexed_composition(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="ann_method"):
         hybrid_search_indexed(cat, "post", "ann", queries,
                               ann_method="hnsw")
+
+
+def test_bm25_no_broadcast_queries_matches(spark, sf_dir):
+    """broadcast_queries=False (the corpus-scale query batch setting):
+    shuffle-join plan, identical results on both the per-call and the
+    indexed path."""
+    from lyssandra_spark.operators.search import bm25_topk
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").limit(200)
+    )
+    q = spark.createDataFrame(
+        [(1, "table scan value"), (2, "spark merge batch")],
+        "qid long, qtext string",
+    )
+    a = bm25_topk(d, q, k=10).toPandas().sort_values(
+        ["qid", "rk"]).reset_index(drop=True)
+    b = bm25_topk(d, q, k=10, broadcast_queries=False).toPandas() \
+        .sort_values(["qid", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
