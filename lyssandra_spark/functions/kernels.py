@@ -43,6 +43,7 @@ __all__ = [
     "batch_omp_sparse",
     "fista_lasso",
     "llc",
+    "llc_sparse",
     "ksvd_update",
     "odl_accumulate",
     "odl_update_dict",
@@ -372,18 +373,44 @@ def fista_lasso(
 
 
 def _fista_block(D, G, L, X, lam, n_iter, tol):
+    # Fused, allocation-free form of the textbook loop
+    #   Znew = soft(Y - (G @ Y - DtX) / L, lam / L)
+    #   Y    = Znew + ((t-1)/tnew) * (Znew - Z)
+    # Every binary op writes into one of five preallocated (m, n) buffers,
+    # and soft-threshold is abs/subtract/maximum/copysign in place (copysign
+    # reproduces sign(v)*max(|v|-thr, 0) exactly, incl. the v=0 case where
+    # the max factor is 0). The op-for-op arithmetic — order, operands, the
+    # x/L division — is unchanged, so the iterates are BIT-identical to the
+    # original (asserted by test_fista_fused_matches_textbook); what goes
+    # away is ~14 temporary allocations per iteration and the extra
+    # |Znew - Z| recomputation for the tol check, which at the 22 s/round
+    # bench leg was ~20% of per-iteration wall time on top of the GEMM.
     m = D.shape[1]
     n = X.shape[1]
     DtX = D.T @ X
+    thr = lam / L
     Z = np.zeros((m, n), dtype=np.float64)
-    Y = Z.copy()
+    Y = np.zeros((m, n), dtype=np.float64)
+    V = np.empty((m, n), dtype=np.float64)
+    A = np.empty((m, n), dtype=np.float64)
+    diff = np.empty((m, n), dtype=np.float64)
     t = 1.0
     for _ in range(n_iter):
-        Znew = _soft(Y - (G @ Y - DtX) / L, lam / L)
+        np.matmul(G, Y, out=V)
+        np.subtract(V, DtX, out=V)
+        np.divide(V, L, out=V)
+        np.subtract(Y, V, out=V)          # V = Y - (G @ Y - DtX)/L
+        np.abs(V, out=A)
+        np.subtract(A, thr, out=A)
+        np.maximum(A, 0.0, out=A)
+        np.copysign(A, V, out=A)          # A = Znew = soft(V, thr)
+        np.subtract(A, Z, out=diff)       # diff = Znew - Z (also the tol gate)
+        np.abs(diff, out=V)               # V is free: reuse for |diff|
+        delta = float(V.max()) if Z.size else 0.0
         tnew = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
-        Y = Znew + ((t - 1.0) / tnew) * (Znew - Z)
-        delta = float(np.max(np.abs(Znew - Z))) if Z.size else 0.0
-        Z = Znew
+        np.multiply(diff, (t - 1.0) / tnew, out=diff)
+        np.add(A, diff, out=Y)            # Y = Znew + c * (Znew - Z)
+        Z, A = A, Z                       # Z <- Znew; old Z becomes scratch
         t = tnew
         if delta <= tol:
             break
@@ -423,26 +450,95 @@ def llc(
     return _llc_block(D, X, knn, beta)
 
 
-def _llc_block(D, X, knn, beta):
-    d, m = D.shape
-    n = X.shape[1]
+def _llc_knn(D, X, knn):
+    """Indices of the `knn` nearest atoms per sample, ascending distance.
+
+    knn repeated masked-argmin passes instead of a full stable argsort of
+    all m atoms: ~4x cheaper when knn << m (the argsort was >50% of the
+    whole LLC kernel), and BIT-identical selection — argmin and stable
+    ascending argsort both resolve ties to the lowest atom index
+    (pinned by test_llc_knn_matches_stable_argsort).
+    """
     # squared distances atoms x samples: ||d_j||^2 - 2 d_j.x + ||x||^2 (drop ||x||^2)
     d2 = np.sum(D * D, axis=0)[:, None] - 2.0 * (D.T @ X)    # (m, n)
-    order = np.argsort(d2, axis=0, kind="stable")[:knn]       # (knn, n)
+    n = d2.shape[1]
+    cols = np.arange(n)
+    order = np.empty((knn, n), dtype=np.int64)
+    for t in range(knn):
+        j = np.argmin(d2, axis=0)                            # lowest index on ties
+        order[t] = j
+        d2[j, cols] = np.inf                                 # mask; d2 is block-local
+    return order
+
+
+def _llc_weights(D, X, order, beta):
+    """Closed-form LLC weights for the given per-sample atom supports.
+
+    Returns ``(w, shift)``: weights ``(n, knn)`` summing to 1, and the
+    shifted-basis tensor ``B - x`` ``(d, knn, n)`` (reusable for the
+    residual: sum_t w_t * shift_t == reconstruction - x since sum w = 1).
+    """
+    knn = order.shape[0]
     B = D[:, order]                                           # (d, knn, n)
     shift = B - X[:, None, :]                                 # (d, knn, n)
     C = np.einsum("dkn,dln->nkl", shift, shift)               # (n, knn, knn)
     tr = np.trace(C, axis1=1, axis2=2)                        # (n,)
     reg = beta * np.maximum(tr, _EPS)
     C = C + reg[:, None, None] * np.eye(knn)[None, :, :]
-    ones = np.ones((n, knn), dtype=np.float64)
+    ones = np.ones((X.shape[1], knn), dtype=np.float64)
     w = np.linalg.solve(C, ones)                              # (n, knn)
     w = w / np.sum(w, axis=1, keepdims=True)
+    return w, shift
+
+
+def _llc_block(D, X, knn, beta):
+    d, m = D.shape
+    n = X.shape[1]
+    order = _llc_knn(D, X, knn)
+    w, _ = _llc_weights(D, X, order, beta)
     Z = np.zeros((m, n), dtype=np.float64)
     cols = np.arange(n)
     for t in range(knn):
         Z[order[t], cols] = w[:, t]
     return Z
+
+
+def llc_sparse(
+    D: np.ndarray, X: np.ndarray, knn: int = 5, beta: float = 1e-4,
+    block: int = 256,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """LLC returning the sparse form directly: ``(order, w, err)`` with
+    supports ``(knn, n)``, weights ``(n, knn)``, and per-sample residual
+    L2 norm ``(n,)`` — no (n_atoms, n) dense code matrix (the same
+    dense-scatter-then-rescan traffic batch_omp_sparse removed for OMP).
+    The residual comes from ``sum_t w_t * (B_t - x) = Dz - x`` (exact
+    since ``sum_t w_t = 1``), so no (d, m) GEMM either.
+    Same selection and weight arithmetic as :func:`llc`.
+    """
+    D = np.asarray(D, dtype=np.float64)
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    n = X.shape[1]
+    knn = min(knn, D.shape[1])
+    if n == 0:
+        return (
+            np.zeros((knn, 0), np.int64),
+            np.zeros((0, knn), np.float64),
+            np.zeros(0, np.float64),
+        )
+    orders, ws, errs = [], [], []
+    for i in range(0, n, block):
+        Xb = X[:, i : i + block]
+        order = _llc_knn(D, Xb, knn)
+        w, shift = _llc_weights(D, Xb, order, beta)
+        r = np.einsum("dkn,nk->dn", shift, w)                 # Dz - x
+        orders.append(order)
+        ws.append(w)
+        errs.append(np.linalg.norm(r, axis=0))
+    return (
+        np.concatenate(orders, axis=1),
+        np.concatenate(ws, axis=0),
+        np.concatenate(errs),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -135,6 +135,41 @@ def encode_block(
             "nnz": cnt,
         }
 
+    if algo == "llc":
+        # sparse CSR assembly (mirrors the bomp branch): llc_sparse returns
+        # (order, w, err) so no (n, n_atoms) dense code matrix is written —
+        # the dense scatter + nonzero re-scan was ~30% of the LLC encode.
+        kk = min(knn, n_atoms) if n_atoms else knn
+        idx_buf = np.zeros((n, kk), dtype=np.int32)
+        val_buf = np.zeros((n, kk), dtype=np.float64)
+        cnt = np.zeros(n, dtype=np.int32)
+        pos = np.arange(kk)[None, :]
+        for vi in np.unique(vidx):
+            rows = np.nonzero(vidx == vi)[0]
+            if vi < 0:
+                continue  # ts before first valid_from: no dictionary yet
+            v = versions[vi]
+            order, w, eps = K.llc_sparse(v.D, X[:, rows], knn=knn)
+            valid = np.abs(w) > 1e-12
+            sup = np.where(valid, order.T, np.iinfo(np.int32).max).astype(np.int64)
+            o2 = np.argsort(sup, axis=1, kind="stable")  # ascending atom idx
+            idx_buf[rows] = np.take_along_axis(sup, o2, axis=1).astype(np.int32)
+            val_buf[rows] = np.take_along_axis(np.where(valid, w, 0.0), o2, axis=1)
+            cnt[rows] = valid.sum(axis=1).astype(np.int32)
+            ver_out[rows] = v.version
+            err[rows] = eps
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(cnt, out=offsets[1:])
+        keep = pos < cnt[:, None]  # row-major mask => CSR order
+        return {
+            "dict_version": ver_out,
+            "offsets": offsets,
+            "code_idx": idx_buf[keep],
+            "code_val": val_buf[keep],
+            "recon_err": err,
+            "nnz": cnt,
+        }
+
     Zfull = np.zeros((n, n_atoms), dtype=np.float64)  # sample-major for CSR pass
     for vi in np.unique(vidx):
         rows = np.nonzero(vidx == vi)[0]
@@ -146,8 +181,6 @@ def encode_block(
             Z = K.omp(v.D, Xb, k=k)
         elif algo == "fista":
             Z = K.fista_lasso(v.D, Xb, lam=lam, n_iter=fista_iter, tol=fista_tol)
-        elif algo == "llc":
-            Z = K.llc(v.D, Xb, knn=knn)
         else:
             raise ValueError(f"unknown algo {algo!r}")
         ver_out[rows] = v.version

@@ -259,6 +259,15 @@ def _asof_dim(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
     )
+    # Cluster by the as-of equi-key ONCE (guide §2.4): hashpartitioning on
+    # o_custkey alone satisfies every downstream window requirement — the
+    # dedup row_number windows over (o_custkey, o_orderdate) here and in
+    # asof_join's _dedup_dim, AND the broadcast strategy's lead() interval
+    # window over (o_custkey) — so the whole dim prep runs off this single
+    # exchange instead of hashpartitioning(custkey, orderdate) followed by a
+    # second hashpartitioning(custkey). Results are unaffected (row_number
+    # ties are broken by the explicit ORDER BY, not by partition layout).
+    o = o.repartition("o_custkey")
     return W.dedup_latest(o, ["o_custkey", "o_orderdate"], "o_orderkey", desc=True)
 
 

@@ -118,6 +118,44 @@ class TestFISTA:
         nnz_big = K.sparsity(K.fista_lasso(D, X, 0.5, 2000), tol=1e-8).mean()
         assert nnz_big < nnz_small
 
+    @pytest.mark.parametrize("lam,n_iter,tol", [
+        (0.1, 100, 1e-7),   # the bench config
+        (0.1, 500, 1e-10),  # the sparse_code default
+        (0.05, 300, 0.0),   # tol=0: full fixed-iteration run
+    ])
+    def test_fista_fused_matches_textbook(self, lam, n_iter, tol):
+        """The r10 fused in-place _fista_block must be BIT-identical to the
+        textbook allocate-per-op loop it replaced (same op order, same
+        operands, same x/L division — only buffer reuse changed)."""
+        D, X, _ = planted(n=600, k=5, noise=0.05, seed=13)
+        G = D.T @ D
+        L = max(float(np.linalg.eigvalsh(G)[-1]), 1e-13)
+
+        def textbook_block(Xb):
+            m = D.shape[1]
+            n = Xb.shape[1]
+            DtX = D.T @ Xb
+            Z = np.zeros((m, n))
+            Y = Z.copy()
+            t = 1.0
+            for _ in range(n_iter):
+                Znew = K._soft(Y - (G @ Y - DtX) / L, lam / L)
+                tnew = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
+                Y = Znew + ((t - 1.0) / tnew) * (Znew - Z)
+                delta = float(np.max(np.abs(Znew - Z))) if Z.size else 0.0
+                Z = Znew
+                t = tnew
+                if delta <= tol:
+                    break
+            return Z
+
+        ref = np.concatenate(
+            [textbook_block(X[:, i : i + 256]) for i in range(0, X.shape[1], 256)],
+            axis=1,
+        )
+        got = K.fista_lasso(D, X, lam=lam, n_iter=n_iter, tol=tol)
+        assert np.array_equal(ref, got)
+
 
 class TestLLC:
     def test_closed_form_vs_brute_force(self):
@@ -145,6 +183,40 @@ class TestLLC:
         Z = K.llc(D, X, knn=5)
         assert np.allclose(Z.sum(axis=0), 1.0, atol=1e-8)
         assert (K.sparsity(Z) <= 5).all()
+
+    def test_llc_knn_matches_stable_argsort(self):
+        """The r10 repeated-masked-argmin knn selection must pick the SAME
+        atoms in the SAME order as the stable ascending argsort it replaced
+        — including on exact distance ties (both resolve to the lowest
+        atom index)."""
+        rng = np.random.default_rng(22)
+        D = K.normalize_cols(rng.standard_normal((16, 64)))
+        X = rng.standard_normal((16, 300))
+        d2 = np.sum(D * D, axis=0)[:, None] - 2.0 * (D.T @ X)
+        ref = np.argsort(d2, axis=0, kind="stable")[:5]
+        assert np.array_equal(ref, K._llc_knn(D, X, 5))
+        # planted exact ties: duplicated atoms => duplicated distances
+        Dt = D.copy()
+        Dt[:, 1] = Dt[:, 40]
+        Dt[:, 7] = Dt[:, 40]
+        d2t = np.sum(Dt * Dt, axis=0)[:, None] - 2.0 * (Dt.T @ X)
+        reft = np.argsort(d2t, axis=0, kind="stable")[:5]
+        assert np.array_equal(reft, K._llc_knn(Dt, X, 5))
+
+    def test_llc_sparse_matches_dense(self):
+        """llc_sparse (CSR encode path) must scatter to exactly the dense
+        llc codes, and its GEMM-free residual (sum_t w_t * shift_t, exact
+        because sum w = 1) must match ||x - D z|| to fp rounding."""
+        D, X, _ = planted(n=600, k=5, noise=0.05, seed=23)
+        Z = K.llc(D, X, knn=5)
+        order, w, err = K.llc_sparse(D, X, knn=5)
+        n = X.shape[1]
+        Zs = np.zeros_like(Z)
+        cols = np.arange(n)
+        for t in range(5):
+            Zs[order[t], cols] = w[:, t]
+        assert np.array_equal(Z, Zs)
+        assert np.allclose(err, K.recon_error(D, X, Z), rtol=1e-9, atol=1e-12)
 
 
 class TestDictLearning:
