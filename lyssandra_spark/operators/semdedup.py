@@ -496,25 +496,50 @@ def semdedup_new_batch(
                 return pd.DataFrame(
                     {c.name: pd.Series(dtype=object) for c in out_schema}
                 )
+            # kept-exemplar matrix in ONE preallocated capacity-doubling
+            # buffer: the previous form held a python list and re-ran
+            # np.stack(K) per admitted row — a full (n_kept, d) copy per
+            # row, i.e. O(n_kept^2 * d) bytes of pure copy traffic in a hot
+            # cell (round-9 verdict finding). Row values and the dgemv
+            # below are bit-identical to the stacked form (same per-row
+            # normalization arithmetic, same C-contiguous (n_kept, d)
+            # operand), so every keep/drop/dup_of decision is unchanged.
             K = list(np.asarray(list(old["__e"]), dtype=np.float64)) \
                 if len(old) else []
             kept_ids = list(old["__id"])
             for i, k in enumerate(K):
                 n = np.linalg.norm(k)
                 K[i] = k / n if n > 0 else k
+            nk = len(K)
+            if nk:
+                d_dim = K[0].shape[0]
+                cap = max(16, 2 * nk)
+                Kbuf = np.empty((cap, d_dim), dtype=np.float64)
+                Kbuf[:nk] = np.stack(K)            # one stack per cell
+            else:
+                Kbuf = None
+            del K
             out = {c.name: [] for c in out_schema}
             for rid, e in zip(new["__id"], new["__e"]):
                 x = np.asarray(e, dtype=np.float64)
                 nx = np.linalg.norm(x)
                 keep, dup_of, max_sim = True, None, None
-                if nx > 0 and K:
-                    sims = np.stack(K) @ (x / nx)
+                if nx > 0 and nk:
+                    sims = Kbuf[:nk] @ (x / nx)
                     j = int(sims.argmax())
                     max_sim = float(sims[j])
                     if max_sim >= thr:
                         keep, dup_of = False, kept_ids[j]
                 if keep and nx > 0:
-                    K.append(x / nx)
+                    if Kbuf is None:
+                        Kbuf = np.empty((16, x.shape[0]), dtype=np.float64)
+                    elif nk == Kbuf.shape[0]:
+                        grown = np.empty(
+                            (2 * nk, Kbuf.shape[1]), dtype=np.float64)
+                        grown[:nk] = Kbuf[:nk]
+                        Kbuf = grown
+                    Kbuf[nk] = x / nx
+                    nk += 1
                     kept_ids.append(rid)
                 out[id_col].append(rid)
                 out[emb_col].append(list(e))

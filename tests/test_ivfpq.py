@@ -312,3 +312,33 @@ def test_ivfpq_distributed_serve_matches_collected(spark, emb, tmp_path):
     got_empty = ivfpq_topk_indexed(cat, "pqidx", emb.limit(0), k=5,
                                    distributed=True, corpus_blocks=2)
     assert got_empty.count() == 0
+
+
+def test_release_serve_caches(spark, emb, tmp_path):
+    """Every distributed IVF-PQ serve caches one probed-query frame;
+    release_serve_caches() frees them all (a long-lived serving driver
+    would otherwise accumulate one per query batch until LRU pressure —
+    round-9 advice), and a released result still evaluates identically
+    (the cache is lineage-preserving, not a checkpoint)."""
+    import lyssandra_spark.operators.ann_index as AI
+
+    AI.release_serve_caches()  # clean slate from earlier tests
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write(emb, "vecs", mode="overwrite")
+    refresh_ivfpq_index(cat, "vecs", "pqidx", n_cells=8, m=8, n_codes=16,
+                        refine_iters=0)
+    q = emb.where(F.col("vec_id") < 25)
+    got = ivfpq_topk_indexed(cat, "pqidx", q, k=5, nprobe=4, rerank=48,
+                             distributed=True, corpus_blocks=3)
+    before = got.toPandas().sort_values(["qid", "rk"]).reset_index(drop=True)
+    assert len(AI._SERVE_CACHES) == 1
+    cached = AI._SERVE_CACHES[0]
+    assert cached.storageLevel.useMemory
+    assert AI.release_serve_caches() == 1
+    assert not AI._SERVE_CACHES
+    assert not cached.storageLevel.useMemory
+    # the already-built plan still evaluates identically post-release
+    after = got.toPandas().sort_values(["qid", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+    # idempotent
+    assert AI.release_serve_caches() == 0

@@ -153,7 +153,7 @@ class TestFISTA:
             [textbook_block(X[:, i : i + 256]) for i in range(0, X.shape[1], 256)],
             axis=1,
         )
-        got = K.fista_lasso(D, X, lam=lam, n_iter=n_iter, tol=tol)
+        got = K.fista_lasso(D, X, lam=lam, n_iter=n_iter, tol=tol, block=256)
         assert np.array_equal(ref, got)
 
 
