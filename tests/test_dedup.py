@@ -97,6 +97,67 @@ def test_minhash_signature_deterministic(spark, docs):
     assert m1 == m2
 
 
+def test_sig_block_mersenne_fold():
+    """The r10 _sig_block (shift-fold Mersenne reduction + per-doc
+    minimum.reduceat) must reproduce the reference
+    (a*h + b) % M / np.minimum.at form BIT-exactly, including empty and
+    too-short docs (zero windows keep the uint64-max sentinel) and
+    values that land exactly on multiples of M after the fold."""
+    import numpy as np
+
+    from lyssandra_spark.operators.dedup import _MERSENNE, _minhash_params
+    from lyssandra_spark.functions.embed import rolling_hashes
+
+    texts = [b"", b"the quick brown fox jumps", b"x", b"dup text dup text",
+             b"dup text dup text", b"another doc with more words here", b""]
+    off = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum([len(t) for t in texts], out=off[1:])
+    buf = (np.frombuffer(b"".join(texts), np.uint8), off)
+
+    def reference(texts_buf, n_perm, ngram_bytes, seed):
+        data, offsets = texts_buf
+        n = len(offsets) - 1
+        a, b = _minhash_params(n_perm, seed)
+        out = np.full((n, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        data = np.asarray(data, dtype=np.uint8)[offsets[0]:offsets[-1]]
+        offsets = np.asarray(offsets, dtype=np.int64) - offsets[0]
+        if len(data) < ngram_bytes:
+            return out
+        low = data.copy()
+        mask = (low >= 65) & (low <= 90)
+        low[mask] += 32
+        h = rolling_hashes(low, ngram_bytes).astype(np.uint64)
+        nwin = len(h)
+        byte_tid = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        tid = byte_tid[:nwin]
+        valid = tid == byte_tid[ngram_bytes - 1: ngram_bytes - 1 + nwin]
+        h = h[valid]
+        tid = tid[valid]
+        if len(h) == 0:
+            return out
+        for i in range(n_perm):
+            hv = (a[i] * h + b[i]) % _MERSENNE
+            np.minimum.at(out[:, i], tid, hv)
+        return out
+
+    for n_perm, ngram, seed in ((64, 8, 7), (16, 4, 3)):
+        ref = reference(buf, n_perm, ngram, seed)
+        got = DD._sig_block(buf, n_perm, ngram, seed)
+        assert np.array_equal(ref, got)
+    # synthetic fold edge: x & M == M (fold yields exactly M -> must
+    # reduce to 0, like %). Build such an h via the inverse affine map is
+    # overkill — instead check the fold identity over a dense range
+    # around multiples of M.
+    M = np.uint64(_MERSENNE)
+    xs = (np.arange(-3, 4, dtype=np.int64)
+          + np.int64(_MERSENNE)).astype(np.uint64)
+    xs = np.concatenate([xs, xs + M, np.array([0, 1], np.uint64)])
+    f = xs >> np.uint64(61)
+    y = (xs & M) + f
+    y[y >= M] -= M
+    assert np.array_equal(y, xs % M)
+
+
 def test_simhash_properties(spark, docs):
     sh = DD.simhash(docs).toPandas().set_index("doc_id")["simhash"]
     # exact copies -> identical simhash
