@@ -273,6 +273,19 @@ def _asof_dim(spark, sf_dir):
 
 def _asof_backward(spark, sf_dir, strategy: str):
     e = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "o_custkey")
+    if strategy == "broadcast":
+        # Scale-adaptive probe parallelism (guide §2.5, "input skew: one
+        # huge unsplittable file"): the events parquet ships as a single
+        # row group at the bench scales, so the scan — and with it the
+        # whole broadcast-hash-probe pipeline, which has no exchange of
+        # its own by design — would run as ONE task regardless of cores.
+        # Repartition only when the scan cannot feed the cores; at real
+        # scale (many splits) the branch does not fire and no exchange is
+        # added. The union strategy needs nothing: its window exchange
+        # already redistributes the facts.
+        sc = spark.sparkContext
+        if e.rdd.getNumPartitions() < sc.defaultParallelism:
+            e = e.repartition(sc.defaultParallelism)
     dim = _asof_dim(spark, sf_dir)
     out = asof_join(
         e, dim, on="o_custkey", ts_col="ts", valid_col="o_orderdate",
