@@ -45,6 +45,8 @@ with the same artifacts.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -83,7 +85,7 @@ __all__ = [
 # can free them eagerly once the serve output is consumed. Lock: same
 # concurrent-driver-threads rationale as dedup.py.
 _SERVE_CACHES: list[DataFrame] = []
-_SERVE_CACHES_LOCK = __import__("threading").Lock()
+_SERVE_CACHES_LOCK = threading.Lock()
 
 
 def _register_serve_cache(df: DataFrame) -> None:
